@@ -1,0 +1,320 @@
+"""URL-seen set — sharded cuckoo-filter actors keyed by xxh64(canonical_url).
+
+Reference semantics: Scrapy's default ``RFPDupeFilter`` — an exact
+in-memory set of request fingerprints, per spider process
+(SURVEY.md ST1; settings.py has no override). 810 spiders bypass it
+per-request via ``dont_filter=True`` (spiders/15walmer.py:112) — the
+graft carries that as the ``skip_dedup`` frontier column.
+
+Graft design (north rule):
+  * ``url_hash % num_shards`` routes each candidate to one
+    ``DedupShard`` actor;
+  * each shard holds a **cuckoo filter** (numpy bucket array, 4-slot
+    buckets, 16-bit fingerprints — the standard partial-key cuckoo
+    layout of Fan et al., "Cuckoo Filter: Practically Better Than
+    Bloom", CoNEXT'14) plus an **exact overflow side-table** so
+    inserts never fail and membership never yields a false negative;
+  * false *positives* would wrongly drop URLs and break the exact
+    seen-set match the north rule demands, so every cuckoo hit is
+    confirmed against a per-shard exact set. The cuckoo array is the
+    fast-path reject (the overwhelmingly common case at 10^10 scale:
+    most candidates are NEW, and a cuckoo miss proves novelty without
+    touching the exact structure). ``mode='exact'`` skips the filter
+    entirely for oracle-equality tests.
+
+Within-round first-wins is resolved by a **two-phase protocol** (no
+shuffle): phase 1 registers every candidate's minimal
+``(seq_parent, seq_link)`` per shard; phase 2 queries the winners and
+atomically commits them to the seen set. Batches may arrive in any
+order in either phase — the result is order-independent, which is what
+makes an 8-CPU and a 32-CPU run produce identical frontiers.
+
+Checkpoint: ``snapshot()`` returns the shard's seen hashes as a
+uint64 array; ``restore()`` reloads them (spider_ray/frontier.py
+writes/reads these per round).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+_FP_BITS = 16
+_SLOTS = 4
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter: numpy (nbuckets, 4) uint16 table.
+
+    Fingerprints are 16-bit, 0 reserved for "empty". Alternate bucket
+    index i2 = i1 XOR (fp * 0x5bd1e995) masked — the standard trick so
+    either bucket is derivable from (other bucket, fp).
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        nb = 1
+        while nb * _SLOTS < capacity:
+            nb <<= 1
+        self.nbuckets = nb
+        self.mask = nb - 1
+        self.table = np.zeros((nb, _SLOTS), dtype=np.uint16)
+        self.stash: set[int] = set()  # overflow — keeps inserts lossless
+        self.count = 0
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.mask)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        alt = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(self.mask)
+        return (i1.astype(np.uint64) ^ alt).astype(np.int64)
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe (may false-positive, never
+        false-negative w.r.t. inserted keys)."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        t = self.table
+        hit = (t[i1] == fp[:, None]).any(axis=1) | (t[i2] == fp[:, None]).any(axis=1)
+        if self.stash:
+            for j in np.nonzero(~hit)[0]:
+                if int(h[j]) in self.stash:
+                    hit[j] = True
+        return hit
+
+    def insert_many(self, h: np.ndarray) -> None:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        t = self.table
+        for j in range(len(h)):
+            f = fp[j]
+            a, b = i1[j], i2[j]
+            row = t[a]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = f
+                self.count += 1
+                continue
+            row = t[b]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = f
+                self.count += 1
+                continue
+            # evict loop
+            cur_i, cur_f = b, f
+            placed = False
+            for _ in range(self.MAX_KICKS):
+                slot = int(cur_f) % _SLOTS
+                cur_f, t[cur_i, slot] = t[cur_i, slot], cur_f
+                alt = (int(cur_f) * 0x5BD1E995) & self.mask
+                cur_i = cur_i ^ alt
+                row = t[cur_i]
+                free = np.nonzero(row == 0)[0]
+                if len(free):
+                    row[free[0]] = cur_f
+                    placed = True
+                    break
+            if not placed:
+                self.stash.add(int(h[j]))  # lossless overflow
+            self.count += 1
+
+
+class _ShardState:
+    """One shard's state — plain object, wrapped by the Ray actor below
+    (kept separate so the oracle/tests can drive it without Ray)."""
+
+    def __init__(self, capacity: int = 1 << 16, mode: str = "cuckoo"):
+        self.mode = mode
+        self.exact: set[int] = set()
+        self.filter = CuckooFilter(capacity) if mode == "cuckoo" else None
+        # round-scoped candidate registry: url_hash -> min (seq_parent, seq_link)
+        self.pending: dict[int, tuple[int, int]] = {}
+
+    # ---- cross-round membership
+    def seen_mask(self, hashes: np.ndarray) -> np.ndarray:
+        if self.filter is not None:
+            maybe = self.filter.contains_many(hashes)
+            out = np.zeros(len(hashes), dtype=bool)
+            for j in np.nonzero(maybe)[0]:
+                out[j] = int(hashes[j]) in self.exact  # confirm: no false drops
+            return out
+        return np.fromiter(
+            (int(x) in self.exact for x in hashes), dtype=bool, count=len(hashes)
+        )
+
+    # ---- two-phase within-round first-wins
+    def register(self, hashes: np.ndarray, seq_parent: np.ndarray, seq_link: np.ndarray):
+        pend = self.pending
+        for x, sp, sl in zip(hashes, seq_parent, seq_link):
+            k = int(x)
+            key = (int(sp), int(sl))
+            old = pend.get(k)
+            if old is None or key < old:
+                pend[k] = key
+
+    def commit_round(self) -> int:
+        """Move pending winners (not already seen) into the seen set.
+        Returns number of new URLs admitted."""
+        new_hashes = [k for k in self.pending if k not in self.exact]
+        self.exact.update(new_hashes)
+        if self.filter is not None and new_hashes:
+            self.filter.insert_many(np.array(new_hashes, dtype=np.uint64))
+        self.pending.clear()
+        return len(new_hashes)
+
+    def winners(self, hashes: np.ndarray, seq_parent: np.ndarray,
+                seq_link: np.ndarray) -> np.ndarray:
+        """Phase-2 query: True where this row's (seq_parent, seq_link)
+        equals the registered minimum for its URL. Callers AND this with
+        ``~seen_mask`` (earlier-round membership) — see
+        ``DedupShard.winners_and_seen``. Must run before
+        :meth:`commit_round` (commit clears the registry)."""
+        out = np.zeros(len(hashes), dtype=bool)
+        pend = self.pending
+        for j, (x, sp, sl) in enumerate(zip(hashes, seq_parent, seq_link)):
+            k = int(x)
+            best = pend.get(k)
+            if best is not None and best == (int(sp), int(sl)):
+                out[j] = True
+        return out
+
+    def snapshot(self) -> np.ndarray:
+        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+
+    def restore(self, hashes: np.ndarray) -> None:
+        self.exact = set(int(x) for x in hashes)
+        if self.filter is not None and len(hashes):
+            self.filter.insert_many(np.asarray(hashes, dtype=np.uint64))
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+@ray.remote(num_cpus=0.1)
+class DedupShard:
+    """Ray actor owning one seen-set shard (shard = url_hash % num_shards).
+
+    ``num_cpus=0.1``: shard work is tiny per call; 16 shards must not
+    reserve 16 full CPUs away from fetch/parse stages.
+    """
+
+    def __init__(self, capacity: int = 1 << 16, mode: str = "cuckoo"):
+        self.state = _ShardState(capacity, mode)
+
+    def seen_mask(self, hashes):
+        return self.state.seen_mask(np.asarray(hashes, dtype=np.uint64))
+
+    def register(self, hashes, seq_parent, seq_link):
+        self.state.register(
+            np.asarray(hashes, dtype=np.uint64),
+            np.asarray(seq_parent),
+            np.asarray(seq_link),
+        )
+        return True
+
+    def commit_round(self):
+        return self.state.commit_round()
+
+    def winners_and_seen(self, hashes, seq_parent, seq_link):
+        h = np.asarray(hashes, dtype=np.uint64)
+        win = self.state.winners(h, np.asarray(seq_parent), np.asarray(seq_link))
+        seen = self.state.seen_mask(h)
+        return win & ~seen
+
+    def snapshot(self):
+        return self.state.snapshot()
+
+    def restore(self, hashes):
+        self.state.restore(np.asarray(hashes, dtype=np.uint64))
+        return True
+
+    def size(self):
+        return self.state.size()
+
+
+class ShardedDedup:
+    """Driver-side facade over the shard actors.
+
+    Round protocol (all batch-parallel, order-independent):
+      1. ``register_batches(ds)`` — every candidate row registers its
+         (url_hash → min seq) with its shard  (map_batches consume).
+      2. ``winner_mask(batch)`` — per batch, rows ask their shards
+         "am I the round winner and previously unseen?".
+      3. ``commit()`` — winners enter the seen set; pending clears.
+    """
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 16,
+                 mode: str = "cuckoo"):
+        self.num_shards = num_shards
+        self.shards = [
+            DedupShard.remote(capacity_per_shard, mode) for _ in range(num_shards)
+        ]
+
+    def _route(self, url_hash: np.ndarray) -> np.ndarray:
+        return (url_hash % np.uint64(self.num_shards)).astype(np.int64)
+
+    def register_arrays(self, url_hash, seq_parent, seq_link) -> None:
+        sid = self._route(url_hash)
+        refs = []
+        for s in range(self.num_shards):
+            m = sid == s
+            if m.any():
+                refs.append(
+                    self.shards[s].register.remote(
+                        url_hash[m], seq_parent[m], seq_link[m]
+                    )
+                )
+        ray.get(refs)
+
+    def winner_mask_arrays(self, url_hash, seq_parent, seq_link) -> np.ndarray:
+        sid = self._route(url_hash)
+        out = np.zeros(len(url_hash), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            m = np.nonzero(sid == s)[0]
+            if len(m):
+                refs.append(
+                    self.shards[s].winners_and_seen.remote(
+                        url_hash[m], seq_parent[m], seq_link[m]
+                    )
+                )
+                idxs.append(m)
+        for m, r in zip(idxs, ray.get(refs)):
+            out[m] = r
+        return out
+
+    def commit(self) -> int:
+        return int(sum(ray.get([s.commit_round.remote() for s in self.shards])))
+
+    def seen_mask_arrays(self, url_hash: np.ndarray) -> np.ndarray:
+        sid = self._route(url_hash)
+        out = np.zeros(len(url_hash), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            m = np.nonzero(sid == s)[0]
+            if len(m):
+                refs.append(self.shards[s].seen_mask.remote(url_hash[m]))
+                idxs.append(m)
+        for m, r in zip(idxs, ray.get(refs)):
+            out[m] = r
+        return out
+
+    def snapshot(self) -> list[np.ndarray]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, snaps: list[np.ndarray]) -> None:
+        ray.get([s.restore.remote(h) for s, h in zip(self.shards, snaps)])
+
+    def total_seen(self) -> int:
+        return int(sum(ray.get([s.size.remote() for s in self.shards])))

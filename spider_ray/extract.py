@@ -1,0 +1,516 @@
+"""Parse + normalize operator library (SURVEY.md §2.2, M1–M27 / F1–F6).
+
+The reference's scalar library is ``python_spiders/helper.py`` (653
+LoC) plus the ItemLoader processors (loaders.py:11-64) and the item
+pipeline step (pipelines.py:115-176). This module re-expresses those
+semantics as **vectorized batch functions** over Arrow/pandas columns
+— each is a ``map_batches`` body or a kernel used inside one. Python
+``re`` patterns are compiled once at module import (equivalently: once
+per actor), never per row.
+
+Semantics preserved exactly (SURVEY.md §7 "hard parts"):
+  * dual-separator price parse taking min, or max when min < 10
+    (helper.py:47-61);
+  * ``$`` → AUD iff the source mentions australia, else USD
+    (helper.py:140-169);
+  * energy-label kWh binning ≥92 A … 1–20 G (helper.py:185-201);
+  * two distinct sqft conversions — ``int(x / 10.764)``
+    (helper.py:36-44) and ``int(x * 0.09290304)`` (helper.py:646-648);
+  * year-bump date parsing: parsed date < "today" ⇒ year + 1
+    (helper.py:593-605) — "today" here is the pinned constant
+    :data:`REF_TODAY` so every run (and the DuckDB oracle) agrees;
+  * amenity flags are True-or-None, never False (helper.py:390-434);
+  * per-item image-URL dedup + count (pipelines.py:127-131) — the
+    reference uses ``list(set(...))`` (order-destroying); the graft
+    defines first-occurrence order for testability (SURVEY.md D2).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+REF_TODAY = _dt.date(2026, 1, 1)  # pinned "today" for deterministic year-bump
+
+# ------------------------------------------------------------------ regexes
+_RE_WS = re.compile(r"\s+")
+_RE_TAGS = re.compile(r"<[^>]+>")
+_RE_NUM = re.compile(r"\d+(?:\.\d+)?")
+_RE_NON_ASCII = re.compile(r"[^\x00-\x7F]+")
+_RE_EMAIL = re.compile(r"\S+@\S+")
+_RE_PHONE = re.compile(r"\+?\d[\d\s().-]{6,}\d")
+_RE_URL = re.compile(r"https?://\S+")
+_RE_CONTACT_TAIL = re.compile(r"contact.*$", re.IGNORECASE | re.DOTALL)
+_RE_FLOAT = re.compile(r"-?\d+\.\d+")
+
+
+# ------------------------------------------------------------------ M2–M4
+def strip_tags(s: str) -> str:
+    """M2 — helper.py:10-34 (MLStripper)."""
+    return _RE_TAGS.sub("", s or "")
+
+
+def remove_white_spaces(s: str) -> str:
+    """M3 — helper.py:73-78."""
+    return _RE_WS.sub(" ", s or "").strip()
+
+
+def remove_unicode_char(s: str) -> str:
+    """M4 — helper.py:81-85."""
+    return _RE_NON_ASCII.sub("", s or "")
+
+
+# ------------------------------------------------------------------ M5–M7
+def extract_number_only(
+    s: str, thousand_separator: str = ".", scale_separator: str = ","
+) -> float:
+    """M5 — helper.py:88-103: strip separators then first number, else 0."""
+    if not s:
+        return 0.0
+    t = s.replace(thousand_separator, "").replace(scale_separator, ".")
+    m = _RE_NUM.search(t)
+    return float(m.group(0)) if m else 0.0
+
+
+def extract_last_number_only(
+    s: str, thousand_separator: str = ".", scale_separator: str = ","
+) -> float:
+    """M6 — helper.py:124-138: last match instead of first."""
+    if not s:
+        return 0.0
+    t = s.replace(thousand_separator, "").replace(scale_separator, ".")
+    ms = _RE_NUM.findall(t)
+    return float(ms[-1]) if ms else 0.0
+
+
+def get_price(s: str) -> int:
+    """M7 — helper.py:47-61: parse under both separator conventions, take
+    min; if the min is suspiciously small (< 10) take the max."""
+    a = extract_number_only(s, ".", ",")
+    b = extract_number_only(s, ",", ".")
+    lo, hi = (a, b) if a <= b else (b, a)
+    return int(hi if lo < 10 else lo)
+
+
+def extract_rent_currency(s: str, external_source: str,
+                          thousand_separator: str = ".",
+                          scale_separator: str = ",") -> tuple[int | None, str | None]:
+    """M9 — helper.py:309-323: numeric rent under the *spider-configured*
+    separators (per-host class attrs) + currency (M8)."""
+    if not s:
+        return None, None
+    n = extract_number_only(s, thousand_separator, scale_separator)
+    return (int(n) if n else None), currency_parser(s, external_source)
+
+
+# ------------------------------------------------------------------ M8
+_CURRENCY_MAP = [
+    ("€", "EUR"),
+    ("eur", "EUR"),
+    ("£", "GBP"),
+    ("gbp", "GBP"),
+    ("₺", "TRY"),
+    ("tl", "TRY"),
+    ("try", "TRY"),
+    ("chf", "CHF"),
+    ("qar", "QAR"),
+]
+
+
+def currency_parser(s: str, external_source: str) -> str | None:
+    """M8 — helper.py:140-169. ``$`` → AUD iff source mentions australia."""
+    if not s:
+        return None
+    low = s.lower()
+    for token, iso in _CURRENCY_MAP:
+        if token in low:
+            return iso
+    if "$" in s:
+        return "AUD" if "australia" in (external_source or "").lower() else "USD"
+    return None
+
+
+# ------------------------------------------------------------------ M10–M11
+def convert_to_numeric(s):
+    """M10 — helper.py:338-357: int if integral else float else None."""
+    if s is None:
+        return None
+    try:
+        f = float(s)
+    except (TypeError, ValueError):
+        return None
+    return int(f) if f == int(f) else f
+
+
+def convert_string_to_numeric(s, thousand_separator=".", scale_separator=","):
+    """M11 — helper.py:519-530 (M5 ∘ M10)."""
+    return convert_to_numeric(
+        extract_number_only(s, thousand_separator, scale_separator)
+    )
+
+
+# ------------------------------------------------------------------ M12–M14
+def format_date(s: str, fmt: str = "%d/%m/%Y") -> str:
+    """M12 — helper.py:172-183: strptime(fmt) → %Y-%m-%d, pass-through on
+    failure."""
+    try:
+        return _dt.datetime.strptime((s or "").strip(), fmt).strftime("%Y-%m-%d")
+    except ValueError:
+        return s
+
+
+_MONTHS = {
+    # en + de + nl + fr month names → number (helper.py:206-266 dicts)
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12,
+    "januar": 1, "februar": 2, "märz": 3, "marz": 3, "mai": 5, "juni": 6,
+    "juli": 7, "oktober": 10, "dezember": 12,
+    "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
+    "juin": 6, "juillet": 7, "aout": 8, "août": 8, "septembre": 9,
+    "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
+}
+_RE_MONTH_DATE = re.compile(r"(\d{1,2})\.?\s*([A-Za-zäöüéûâ]+)\.?\s*(\d{4})")
+
+
+def extract_date(s: str) -> str:
+    """M13 — helper.py:206-266: multilingual month-name date → %Y-%m-%d."""
+    m = _RE_MONTH_DATE.search(s or "")
+    if not m:
+        return s
+    day, mon_name, year = m.groups()
+    mon = _MONTHS.get(mon_name.lower())
+    if not mon:
+        return s
+    return f"{int(year):04d}-{mon:02d}-{int(day):02d}"
+
+
+def parse_date_with_year_bump(s: str, fmt: str = "%d/%m/%Y") -> str | None:
+    """M14 — helper.py:593-605 semantics: parse; if the date is before
+    REF_TODAY, bump the year by one (listings advertise future
+    availability). Returns %Y-%m-%d or None."""
+    try:
+        d = _dt.datetime.strptime((s or "").strip(), fmt).date()
+    except ValueError:
+        return None
+    if d < REF_TODAY:
+        d = d.replace(year=d.year + 1)
+    return d.strftime("%Y-%m-%d")
+
+
+# ------------------------------------------------------------------ M15–M16
+def sq_feet_to_meters(x: float) -> int:
+    """M15a — helper.py:36-44: ``int(feet / 10.764)``."""
+    return int(x / 10.764)
+
+
+def sq_feet_to_meters_itemclear(x: float) -> int:
+    """M15b — helper.py:646-648: ``int(feet * 0.09290304)`` (distinct
+    rounding from M15a; both preserved on purpose)."""
+    return int(x * 0.09290304)
+
+
+def per_week_to_month(x: float) -> int:
+    """M16 — helper.py:649-651: ``int(x * 4)``."""
+    return int(x * 4)
+
+
+# ------------------------------------------------------------------ M17
+_ENERGY_BINS = [(92, "A"), (81, "B"), (69, "C"), (55, "D"), (39, "E"), (21, "F"), (1, "G")]
+
+
+def energy_label(kwh) -> str | None:
+    """M17 — helper.py:185-201: kWh → A..G (≥92 A, 81-91 B, 69-80 C,
+    55-68 D, 39-54 E, 21-38 F, 1-20 G; else None)."""
+    if kwh is None:
+        return None
+    k = float(kwh)
+    for lo, lab in _ENERGY_BINS:
+        if k >= lo:
+            return lab
+    return None
+
+
+def energy_label_batch(kwh: np.ndarray) -> np.ndarray:
+    """Vectorized M17 for map_batches bodies."""
+    k = np.asarray(kwh, dtype=np.float64)
+    out = np.full(k.shape, None, dtype=object)
+    for lo, lab in reversed(_ENERGY_BINS):
+        out[k >= lo] = lab
+    return out
+
+
+# ------------------------------------------------------------------ M18–M19
+def string_found(words: list[str], text: str) -> bool:
+    """M18 — helper.py:64-69: any word-boundary match, case-insensitive."""
+    t = text or ""
+    return any(
+        re.search(r"\b" + re.escape(w) + r"\b", t, re.IGNORECASE) for w in words
+    )
+
+
+AMENITY_KEYWORDS = {
+    # M19 — helper.py:390-434 (multilingual keyword → flag); flags are
+    # True-or-None, never False.
+    "pets_allowed": ["pets allowed", "pet friendly", "huisdieren"],
+    "furnished": ["furnished", "gemeubileerd", "möbliert", "meublé"],
+    "parking": ["parking", "garage", "parkeerplaats"],
+    "elevator": ["elevator", "lift", "aufzug", "ascenseur"],
+    "balcony": ["balcony", "balkon", "balcon"],
+    "terrace": ["terrace", "terras", "terrasse"],
+    "swimming_pool": ["swimming pool", "zwembad", "piscine"],
+    "washing_machine": ["washing machine", "wasmachine", "lave-linge"],
+    "dishwasher": ["dishwasher", "vaatwasser", "lave-vaisselle"],
+}
+_AMENITY_RES = {
+    col: re.compile(
+        "|".join(r"\b" + re.escape(w) + r"\b" for w in words), re.IGNORECASE
+    )
+    for col, words in AMENITY_KEYWORDS.items()
+}
+
+
+def amenity_flags(texts: pd.Series) -> dict[str, pd.Series]:
+    """M19 vectorized: one bool-or-None column per amenity."""
+    out = {}
+    t = texts.fillna("")
+    for col, rx in _AMENITY_RES.items():
+        hit = t.str.contains(rx)
+        out[col] = hit.map(lambda b: True if b else None)
+    return out
+
+
+# ------------------------------------------------------------------ M20–M22
+def description_cleaner(s: str) -> str:
+    """M20 — helper.py:437-451: strip tags/emails/phones/URLs/contact tails."""
+    t = strip_tags(s or "")
+    t = _RE_URL.sub("", t)
+    t = _RE_EMAIL.sub("", t)
+    t = _RE_CONTACT_TAIL.sub("", t)
+    t = _RE_PHONE.sub("", t)
+    return remove_white_spaces(t)
+
+
+def extract_lat_long(s: str) -> tuple[str, str] | None:
+    """M21 — helper.py:106-122: first two floats out of script text."""
+    m = _RE_FLOAT.findall(s or "")
+    if len(m) >= 2:
+        return m[0], m[1]
+    return None
+
+
+# ------------------------------------------------------------------ M23
+PROPERTY_TYPE_MAP = {
+    # helper.py:273-304 (multilingual dictionary; ~32 keys)
+    "appartement": "apartment", "wohnung": "apartment", "apartment": "apartment",
+    "flat": "apartment", "appartamento": "apartment", "daire": "apartment",
+    "piso": "apartment", "lejlighed": "apartment",
+    "huis": "house", "haus": "house", "house": "house", "villa": "house",
+    "maison": "house", "casa": "house", "woning": "house", "hus": "house",
+    "kamer": "room", "zimmer": "room", "room": "room", "chambre": "room",
+    "stanza": "room", "oda": "room",
+    "studio": "studio", "stüdyo": "studio",
+    "student": "student_apartment", "studentenwohnung": "student_apartment",
+}
+
+
+def property_type_lookup(raw: str) -> str | None:
+    """M23/J1 — broadcast dict lookup: first matching key wins."""
+    low = (raw or "").lower()
+    for key, val in PROPERTY_TYPE_MAP.items():
+        if key in low:
+            return val
+    return None
+
+
+# ------------------------------------------------------------------ M24
+_WORD_NUM = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12,
+}
+
+
+def word_to_num(s: str) -> int | None:
+    """M24 — helper.py:567-575 fallback when a field has no digits."""
+    for w, n in _WORD_NUM.items():
+        if re.search(r"\b" + w + r"\b", (s or "").lower()):
+            return n
+    return None
+
+
+# ------------------------------------------------------------------ M26/D2
+def dedup_list_keep_order(values: list) -> list:
+    """D2 — pipelines.py:128 uses ``list(set(...))`` (order-destroying);
+    the graft pins first-occurrence order for determinism (SURVEY.md D2)."""
+    seen, out = set(), []
+    if values is None:
+        values = []
+    for v in values:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+# ================================================================== parsers
+# M1 — the per-spider XPath/CSS extraction bulk, re-expressed as one
+# compiled-regex HTML parser over the synthetic page grammar
+# (spider_ray/synth.py detail_html). Compiled once per actor.
+_RE_HREF = re.compile(r'<a class="(listing|next)" href="([^"]+)"')
+_RE_DIV = re.compile(r'<div class="([a-z]+)">(.*?)</div>', re.DOTALL)
+_RE_TITLE = re.compile(r'<h1 class="title">(.*?)</h1>', re.DOTALL)
+_RE_IMG = re.compile(r'<img class="photo" src="([^"]+)">')
+_RE_JSONLD = re.compile(
+    r'<script type="application/ld\+json">(.*?)</script>', re.DOTALL
+)
+
+
+def parse_listing_links(body: bytes) -> tuple[list[str], str | None]:
+    """Listing page → (detail hrefs, next-page href or None)."""
+    text = body.decode("utf-8", "replace")
+    details, nxt = [], None
+    for kind, href in _RE_HREF.findall(text):
+        if kind == "listing":
+            details.append(href)
+        else:
+            nxt = href
+    return details, nxt
+
+
+def parse_detail_page(body: bytes) -> dict:
+    """Detail page → raw field dict (strings; normalization is a later
+    stage). JSON-LD lat/long via M21 (spiders/123wonen_nl.py:170-173)."""
+    text = body.decode("utf-8", "replace")
+    fields = dict(_RE_DIV.findall(text))
+    m = _RE_TITLE.search(text)
+    title = m.group(1).strip() if m else None
+    images = _RE_IMG.findall(text)
+    lat = lon = None
+    mj = _RE_JSONLD.search(text)
+    if mj:
+        ll = extract_lat_long(mj.group(1))
+        if ll:
+            lat, lon = ll
+    return {
+        "title": title,
+        "property_type_raw": fields.get("type", "").strip() or None,
+        "rent_raw": fields.get("price", "").strip() or None,
+        "area_raw": fields.get("area", "").strip() or None,
+        "rooms_raw": fields.get("rooms", "").strip() or None,
+        "baths_raw": fields.get("baths", "").strip() or None,
+        "address_raw": fields.get("address", "").strip() or None,
+        "date_raw": (fields.get("date", "").replace("Available:", "").strip() or None),
+        "energy_raw": fields.get("energy", "").strip() or None,
+        "description_raw": fields.get("desc", "").strip() or None,
+        "external_id": (fields.get("eid", "").replace("ID", "").strip() or None),
+        "latitude": lat,
+        "longitude": lon,
+        "images": images,
+    }
+
+
+# ================================================================== finalize
+REQUIRED_FIELDS = [
+    # F1 — pipelines.py:23-36 intended semantics (the reference's if/else
+    # is inverted dead code; the graft implements the intent: drop rows
+    # missing any required field).
+    "external_link",
+    "address",
+    "property_type",
+    "square_meters",
+    "room_count",
+    "rent",
+    "currency",
+]
+
+
+def normalize_items(df: pd.DataFrame) -> pd.DataFrame:
+    """The finalize stage (M27 — pipelines.py:115-176): raw parsed fields
+    → typed ListingItem columns. One vectorized pass; per-row Python
+    only where the reference semantics are inherently scalar (price
+    dual-parse, date bump) — still inside the batch, never driver-side.
+    """
+    out = pd.DataFrame(index=df.index)
+    out["external_link"] = df["url"]
+    out["external_source"] = df["host"]
+    out["external_id"] = df["external_id"]
+    out["title"] = df["title"].map(lambda s: remove_white_spaces(s) if s else None)
+    out["description"] = df["description_raw"].map(
+        lambda s: description_cleaner(s) if s else None
+    )
+    out["address"] = df["address_raw"]
+    out["property_type"] = df["property_type_raw"].map(property_type_lookup)
+    out["square_meters"] = pd.array(
+        df["area_raw"].map(_area_to_sqm), dtype="Int64"
+    )
+    out["room_count"] = pd.array(
+        df["rooms_raw"].map(lambda s: int(extract_number_only(s)) if s else None),
+        dtype="Int64",
+    )
+    out["bathroom_count"] = pd.array(
+        df["baths_raw"].map(lambda s: int(extract_number_only(s)) if s else None),
+        dtype="Int64",
+    )
+    out["rent_string"] = df["rent_raw"]
+    # Rent via the spider-configured separators (M9); falls back to the
+    # dual-parse heuristic (M7) when no config columns are present.
+    if "thousand_separator" in df.columns:
+        rent_cur = [
+            extract_rent_currency(r, h, ts, ss)
+            for r, h, ts, ss in zip(
+                df["rent_raw"], df["host"],
+                df["thousand_separator"], df["scale_separator"],
+            )
+        ]
+        out["rent"] = pd.array([rc[0] for rc in rent_cur], dtype="Int64")
+        out["currency"] = [rc[1] for rc in rent_cur]
+    else:
+        out["rent"] = pd.array(
+            df["rent_raw"].map(lambda s: get_price(s) if s else None), dtype="Int64"
+        )
+        out["currency"] = [
+            currency_parser(r, h) for r, h in zip(df["rent_raw"], df["host"])
+        ]
+    out["available_date"] = df["date_raw"].map(
+        lambda s: parse_date_with_year_bump(s) if s else None
+    )
+    out["energy_label"] = df["energy_raw"].map(
+        lambda s: energy_label(extract_number_only(s)) if s else None
+    )
+    for col, flags in amenity_flags(df["description_raw"]).items():
+        out[col] = flags
+    imgs = df["images"].map(dedup_list_keep_order)
+    out["images"] = imgs
+    out["external_images_count"] = imgs.map(len).astype("int32")
+    out["latitude"] = df["latitude"]
+    out["longitude"] = df["longitude"]
+    return out
+
+
+_RE_SQFT = re.compile(r"sq\.?\s*ft", re.IGNORECASE)
+
+
+def _area_to_sqm(s: str | None) -> int | None:
+    if not s:
+        return None
+    n = extract_number_only(s, ",", ".")
+    if n == 0:
+        return None
+    return sq_feet_to_meters(n) if _RE_SQFT.search(s) else int(n)
+
+
+def filter_valid_items(df: pd.DataFrame) -> pd.DataFrame:
+    """F1 + F2: required-field presence and the rent gate
+    0 < rent ≤ 40000 (templates/spiders/basic.tmpl:44-46)."""
+    mask = pd.Series(True, index=df.index)
+    for col in REQUIRED_FIELDS:
+        if col in df.columns:
+            mask &= df[col].notna()
+    mask &= (df["rent"] > 0) & (df["rent"] <= 40000)
+    return df[mask]

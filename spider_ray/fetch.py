@@ -1,0 +1,111 @@
+"""Fetch stage — actor pool holding per-actor fetch state.
+
+Reference: the Scrapy/Twisted downloader with 320 global / 16
+per-domain concurrency, UA-rotation and retry middlewares
+(python_spiders/settings.py:24,31,54-58,98-99; middlewares.py:13-17;
+user_agents.py:73-75). Re-expressed as a callable CLASS passed to
+``Dataset.map_batches(Fetcher, concurrency=N, batch_size=B)``:
+
+  * ``__init__`` runs once per actor — builds the synthetic-world
+    resolver (or, behind an import-try, a real ``requests.Session``)
+    and ``ray.get``\\ s the broadcast caption corpus once. Nothing
+    heavy ever happens per batch.
+  * ``__call__`` takes an Arrow batch of frontier rows and returns the
+    batch + response columns (status, kind, body, fmt, latency_ms).
+
+UA rotation is deterministic: ``user_agents[url_hash % len]`` — the
+reference picks randomly from its 73-entry list (user_agents.py); the
+graft pins it by hash so reruns are byte-identical.
+
+Retry semantics (ST4): a response whose status is in
+``RETRY_HTTP_CODES`` and whose ``retry_count`` < ``max_retries``
+is NOT an item — the frontier loop re-enqueues it with
+``retry_count + 1``; the synthetic world deterministically succeeds
+on the retry for transient codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .synth import RETRY_HTTP_CODES, World, WorldConfig
+
+# a compact stand-in for the reference's 73-entry UA list
+# (python_spiders/user_agents.py) — rotation mechanics are identical
+USER_AGENTS = [f"spider-ray/0.1 (variant {i})" for i in range(73)]
+
+MAX_RETRIES = 3  # settings.py:98 RETRY_TIMES
+
+
+class Fetcher:
+    """Actor-pool fetch stage over the deterministic synthetic world.
+
+    Parameters are plain values (picklable) so Ray can construct one
+    instance per actor; ``captions_ref`` is an ``ObjectRef`` from
+    ``ray.put`` — resolved ONCE here, not per batch.
+    """
+
+    def __init__(self, cfg: WorldConfig, captions_ref=None, simulate_latency: bool = False):
+        import ray
+
+        captions = ray.get(captions_ref) if captions_ref is not None else None
+        self.world = World(cfg, captions)
+        self.simulate_latency = simulate_latency
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["canonical_url"].to_pylist()
+        retries = (
+            batch["retry_count"].to_pylist()
+            if "retry_count" in batch.column_names
+            else [0] * len(urls)
+        )
+        statuses = np.empty(len(urls), dtype=np.int32)
+        kinds: list[str] = []
+        bodies: list[bytes] = []
+        fmts: list[str] = []
+        latencies = np.empty(len(urls), dtype=np.int32)
+        total_sleep = 0.0
+        for j, (u, rc) in enumerate(zip(urls, retries)):
+            page = self.world.resolve(u, attempt=rc or 0)
+            statuses[j] = page.status
+            kinds.append(page.kind)
+            bodies.append(page.body)
+            fmts.append(page.fmt)
+            latencies[j] = page.latency_ms
+            total_sleep += page.latency_ms / 1000.0
+        if self.simulate_latency and total_sleep:
+            # batch-level sleep stand-in for network time (politeness
+            # pacing itself lives in the politeness stage, not here)
+            import time
+
+            time.sleep(min(total_sleep / max(len(urls), 1), 0.05))
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols["status"] = pa.array(statuses, pa.int32())
+        cols["kind"] = pa.array(kinds, pa.string())
+        cols["body"] = pa.array(bodies, pa.large_binary())
+        cols["fmt"] = pa.array(fmts, pa.string())
+        cols["latency_ms"] = pa.array(latencies, pa.int32())
+        cols["ua"] = pa.array(
+            [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table(cols)
+
+
+def split_by_retry(batch: pa.Table, max_retries: int = MAX_RETRIES) -> tuple[pa.Table, pa.Table]:
+    """(ok_rows, retry_rows): retryable statuses under budget go back to
+    the frontier with retry_count+1; everything else flows on."""
+    import pyarrow.compute as pc
+
+    status = batch["status"]
+    retry_mask = pc.is_in(status, value_set=pa.array(sorted(RETRY_HTTP_CODES), pa.int32()))
+    under = pc.less(batch["retry_count"], pa.scalar(max_retries, pa.int32()))
+    do_retry = pc.and_(retry_mask, under)
+    retry_rows = batch.filter(do_retry)
+    ok_rows = batch.filter(pc.invert(do_retry))
+    if retry_rows.num_rows:
+        idx = retry_rows.schema.get_field_index("retry_count")
+        bumped = pc.add(retry_rows["retry_count"], pa.scalar(1, pa.int32()))
+        retry_rows = retry_rows.set_column(idx, "retry_count", bumped.cast(pa.int32()))
+    return ok_rows, retry_rows

@@ -1,0 +1,685 @@
+"""The frontier loop — round-based BFS crawl as Ray Data pipelines.
+
+Reference lifecycle (SURVEY.md §3): Scrapy's event loop interleaves
+schedule → dupefilter → fetch → parse → item pipeline continuously in
+one process, with ordering defined by async completion (not
+reproducible). The graft restructures this as an **iterative round
+loop** (SURVEY.md §2.9). Each round runs exactly THREE Ray Data
+executions (fixed per-round overhead matters when rounds are small;
+at scale each execution streams the round's bounded working set):
+
+  1. register  — dedup phase 1: every candidate registers its
+                 (url_hash → min seq key) with its shard actor.
+                 Barrier (the seen-set protocol is two-phase).
+  2. admit     — dedup phase 2 winner filter → politeness groupby
+                 shuffle by host_hash → per-host budget admission.
+  3. fetch+parse — actor-pool fetch over admitted rows fused with the
+                 parse stage: listing→link candidates, detail→raw
+                 items + image requests, image→sink rows, retryable
+                 statuses → retry markers.
+
+Determinism: the frontier is sorted by ``(seq_parent, seq_link,
+canonical_url)`` and given a dense per-round ``seq``; admission takes
+the first-k by that order per host; within-round URL collisions
+resolve to the minimal key (dedup.py). No decision depends on task
+completion order, so the crawl is byte-identical at any parallelism
+level (the N vs 4N criterion; see bench.py --scaling).
+
+Checkpoint/resume (north rule): after each round the engine atomically
+writes ``round_XXXX/{frontier.parquet, seen/shard_*.npy, fetched.npy,
+lineage.json, items.parquet, images.parquet}`` (write to ``.tmp``,
+rename). ``Crawler.resume()`` reloads the newest complete round and
+continues; a resumed crawl re-fetches nothing (tests/test_frontier.py).
+
+Skew (SURVEY.md §4): the politeness shuffle is the one skewed
+exchange. When a round's frontier exceeds ``prefilter_threshold``
+rows, a combiner pass (``prefilter_topk_per_host``) first marks, per
+input batch, everything beyond each host's admissible top-k as
+deferred-in-place — those rows never enter the shuffle, so a hot host
+ships O(k × blocks) rows instead of its entire queue.
+
+Scale notes:
+  * image/page bodies live only inside execution 3's stream — the
+    frontier stays thin (urls + ints);
+  * frontier ordering uses a driver Arrow sort below
+    ``sort_driver_threshold`` rows; above it, ``Dataset.sort`` plus a
+    per-partition count + prefix-offset pass assigns the same dense
+    seq (the order key is partition-independent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from . import canon
+from .dedup import ShardedDedup
+from .extract import (
+    filter_valid_items,
+    normalize_items,
+    parse_detail_page,
+    parse_listing_links,
+)
+from .fetch import MAX_RETRIES, Fetcher
+from .imaging import decode, phash
+from .politeness import PolitenessAdmit, host_budget, prefilter_topk_per_host
+from .schema import FRONTIER_SCHEMA, IMAGES_SCHEMA
+from .synth import RETRY_HTTP_CODES, WorldConfig, host_separators
+
+_EMPTY_FRONTIER = FRONTIER_SCHEMA.empty_table()
+
+
+# ------------------------------------------------------------------ frontier rows
+def make_seed_frontier(seed_urls: list[str]) -> pa.Table:
+    """Seed rows (S1): depth 0, seq_parent −1, seq_link = list position —
+    the analog of ``start_requests`` order (basic.tmpl:21-24)."""
+    n = len(seed_urls)
+    canon_urls, hosts, uh, hh = canon.canonicalize_batch(seed_urls)
+    return pa.table(
+        {
+            "url": pa.array(seed_urls, pa.string()),
+            "canonical_url": pa.array(canon_urls, pa.string()),
+            "url_hash": pa.array(uh, pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "host_hash": pa.array(hh, pa.uint64()),
+            "depth": pa.array([0] * n, pa.int8()),
+            "priority": pa.array([0] * n, pa.int32()),
+            "seq_parent": pa.array([-1] * n, pa.int64()),
+            "seq_link": pa.array(list(range(n)), pa.int32()),
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "parent_url": pa.array([None] * n, pa.string()),
+            "round": pa.array([0] * n, pa.int32()),
+            "callback": pa.array(["parse"] * n, pa.string()),
+            "meta": pa.array([None] * n, FRONTIER_SCHEMA.field("meta").type),
+            "form_body": pa.array([None] * n, pa.binary()),
+            "retry_count": pa.array([0] * n, pa.int32()),
+            "skip_dedup": pa.array([False] * n, pa.bool_()),
+            "caption": pa.array([None] * n, pa.string()),
+        }
+    )
+
+
+def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
+    """Sort by the deterministic order key and assign dense per-round seq."""
+    if frontier.num_rows == 0:
+        return frontier
+    order = pc.sort_indices(
+        frontier,
+        sort_keys=[
+            ("seq_parent", "ascending"),
+            ("seq_link", "ascending"),
+            ("canonical_url", "ascending"),
+        ],
+    )
+    t = frontier.take(order)
+    t = t.set_column(
+        t.schema.get_field_index("seq"),
+        "seq",
+        pa.array(np.arange(t.num_rows, dtype=np.int64), pa.int64()),
+    )
+    return t.set_column(
+        t.schema.get_field_index("round"),
+        "round",
+        pa.array(np.full(t.num_rows, round_no, dtype=np.int32), pa.int32()),
+    )
+
+
+def _candidates_to_frontier(rows: list[dict]) -> pa.Table:
+    """Raw (url, base) candidate dicts → canonicalized frontier table."""
+    if not rows:
+        return _EMPTY_FRONTIER
+    urls = [r["url"] for r in rows]
+    bases = [r["base"] for r in rows]
+    canon_urls, hosts, uh, hh = canon.canonicalize_batch(urls, bases)
+    n = len(rows)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "canonical_url": pa.array(canon_urls, pa.string()),
+            "url_hash": pa.array(uh, pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "host_hash": pa.array(hh, pa.uint64()),
+            "depth": pa.array([int(r["depth"]) for r in rows], pa.int8()),
+            "priority": pa.array([0] * n, pa.int32()),
+            "seq_parent": pa.array([int(r["seq_parent"]) for r in rows], pa.int64()),
+            "seq_link": pa.array([int(r["seq_link"]) for r in rows], pa.int32()),
+            "seq": pa.array([0] * n, pa.int64()),
+            "parent_url": pa.array([r["parent_url"] for r in rows], pa.string()),
+            "round": pa.array([0] * n, pa.int32()),
+            "callback": pa.array([r["callback"] for r in rows], pa.string()),
+            "meta": pa.array([None] * n, FRONTIER_SCHEMA.field("meta").type),
+            "form_body": pa.array([None] * n, pa.binary()),
+            "retry_count": pa.array([0] * n, pa.int32()),
+            "skip_dedup": pa.array([False] * n, pa.bool_()),
+            "caption": pa.array(
+                [r.get("caption") for r in rows], pa.string(), from_pandas=True
+            ),
+        }
+    )
+
+
+# ------------------------------------------------------------------ stages
+# Plain functions + fn_kwargs → stateless Ray tasks (no actor spin-up);
+# the ShardedDedup facade pickles its actor handles into each task.
+def _register_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
+    if batch.num_rows:
+        dedup.register_arrays(
+            batch["url_hash"].to_numpy(zero_copy_only=False),
+            batch["seq_parent"].to_numpy(zero_copy_only=False),
+            batch["seq_link"].to_numpy(zero_copy_only=False),
+        )
+    return batch.select(["url_hash"])  # tiny barrier output
+
+
+def _winner_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
+    """Dedup phase 2: keep round winners not previously seen
+    (``skip_dedup`` rows always pass — dont_filter semantics)."""
+    if not batch.num_rows:
+        return batch
+    win = dedup.winner_mask_arrays(
+        batch["url_hash"].to_numpy(zero_copy_only=False),
+        batch["seq_parent"].to_numpy(zero_copy_only=False),
+        batch["seq_link"].to_numpy(zero_copy_only=False),
+    )
+    keep = win | batch["skip_dedup"].to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(keep))
+
+
+# Union output schema of the fused fetch+parse execution.
+PARSE_SCHEMA = pa.schema(
+    [
+        ("rowtype", pa.string()),  # 'link' | 'item' | 'image' | 'retry' | 'fail'
+        # link candidates
+        ("url", pa.string()),
+        ("base", pa.string()),
+        ("depth", pa.int32()),
+        ("seq_parent", pa.int64()),
+        ("seq_link", pa.int32()),
+        ("parent_url", pa.string()),
+        ("callback", pa.string()),
+        ("caption", pa.string()),
+        # retry markers / lineage
+        ("url_hash", pa.uint64()),
+        ("status", pa.int32()),
+        # raw item fields (extract.parse_detail_page output)
+        ("host", pa.string()),
+        ("seq", pa.int64()),
+        ("title", pa.string()),
+        ("property_type_raw", pa.string()),
+        ("rent_raw", pa.string()),
+        ("area_raw", pa.string()),
+        ("rooms_raw", pa.string()),
+        ("baths_raw", pa.string()),
+        ("address_raw", pa.string()),
+        ("date_raw", pa.string()),
+        ("energy_raw", pa.string()),
+        ("description_raw", pa.large_string()),
+        ("external_id", pa.string()),
+        ("latitude", pa.string()),
+        ("longitude", pa.string()),
+        ("images", pa.list_(pa.string())),
+        # image sink fields
+        ("image_id", pa.string()),
+        ("bytes", pa.large_binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+import re as _re
+
+_RE_CAPTION = _re.compile(r"<p>(.*?)</p>", _re.DOTALL)
+
+
+def _link_rows(row: dict, links: list[str], callback: str, depth: int,
+               seq_link_base: int, caption: str | None = None) -> list[dict]:
+    base = row["canonical_url"]
+    sp = int(row["seq"])
+    return [
+        {
+            "rowtype": "link",
+            "url": href,
+            "base": base,
+            "depth": depth,
+            "seq_parent": sp,
+            "seq_link": seq_link_base + j,
+            "parent_url": base,
+            "callback": callback,
+            "caption": caption,
+        }
+        for j, href in enumerate(links)
+    ]
+
+
+def _parse_fn(batch: pa.Table) -> pa.Table:
+    """M1: one pass over fetched bodies → union rows (see PARSE_SCHEMA)."""
+    out_rows: list[dict] = []
+    rows = batch.to_pylist()
+    for row in rows:
+        status = row["status"]
+        kind = row["kind"]
+        if status != 200:
+            if status in RETRY_HTTP_CODES and row["retry_count"] < MAX_RETRIES:
+                out_rows.append(
+                    {"rowtype": "retry", "url_hash": row["url_hash"], "status": status}
+                )
+            else:
+                out_rows.append(
+                    {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
+                )
+            continue
+        if kind == "listing":
+            links, nxt = parse_listing_links(row["body"])
+            cand = _link_rows(row, links, "populate_item", int(row["depth"]) + 1, 0)
+            if nxt:
+                # pagination stays level-1 (the next-page link is a sibling
+                # listing page, not a deeper level — 123wonen_nl.py:53-55)
+                cand += _link_rows(row, [nxt], "parse", int(row["depth"]), len(links))
+            out_rows.extend(cand)
+        elif kind == "detail":
+            raw = parse_detail_page(row["body"])
+            m = _RE_CAPTION.search(raw.get("description_raw") or "")
+            caption = m.group(1) if m else None
+            out_rows.append(
+                {
+                    "rowtype": "item",
+                    "url": row["canonical_url"],
+                    "host": row["host"],
+                    "seq": int(row["seq"]),
+                    "caption": caption,
+                    **raw,
+                }
+            )
+            out_rows.extend(
+                _link_rows(row, raw["images"], "image", int(row["depth"]) + 1, 0,
+                           caption=caption)
+            )
+        elif kind == "image":
+            data = row["body"]
+            px = decode(data, row["fmt"])
+            out_rows.append(
+                {
+                    "rowtype": "image",
+                    "image_id": f"{int(row['url_hash']):016x}",
+                    "bytes": data,
+                    "w": px.shape[1],
+                    "h": px.shape[0],
+                    "fmt": row["fmt"],
+                    "caption": row["caption"],
+                    "phash": phash(px),
+                    "url": row["canonical_url"],
+                }
+            )
+        else:  # 'missing' with status 200 cannot happen; robots not enqueued
+            out_rows.append(
+                {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
+            )
+    return pa.Table.from_pylist(out_rows, schema=PARSE_SCHEMA)
+
+
+# ------------------------------------------------------------------ crawler
+class Crawler:
+    """Round-loop driver. One instance per crawl job.
+
+    Parameters
+    ----------
+    cfg : WorldConfig — the synthetic universe (a real-HTTP deployment
+        would swap the Fetcher's resolver; everything else is agnostic).
+    captions : caption corpus broadcast to fetch actors via ``ray.put``.
+    checkpoint_dir : per-round atomic state; None disables checkpoints.
+    obey_robots : False reproduces the reference exactly
+        (ROBOTSTXT_OBEY=False, settings.py:21); True enables the
+        north-rule robots path.
+    round_window_ms : wall-window one round represents; per-host budget
+        = window / crawl_delay (politeness.host_budget).
+    """
+
+    def __init__(
+        self,
+        cfg: WorldConfig,
+        captions: list[str] | None = None,
+        *,
+        checkpoint_dir: str | None = None,
+        num_dedup_shards: int = 8,
+        dedup_mode: str = "cuckoo",
+        obey_robots: bool = True,
+        round_window_ms: int = 60_000,
+        fetch_concurrency: int | tuple = (1, 8),
+        fetch_batch_size: int = 512,
+        max_rounds: int = 64,
+        prefilter_threshold: int = 200_000,
+        keep_tables_in_memory: bool = True,
+    ):
+        self.cfg = cfg
+        self.captions = captions or ["synthetic caption"]
+        self.captions_ref = ray.put(self.captions)
+        self.checkpoint_dir = checkpoint_dir
+        self.dedup = ShardedDedup(num_dedup_shards, mode=dedup_mode)
+        self.obey_robots = obey_robots
+        self.round_window_ms = round_window_ms
+        self.fetch_concurrency = fetch_concurrency
+        self.fetch_batch_size = fetch_batch_size
+        self.max_rounds = max_rounds
+        self.prefilter_threshold = prefilter_threshold
+        self.keep_tables_in_memory = keep_tables_in_memory
+        self.lineage: list[dict] = []
+        self.items_tables: list[pa.Table] = []
+        self.images_tables: list[pa.Table] = []
+        self.fetched_hashes: list[np.ndarray] = []
+        self._sep_cache: dict[str, tuple[str, str]] = {}
+        self.start_round = 0
+        self.frontier: pa.Table = _EMPTY_FRONTIER
+
+    # ---------------- checkpoint plumbing
+    def _round_dir(self, r: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"round_{r:04d}")
+
+    def _checkpoint(self, r: int, frontier_next: pa.Table, fetched: np.ndarray,
+                    lineage_row: dict, items: pa.Table | None,
+                    images: pa.Table | None) -> None:
+        if not self.checkpoint_dir:
+            return
+        final = self._round_dir(r)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(os.path.join(tmp, "seen"), exist_ok=True)
+        pq.write_table(frontier_next, os.path.join(tmp, "frontier.parquet"))
+        for s, snap in enumerate(self.dedup.snapshot()):
+            np.save(os.path.join(tmp, "seen", f"shard_{s:03d}.npy"), snap)
+        np.save(os.path.join(tmp, "fetched.npy"), fetched)
+        if items is not None and items.num_rows:
+            pq.write_table(items, os.path.join(tmp, "items.parquet"))
+        if images is not None and images.num_rows:
+            pq.write_table(images, os.path.join(tmp, "images.parquet"))
+        with open(os.path.join(tmp, "lineage.json"), "w") as f:
+            json.dump(lineage_row, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # atomic completion marker
+
+    def resume(self) -> bool:
+        """Reload the newest complete round; True if state was restored.
+
+        Completed rounds' item/image outputs stay on disk (partitioned
+        by round — the resumable-output layout); the loop continues
+        from the checkpointed frontier with the checkpointed seen set,
+        so nothing is ever fetched twice.
+        """
+        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+            return False
+        rounds = sorted(
+            d for d in os.listdir(self.checkpoint_dir)
+            if d.startswith("round_") and not d.endswith(".tmp")
+        )
+        if not rounds:
+            return False
+        last = os.path.join(self.checkpoint_dir, rounds[-1])
+        self.frontier = pq.read_table(os.path.join(last, "frontier.parquet"))
+        seen_dir = os.path.join(last, "seen")
+        snaps = [np.load(os.path.join(seen_dir, f)) for f in sorted(os.listdir(seen_dir))]
+        self.dedup.restore(snaps)
+        for d in rounds:
+            p = os.path.join(self.checkpoint_dir, d, "lineage.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    self.lineage.append(json.load(f))
+            for name, acc in (("items.parquet", self.items_tables),
+                              ("images.parquet", self.images_tables)):
+                fp = os.path.join(self.checkpoint_dir, d, name)
+                if os.path.exists(fp):
+                    acc.append(pq.read_table(fp))
+            fh = os.path.join(self.checkpoint_dir, d, "fetched.npy")
+            if os.path.exists(fh):
+                self.fetched_hashes.append(np.load(fh))
+        self.start_round = int(rounds[-1].split("_")[1]) + 1
+        return True
+
+    # ---------------- the loop
+    def crawl(self, seed_urls: list[str]) -> dict:
+        if self.frontier.num_rows == 0 and self.start_round == 0:
+            self.frontier = assign_seq(make_seed_frontier(seed_urls), 0)
+        r = self.start_round
+        while self.frontier.num_rows and r < self.max_rounds:
+            self._run_round(r)
+            r += 1
+        return {
+            "rounds": r,
+            "fetched": int(sum(len(f) for f in self.fetched_hashes)),
+            "seen": self.dedup.total_seen(),
+            "items": int(sum(t.num_rows for t in self.items_tables)),
+            "images": int(sum(t.num_rows for t in self.images_tables)),
+        }
+
+    def _host_seps(self, host: str) -> tuple[str, str]:
+        s = self._sep_cache.get(host)
+        if s is None:
+            s = host_separators(self.cfg, host)
+            self._sep_cache[host] = s
+        return s
+
+    def _nblocks(self, rows: int) -> int:
+        return int(np.clip(rows // max(self.fetch_batch_size, 1), 1, 64))
+
+    def _run_round(self, r: int) -> None:
+        frontier = self.frontier
+        rows_in = frontier.num_rows
+        nblocks = self._nblocks(rows_in)
+        ds = rd.from_arrow(frontier)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+
+        # --- execution 1: dedup register (barrier)
+        ds.map_batches(
+            _register_fn, fn_kwargs={"dedup": self.dedup}, batch_format="pyarrow"
+        ).count()
+
+        # --- execution 2: winner filter → politeness admit
+        winners = ds.map_batches(
+            _winner_fn, fn_kwargs={"dedup": self.dedup}, batch_format="pyarrow"
+        )
+        deferred_pre = pd.DataFrame()
+        if rows_in > self.prefilter_threshold:
+            # skew guard: keep only admissible top-k per host per batch in
+            # the shuffle; the rest defer in place (no shuffle for them)
+            max_k = host_budget(
+                self.cfg.min_crawl_delay_ms if self.obey_robots else 100,
+                self.round_window_ms,
+            )
+            pre_tbl = pa.concat_tables(
+                ray.get(
+                    winners.map_batches(
+                        prefilter_topk_per_host,
+                        fn_kwargs={"max_k": max_k},
+                        batch_format="pandas",
+                    ).to_arrow_refs()
+                ),
+                promote_options="default",
+            )
+            pre = pre_tbl.to_pandas()
+            deferred_pre = pre[pre["prefiltered_defer"]].drop(
+                columns=["prefiltered_defer"]
+            )
+            winners = rd.from_pandas(
+                pre[~pre["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
+            )
+        admit = PolitenessAdmit(
+            self.cfg,
+            round_window_ms=self.round_window_ms,
+            obey_robots=self.obey_robots,
+        )
+
+        def admit_group(g: pd.DataFrame) -> pd.DataFrame:
+            return admit(g)
+
+        admit_parts = ray.get(
+            winners.groupby("host_hash")
+            .map_groups(admit_group, batch_format="pandas")
+            .to_arrow_refs()
+        )
+        self.dedup.commit()
+        admit_df = pa.concat_tables(
+            admit_parts, promote_options="default"
+        ).to_pandas() if admit_parts else pd.DataFrame()
+        if len(admit_df) == 0:
+            self.frontier = _EMPTY_FRONTIER
+            self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
+                               _EMPTY_FRONTIER, np.empty(0, np.uint64), None, None)
+            return
+        admitted = admit_df[admit_df["admitted"]].drop(columns=["admitted", "blocked"])
+        blocked_n = int(admit_df["blocked"].sum())
+        deferred_grp = admit_df[~admit_df["admitted"] & ~admit_df["blocked"]].drop(
+            columns=["admitted", "blocked"]
+        )
+        rows_admitted = len(admitted)
+        rows_unique = len(admit_df) + len(deferred_pre)
+
+        # --- execution 3: fetch (actor pool) fused with parse (tasks)
+        admitted_tbl = pa.Table.from_pandas(
+            admitted, schema=FRONTIER_SCHEMA, preserve_index=False
+        )
+        fetch_ds = rd.from_arrow(admitted_tbl)
+        nb = self._nblocks(rows_admitted)
+        if nb > 1:
+            fetch_ds = fetch_ds.repartition(nb)
+        parsed = pa.concat_tables(
+            ray.get(
+                fetch_ds.map_batches(
+                    Fetcher,
+                    fn_constructor_kwargs={
+                        "cfg": self.cfg,
+                        "captions_ref": self.captions_ref,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=self.fetch_batch_size,
+                    concurrency=self.fetch_concurrency,
+                    num_cpus=0.5,
+                )
+                .map_batches(_parse_fn, batch_format="pyarrow", batch_size=256)
+                .to_arrow_refs()
+            ),
+            promote_options="default",
+        )
+        rowtype = parsed["rowtype"] if parsed.num_rows else pa.array([], pa.string())
+        links_df = parsed.filter(pc.equal(rowtype, "link")).to_pandas()
+        items_df = parsed.filter(pc.equal(rowtype, "item")).to_pandas()
+        images_df = parsed.filter(pc.equal(rowtype, "image")).to_pandas()
+        retry_hashes = parsed.filter(pc.equal(rowtype, "retry"))["url_hash"]
+        rows_failed = int(pc.sum(pc.equal(rowtype, "fail")).as_py() or 0)
+        fetched_hashes = admitted_tbl["url_hash"].to_numpy(zero_copy_only=False)
+
+        # --- items: normalize + validity filter (M27 + F1/F2)
+        items_tbl = None
+        if len(items_df):
+            items_df = items_df.copy()
+            seps = [self._host_seps(h) for h in items_df["host"]]
+            items_df["thousand_separator"] = [s[0] for s in seps]
+            items_df["scale_separator"] = [s[1] for s in seps]
+            norm = normalize_items(items_df)
+            norm["position"] = items_df["seq"].to_numpy(dtype=np.int64)
+            valid = filter_valid_items(norm)
+            if len(valid):
+                items_tbl = pa.Table.from_pandas(valid, preserve_index=False)
+                self.items_tables.append(items_tbl)
+
+        images_tbl = None
+        if len(images_df):
+            images_tbl = pa.table(
+                {
+                    "image_id": pa.array(images_df["image_id"], pa.string()),
+                    "bytes": pa.array(list(images_df["bytes"]), pa.binary()),
+                    "w": pa.array(images_df["w"].astype("int32"), pa.int32()),
+                    "h": pa.array(images_df["h"].astype("int32"), pa.int32()),
+                    "fmt": pa.array(images_df["fmt"], pa.string()),
+                    "caption": pa.array(images_df["caption"], pa.string(), from_pandas=True),
+                    "phash": pa.array(images_df["phash"].astype("int64"), pa.int64()),
+                }
+            )
+            self.images_tables.append(images_tbl)
+
+        # --- next frontier: new links + retries + deferred
+        parts = []
+        new_cand = _candidates_to_frontier(
+            links_df.to_dict("records") if len(links_df) else []
+        )
+        if new_cand.num_rows:
+            parts.append(new_cand)
+        if len(retry_hashes):
+            retry_rows = admitted_tbl.filter(
+                pc.is_in(admitted_tbl["url_hash"], value_set=retry_hashes)
+            )
+            idx = retry_rows.schema.get_field_index("retry_count")
+            bumped = pc.add(retry_rows["retry_count"], 1).cast(pa.int32())
+            parts.append(retry_rows.set_column(idx, "retry_count", bumped))
+        for df in (deferred_pre, deferred_grp):
+            if len(df):
+                parts.append(
+                    pa.Table.from_pandas(df, schema=FRONTIER_SCHEMA, preserve_index=False)
+                )
+        nxt = (
+            assign_seq(
+                pa.concat_tables(
+                    [t.cast(FRONTIER_SCHEMA) for t in parts], promote_options="default"
+                ),
+                r + 1,
+            )
+            if parts
+            else _EMPTY_FRONTIER
+        )
+        self._finish_round(
+            r, rows_in, rows_in - rows_unique, rows_admitted,
+            len(deferred_pre) + len(deferred_grp),
+            len(fetched_hashes) - len(retry_hashes), rows_failed + blocked_n,
+            items_tbl.num_rows if items_tbl is not None else 0,
+            images_tbl.num_rows if images_tbl is not None else 0,
+            nxt, fetched_hashes, items_tbl, images_tbl,
+        )
+
+    def _finish_round(self, r, rows_in, deduped, admitted, deferred, fetched_ok,
+                      failed, items, images, nxt, fetched_hashes,
+                      items_tbl=None, images_tbl=None) -> None:
+        self.frontier = nxt
+        self.fetched_hashes.append(np.asarray(fetched_hashes, dtype=np.uint64))
+        row = {
+            "round": r,
+            "rows_in": int(rows_in),
+            "rows_deduped": int(deduped),
+            "rows_admitted": int(admitted),
+            "rows_deferred": int(deferred),
+            "rows_fetched": int(len(fetched_hashes)),
+            "rows_failed": int(failed),
+            "items_emitted": int(items),
+            "images_written": int(images),
+            "checkpoint_path": self._round_dir(r) if self.checkpoint_dir else "",
+        }
+        self.lineage.append(row)
+        self._checkpoint(r, nxt, np.asarray(fetched_hashes, dtype=np.uint64), row,
+                         items_tbl, images_tbl)
+
+    # ---------------- outputs
+    def items_table(self) -> pa.Table:
+        if not self.items_tables:
+            return pa.table({})
+        return pa.concat_tables(self.items_tables, promote_options="default")
+
+    def images_table(self) -> pa.Table:
+        if not self.images_tables:
+            return IMAGES_SCHEMA.empty_table()
+        return pa.concat_tables(self.images_tables, promote_options="default")
+
+    def images_dataset(self) -> rd.Dataset:
+        return rd.from_arrow(self.images_table())
+
+    def lineage_table(self) -> pa.Table:
+        return pa.Table.from_pylist(self.lineage)

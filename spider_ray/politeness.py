@@ -1,0 +1,151 @@
+"""Per-host politeness — robots.txt rules + crawl-delay budget admission.
+
+Reference semantics: Scrapy downloader slots — per-domain concurrency
+16, AutoThrottle delay adapting in [0.1 s, 2 s], robots explicitly
+DISABLED (``ROBOTSTXT_OBEY = False``, python_spiders/settings.py:21,
+31,74-78). The north rule requires robots support anyway, so the graft
+implements it with an ``obey_robots=False`` reference-parity mode for
+ordering-equality tests.
+
+Round-based model: a crawl round represents a fixed wall-clock window
+``round_window_ms``. A host whose crawl delay is ``d`` ms may fetch at
+most ``k = max(1, window // d)`` URLs per round (further capped by the
+per-domain concurrency cap × a latency allowance); the first ``k``
+candidates by the deterministic order key ``(seq_parent, seq_link)``
+are admitted, the rest are **deferred** — they stay in the frontier
+table and compete again next round. Deferral is therefore data, not
+actor state: the frontier parquet IS the politeness state, which is
+what makes checkpoint/resume trivial and exact.
+
+Execution shape (north rule: "host-hash partitioned via groupby
+shuffle so one actor owns each host's robots.txt state"):
+
+    ds.map_batches(prefilter)          # skew guard: per-batch top-k per host
+      .groupby("host_hash")            # the one skewed shuffle
+      .map_groups(PolitenessAdmit(...))# callable CLASS → actor pool;
+                                       # robots cache lives in __init__
+
+Skew note (SURVEY.md §4): the shuffle only has to move candidates that
+can possibly be admitted. ``prefilter_topk_per_host`` keeps, per
+input batch, only each host's ``k`` lowest-seq rows (a per-batch
+combiner); everything else is deferred WITHOUT being shuffled, since
+the global top-k of a union is contained in the union of per-batch
+top-k's. A hot host with 10^7 pending URLs ships ``k × num_batches``
+rows through the shuffle instead of 10^7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .synth import World, WorldConfig
+
+PER_DOMAIN_CONCURRENCY = 16  # settings.py:31
+AUTOTHROTTLE_START_DELAY_MS = 100  # settings.py:76 (0.1 s)
+
+
+@dataclass
+class RobotsRules:
+    crawl_delay_ms: int
+    disallow: tuple[str, ...] = ()
+
+    def allows(self, path: str) -> bool:
+        return not any(path.startswith(p) for p in self.disallow if p)
+
+
+def parse_robots(body: bytes, default_delay_ms: int = AUTOTHROTTLE_START_DELAY_MS) -> RobotsRules:
+    """Minimal robots.txt parser: ``User-agent: *`` section's
+    ``Crawl-delay`` and ``Disallow`` lines (public robots exclusion
+    protocol; enough for the synthetic world's grammar)."""
+    delay = default_delay_ms
+    disallow: list[str] = []
+    active = True  # single-section files; '*' assumed until another UA seen
+    for line in body.decode("utf-8", "replace").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            active = val == "*"
+        elif active and key == "crawl-delay":
+            try:
+                delay = int(float(val) * 1000)
+            except ValueError:
+                pass
+        elif active and key == "disallow" and val:
+            disallow.append(val)
+    return RobotsRules(delay, tuple(disallow))
+
+
+def host_budget(delay_ms: int, round_window_ms: int) -> int:
+    """URLs a host may fetch in one round window."""
+    k = max(1, round_window_ms // max(delay_ms, 1))
+    return min(k, PER_DOMAIN_CONCURRENCY * max(1, round_window_ms // 1000))
+
+
+class PolitenessAdmit:
+    """``map_groups`` body over one host's candidates (actor pool).
+
+    ``__init__`` (once per actor): builds the robots resolver + cache.
+    ``__call__`` (once per host per round): fetch/cached robots rules,
+    drop disallowed paths (when obeying), admit the first ``k`` rows by
+    (seq_parent, seq_link), mark the rest deferred.
+
+    Output adds two columns: ``admitted`` (bool) and ``blocked`` (bool,
+    robots-disallowed — dropped from the crawl, recorded in lineage).
+    """
+
+    def __init__(self, cfg: WorldConfig, round_window_ms: int = 60_000,
+                 obey_robots: bool = True):
+        self.world = World(cfg)  # robots fetches only; captions irrelevant
+        self.window = round_window_ms
+        self.obey = obey_robots
+        self.cache: dict[str, RobotsRules] = {}
+
+    def rules_for(self, host: str) -> RobotsRules:
+        r = self.cache.get(host)
+        if r is None:
+            page = self.world.resolve(f"http://{host}/robots.txt")
+            r = (
+                parse_robots(page.body)
+                if page.status == 200
+                else RobotsRules(AUTOTHROTTLE_START_DELAY_MS)
+            )
+            self.cache[host] = r
+        return r
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        host = group["host"].iloc[0]
+        rules = self.rules_for(host)
+        g = group.sort_values(["seq_parent", "seq_link"], kind="mergesort")
+        from urllib.parse import urlsplit
+
+        if self.obey:
+            paths = g["canonical_url"].map(lambda u: urlsplit(u).path)
+            blocked = ~paths.map(rules.allows)
+        else:
+            blocked = pd.Series(False, index=g.index)
+        delay = rules.crawl_delay_ms if self.obey else AUTOTHROTTLE_START_DELAY_MS
+        k = host_budget(delay, self.window)
+        eligible = ~blocked
+        admitted = eligible & (eligible.cumsum() <= k)
+        g = g.copy()
+        g["admitted"] = admitted.to_numpy()
+        g["blocked"] = blocked.to_numpy()
+        return g
+
+
+def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int) -> pd.DataFrame:
+    """Skew guard (combiner): per batch, keep each host's ``max_k``
+    lowest-(seq_parent, seq_link) rows for the politeness shuffle; rows
+    beyond that are deferred in place (column ``prefiltered_defer``)."""
+    order = batch.sort_values(["host_hash", "seq_parent", "seq_link"], kind="mergesort")
+    rank = order.groupby("host_hash", sort=False).cumcount()
+    defer = pd.Series(rank.to_numpy() >= max_k, index=order.index)
+    out = order.copy()
+    out["prefiltered_defer"] = defer.to_numpy()
+    return out

@@ -1,0 +1,364 @@
+"""Deterministic synthetic web world — the fetch resolver's universe.
+
+The reference crawls real rental-listing sites with a 3-level page
+graph: seed → listing/pagination pages → detail pages (SURVEY.md §0;
+templates/spiders/basic.tmpl:20-38), detail pages carrying ~40 raw
+fields plus image URLs (python_spiders/items.py:25-27). This module
+synthesizes an equivalent world as a **pure function of the URL**:
+``resolve(url)`` returns the same page bytes on every call, on every
+process, at every parallelism level — which is what lets a 10^10-URL
+frontier exist without a stored corpus, and what makes the N-vs-4N
+determinism check meaningful.
+
+World shape per host ``h{i}.test``:
+  /robots.txt              → crawl-delay + disallow rules (FIXTURES.md F6)
+  /list?page=p             → HTML with detail links + next-page link;
+                             the next link disappears on the last page —
+                             the empty-expansion pagination terminator
+                             (spiders/123wonen_nl.py:35-55 'seen' flag)
+  /prop/{k}                → HTML detail page with raw listing fields
+                             exercising the extract operators (M2-M27)
+  /img/{k}_{j}.png|.qpng   → deterministic image bytes (PNG lossless /
+                             quantized-lossy stand-in, spider_ray.imaging)
+
+Captions come from an external corpus (the driver's ``documents``
+table) broadcast once via ``ray.put`` — the canonical small-side
+broadcast pattern (never re-shipped per batch).
+
+Deterministic transient failures: a hash-derived subset of detail
+pages returns a retryable status (python_spiders/settings.py:98-99)
+on the first attempt and succeeds on retry — exercising ST4 retry
+semantics in both engine and oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import splitmix64, xxh64
+from .imaging import FMT_PNG, FMT_QPNG, encode_png, encode_qpng
+
+RETRY_HTTP_CODES = frozenset(
+    [500, 503, 504, 400, 401, 403, 404, 405, 407, 408, 416, 456, 502, 429]
+)
+# codes that the fetcher retries (subset semantics of settings.py:98-99);
+# in the synthetic world we only inject 503s (transient) and 404s (permanent)
+TRANSIENT_CODE = 503
+PERMANENT_CODE = 404
+
+PROPERTY_TYPE_WORDS = [
+    # multilingual raw values → property_type_lookup (helper.py:273-304)
+    ("appartement", "apartment"),
+    ("wohnung", "apartment"),
+    ("apartment", "apartment"),
+    ("flat", "apartment"),
+    ("huis", "house"),
+    ("haus", "house"),
+    ("house", "house"),
+    ("villa", "house"),
+    ("kamer", "room"),
+    ("zimmer", "room"),
+    ("room", "room"),
+    ("studio", "studio"),
+]
+
+CURRENCY_SYMBOLS = ["€", "£", "$", "₺", "CHF"]
+
+AMENITY_WORDS = [
+    "pets allowed",
+    "furnished",
+    "parking",
+    "elevator",
+    "balcony",
+    "terrace",
+    "swimming pool",
+    "washing machine",
+    "dishwasher",
+]
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """Immutable world parameters; shipped inside fetch actors once."""
+
+    num_hosts: int = 16
+    max_pages_per_host: int = 4  # listing pages per host in [1, max]
+    details_per_page: int = 8
+    images_per_detail: int = 2
+    lossy_pct: int = 50  # % of images encoded with the lossy stand-in
+    fail_pct: int = 5  # % of detail pages 503-ing on first attempt
+    notfound_pct: int = 2  # % of detail pages permanently 404
+    private_pct: int = 10  # % of detail pages under the robots-disallowed path
+    min_crawl_delay_ms: int = 100  # AutoThrottle band, settings.py:76-78
+    max_crawl_delay_ms: int = 2000
+    img_min_side: int = 24
+    img_max_side: int = 64
+    seed: int = 42
+
+    def host(self, i: int) -> str:
+        return f"h{i}.test"
+
+    def seeds(self) -> list[str]:
+        return [f"http://{self.host(i)}/list?page=1" for i in range(self.num_hosts)]
+
+    def pages_for_host(self, i: int) -> int:
+        return 1 + splitmix64(xxh64(f"pages:{self.seed}:{i}")) % self.max_pages_per_host
+
+    def crawl_delay_ms(self, host: str) -> int:
+        span = self.max_crawl_delay_ms - self.min_crawl_delay_ms
+        return self.min_crawl_delay_ms + splitmix64(
+            xxh64(f"delay:{self.seed}:{host}")
+        ) % max(span, 1)
+
+
+@dataclass
+class Page:
+    """Resolved page. ``body`` is what the fetcher returns as bytes."""
+
+    url: str
+    status: int
+    kind: str  # 'robots' | 'listing' | 'detail' | 'image' | 'missing'
+    body: bytes = b""
+    content_type: str = "text/html"
+    latency_ms: int = 0
+    fmt: str = ""  # image pages only
+
+
+def _h(cfg: WorldConfig, *parts) -> int:
+    return splitmix64(xxh64(":".join(str(p) for p in (cfg.seed, *parts))))
+
+
+# ------------------------------------------------------------------ images
+def image_pixels(cfg: WorldConfig, image_key: str) -> np.ndarray:
+    """Deterministic structured RGB pixels for one image URL."""
+    k = _h(cfg, "img", image_key)
+    w = cfg.img_min_side + (k & 0xFFFF) % (cfg.img_max_side - cfg.img_min_side + 1)
+    h = cfg.img_min_side + ((k >> 16) & 0xFFFF) % (
+        cfg.img_max_side - cfg.img_min_side + 1
+    )
+    fx = 1 + ((k >> 32) & 7)
+    fy = 1 + ((k >> 36) & 7)
+    ph = (k >> 40) & 0xFF
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    r = (xx * fx + ph) % 256
+    g = (yy * fy + (ph >> 1)) % 256
+    b = ((xx + yy) * ((fx + fy) % 5 + 1)) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def image_fmt(cfg: WorldConfig, image_key: str) -> str:
+    return FMT_QPNG if _h(cfg, "imgfmt", image_key) % 100 < cfg.lossy_pct else FMT_PNG
+
+
+def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]:
+    px = image_pixels(cfg, image_key)
+    fmt = image_fmt(cfg, image_key)
+    data = encode_qpng(px) if fmt == FMT_QPNG else encode_png(px)
+    return data, fmt, px.shape[1], px.shape[0]
+
+
+# ------------------------------------------------------------------ detail fields
+def detail_key(host_index: int, page: int, slot: int, cfg: WorldConfig) -> int:
+    """Global detail ordinal, unique across the world."""
+    return (
+        host_index * (cfg.max_pages_per_host * cfg.details_per_page)
+        + (page - 1) * cfg.details_per_page
+        + slot
+    )
+
+
+def host_separators(cfg: WorldConfig, host: str) -> tuple[str, str]:
+    """(thousand_separator, scale_separator) — per-host crawl config, the
+    analog of the reference's per-spider class attrs
+    (spiders/31plusvastgoed_nl.py:18, helper.py:310-317)."""
+    eu = _h(cfg, "sep", host) % 2 == 1
+    return (".", ",") if eu else (",", ".")
+
+
+def detail_raw_fields(cfg: WorldConfig, host: str, k: int, caption: str) -> dict:
+    """Raw (pre-normalization) listing fields for detail ordinal ``k``.
+
+    Deliberately messy in the ways helper.py has to handle: dual
+    thousand separators, sqft vs m², past dates needing the year bump
+    (helper.py:593-605), numeric energy values for binning
+    (helper.py:185-201), currency symbols with the $→AUD-iff-australia
+    rule (helper.py:140-169), multilingual property-type words, HTML
+    tags + contact tails in descriptions, duplicate image URLs
+    (pipelines.py:128).
+    """
+    r = _h(cfg, "detail", k)
+
+    def take(bits):
+        nonlocal r
+        v = r & ((1 << bits) - 1)
+        r = splitmix64(r)
+        return v
+
+    rent = 400 + take(16) % 39600  # keep inside the (0, 40000] gate mostly
+    if take(8) % 25 == 0:
+        rent = 40001 + take(12)  # some violate the rent gate (basic.tmpl:44-46)
+    take(1)  # (reserved bit, keeps downstream draws stable)
+    tsep, _ssep = host_separators(cfg, host)
+    rent_string = f"{rent:,}".replace(",", tsep)
+    symbol = CURRENCY_SYMBOLS[take(8) % len(CURRENCY_SYMBOLS)]
+    ptype_raw, _ = PROPERTY_TYPE_WORDS[take(8) % len(PROPERTY_TYPE_WORDS)]
+    sqm = 18 + take(8)
+    use_sqft = take(8) % 5 == 0
+    area_str = f"{int(sqm * 10.764)} sq ft" if use_sqft else f"{sqm} m²"
+    rooms = 1 + take(8) % 6
+    baths = 1 + take(8) % 3
+    # available date: %d/%m/%Y, some in the past (year bump semantics)
+    day = 1 + take(8) % 28
+    month = 1 + take(8) % 12
+    year = 2025 + take(8) % 3  # 2025 dates are "past" vs REF_TODAY → bump
+    energy_kwh = 1 + take(8) % 120
+    amen_mask = take(9)
+    amenities = [w for j, w in enumerate(AMENITY_WORDS) if amen_mask >> j & 1]
+    n_img = 1 + take(8) % cfg.images_per_detail
+    images = [f"http://{host}/img/{k}_{j}.png" for j in range(n_img)]
+    if take(8) % 4 == 0 and images:
+        images.append(images[0])  # duplicate image URL (pipelines.py:128)
+    desc_bits = ", ".join(amenities) if amenities else "simple unit"
+    description = (
+        f"<p>{caption}</p> <b>Features:</b> {desc_bits}. "
+        f"Contact us at info@{host} or +31 20 123 {1000 + take(12) % 9000}."
+    )
+    return {
+        "external_id": str(k),
+        "title": f"{ptype_raw.title()} {rooms} rooms in sector {k % 97}",
+        "description": description,
+        "address": f"{1 + take(8) % 200} Main Street, Sector {k % 97}",
+        "property_type_raw": ptype_raw,
+        "area_raw": area_str,
+        "room_count": rooms,
+        "bathroom_count": baths,
+        "rent_raw": f"{symbol} {rent_string} per month",
+        "available_date_raw": f"{day:02d}/{month:02d}/{year}",
+        "energy_kwh": energy_kwh,
+        "latitude": f"{50 + (take(16) % 1000) / 100.0:.2f}",
+        "longitude": f"{3 + (take(16) % 400) / 100.0:.2f}",
+        "zipcode": f"{1000 + k % 9000}",
+        "city": f"City{k % 53}",
+        "images": images,
+        "caption": caption,
+        "rent_expected": rent,
+    }
+
+
+def detail_html(cfg: WorldConfig, host: str, k: int, caption: str) -> str:
+    f = detail_raw_fields(cfg, host, k, caption)
+    imgs = "\n".join(f'<img class="photo" src="{u}">' for u in f["images"])
+    return f"""<html><head><title>{f['title']}</title>
+<script type="application/ld+json">{{"geo": {{"latitude": {f['latitude']}, "longitude": {f['longitude']}}}}}</script>
+</head><body>
+<h1 class="title">{f['title']}</h1>
+<div class="type">{f['property_type_raw']}</div>
+<div class="price">{f['rent_raw']}</div>
+<div class="area">{f['area_raw']}</div>
+<div class="rooms">{f['room_count']} rooms</div>
+<div class="baths">{f['bathroom_count']} baths</div>
+<div class="address">{f['address']}, {f['zipcode']} {f['city']}</div>
+<div class="date">Available: {f['available_date_raw']}</div>
+<div class="energy">Energy: {f['energy_kwh']} kWh</div>
+<div class="desc">{f['description']}</div>
+<div class="eid">ID {f['external_id']}</div>
+{imgs}
+</body></html>"""
+
+
+# ------------------------------------------------------------------ resolver
+class World:
+    """Pure-function URL → Page resolver.
+
+    ``captions`` is the external caption corpus (list[str]); detail
+    ordinal ``k`` maps to ``captions[k % len(captions)]``. Held once
+    per fetch actor (broadcast via ``ray.put``).
+    """
+
+    def __init__(self, cfg: WorldConfig, captions: list[str] | None = None):
+        self.cfg = cfg
+        self.captions = captions or ["synthetic caption"]
+
+    def caption_for(self, k: int) -> str:
+        return self.captions[k % len(self.captions)]
+
+    def _host_index(self, host: str) -> int:
+        if not host.startswith("h") or not host.endswith(".test"):
+            return -1
+        try:
+            i = int(host[1 : -len(".test")])
+        except ValueError:
+            return -1
+        return i if 0 <= i < self.cfg.num_hosts else -1
+
+    def resolve(self, url: str, attempt: int = 0) -> Page:
+        cfg = self.cfg
+        from urllib.parse import parse_qs, urlsplit
+
+        parts = urlsplit(url)
+        host = parts.netloc.lower()
+        i = self._host_index(host)
+        latency = 20 + _h(cfg, "lat", host) % 200
+        if i < 0:
+            return Page(url, 404, "missing", latency_ms=latency)
+        path = parts.path
+
+        if path == "/robots.txt":
+            delay = cfg.crawl_delay_ms(host)
+            body = (
+                f"User-agent: *\nCrawl-delay: {delay / 1000.0:g}\n"
+                f"Disallow: /private/\n"
+            ).encode()
+            return Page(url, 200, "robots", body, "text/plain", latency)
+
+        if path == "/list":
+            page = int(parse_qs(parts.query).get("page", ["1"])[0])
+            npages = cfg.pages_for_host(i)
+            if page < 1 or page > npages:
+                return Page(url, 404, "missing", latency_ms=latency)
+            links = []
+            for slot in range(cfg.details_per_page):
+                k = detail_key(i, page, slot, cfg)
+                pfx = "/private" if _h(cfg, "priv", k) % 100 < cfg.private_pct else ""
+                links.append(f"{pfx}/prop/{k}")
+            body_links = "\n".join(
+                f'<a class="listing" href="{u}">listing</a>' for u in links
+            )
+            nxt = (
+                f'<a class="next" href="/list?page={page + 1}">next</a>'
+                if page < npages
+                else ""
+            )
+            body = f"<html><body>{body_links}\n{nxt}</body></html>".encode()
+            return Page(url, 200, "listing", body, "text/html", latency)
+
+        if path.startswith("/prop/") or path.startswith("/private/prop/"):
+            k_str = path.rpartition("/")[2]
+            try:
+                k = int(k_str)
+            except ValueError:
+                return Page(url, 404, "missing", latency_ms=latency)
+            if _h(cfg, "gone", k) % 100 < cfg.notfound_pct:
+                return Page(url, PERMANENT_CODE, "missing", latency_ms=latency)
+            if attempt == 0 and _h(cfg, "flaky", k) % 100 < cfg.fail_pct:
+                return Page(url, TRANSIENT_CODE, "detail", latency_ms=latency)
+            body = detail_html(cfg, host, k, self.caption_for(k)).encode()
+            return Page(url, 200, "detail", body, "text/html", latency)
+
+        if path.startswith("/img/"):
+            key = path.rpartition("/")[2]
+            data, fmt, _w, _hh = image_bytes(cfg, key.split(".")[0])
+            return Page(url, 200, "image", data, f"image/{fmt}", latency, fmt=fmt)
+
+        return Page(url, 404, "missing", latency_ms=latency)
+
+
+def load_captions_from_documents(documents_parquet: str, limit: int = 5000) -> list[str]:
+    """Caption corpus from the driver's documents table (first 160 chars)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(documents_parquet, columns=["text"])
+    texts = t.column("text").to_pylist()[:limit]
+    return [(s or "")[:160] for s in texts] or ["synthetic caption"]
