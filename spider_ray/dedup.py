@@ -163,15 +163,18 @@ class _ShardState:
             if old is None or key < old:
                 pend[k] = key
 
-    def commit_round(self) -> int:
-        """Move pending winners (not already seen) into the seen set.
-        Returns number of new URLs admitted."""
-        new_hashes = [k for k in self.pending if k not in self.exact]
+    def commit_hashes(self, hashes: np.ndarray) -> int:
+        """Mark these URLs seen (admitted-for-fetch or robots-blocked).
+        NOT every round candidate: deferred rows must stay unseen so they
+        can compete again next round. Returns number newly seen."""
+        new_hashes = [int(x) for x in hashes if int(x) not in self.exact]
         self.exact.update(new_hashes)
         if self.filter is not None and new_hashes:
             self.filter.insert_many(np.array(new_hashes, dtype=np.uint64))
-        self.pending.clear()
         return len(new_hashes)
+
+    def clear_pending(self) -> None:
+        self.pending.clear()
 
     def winners(self, hashes: np.ndarray, seq_parent: np.ndarray,
                 seq_link: np.ndarray) -> np.ndarray:
@@ -223,8 +226,12 @@ class DedupShard:
         )
         return True
 
-    def commit_round(self):
-        return self.state.commit_round()
+    def commit_hashes(self, hashes):
+        return self.state.commit_hashes(np.asarray(hashes, dtype=np.uint64))
+
+    def clear_pending(self):
+        self.state.clear_pending()
+        return True
 
     def winners_and_seen(self, hashes, seq_parent, seq_link):
         h = np.asarray(hashes, dtype=np.uint64)
@@ -251,7 +258,8 @@ class ShardedDedup:
          (url_hash → min seq) with its shard  (map_batches consume).
       2. ``winner_mask(batch)`` — per batch, rows ask their shards
          "am I the round winner and previously unseen?".
-      3. ``commit()`` — winners enter the seen set; pending clears.
+      3. ``commit(hashes)`` — the admitted/blocked subset enters the
+         seen set (deferred rows stay unseen); registries clear.
     """
 
     def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 16,
@@ -294,8 +302,18 @@ class ShardedDedup:
             out[m] = r
         return out
 
-    def commit(self) -> int:
-        return int(sum(ray.get([s.commit_round.remote() for s in self.shards])))
+    def commit(self, url_hash: np.ndarray) -> int:
+        """Mark fetched/blocked URLs seen and clear the round registry."""
+        url_hash = np.asarray(url_hash, dtype=np.uint64)
+        sid = self._route(url_hash)
+        refs = []
+        for s in range(self.num_shards):
+            m = sid == s
+            if m.any():
+                refs.append(self.shards[s].commit_hashes.remote(url_hash[m]))
+        n = int(sum(ray.get(refs))) if refs else 0
+        ray.get([s.clear_pending.remote() for s in self.shards])
+        return n
 
     def seen_mask_arrays(self, url_hash: np.ndarray) -> np.ndarray:
         sid = self._route(url_hash)

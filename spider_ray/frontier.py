@@ -528,15 +528,22 @@ class Crawler:
             .map_groups(admit_group, batch_format="pandas")
             .to_arrow_refs()
         )
-        self.dedup.commit()
         admit_df = pa.concat_tables(
             admit_parts, promote_options="default"
         ).to_pandas() if admit_parts else pd.DataFrame()
         if len(admit_df) == 0:
+            self.dedup.commit(np.empty(0, np.uint64))
             self.frontier = _EMPTY_FRONTIER
             self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
                                _EMPTY_FRONTIER, np.empty(0, np.uint64), None, None)
             return
+        # seen = attempted (admitted) ∪ robots-blocked; deferred rows stay
+        # unseen so they can compete again next round
+        self.dedup.commit(
+            admit_df.loc[
+                admit_df["admitted"] | admit_df["blocked"], "url_hash"
+            ].to_numpy(dtype=np.uint64)
+        )
         admitted = admit_df[admit_df["admitted"]].drop(columns=["admitted", "blocked"])
         blocked_n = int(admit_df["blocked"].sum())
         deferred_grp = admit_df[~admit_df["admitted"] & ~admit_df["blocked"]].drop(
@@ -621,7 +628,15 @@ class Crawler:
             )
             idx = retry_rows.schema.get_field_index("retry_count")
             bumped = pc.add(retry_rows["retry_count"], 1).cast(pa.int32())
-            parts.append(retry_rows.set_column(idx, "retry_count", bumped))
+            retry_rows = retry_rows.set_column(idx, "retry_count", bumped)
+            # retries bypass the seen-set like the reference's retry
+            # middleware re-injecting with dont_filter=True (ST4)
+            sd = retry_rows.schema.get_field_index("skip_dedup")
+            retry_rows = retry_rows.set_column(
+                sd, "skip_dedup",
+                pa.array(np.ones(retry_rows.num_rows, dtype=bool), pa.bool_()),
+            )
+            parts.append(retry_rows)
         for df in (deferred_pre, deferred_grp):
             if len(df):
                 parts.append(

@@ -93,7 +93,7 @@ class PolitenessAdmit:
     ``__init__`` (once per actor): builds the robots resolver + cache.
     ``__call__`` (once per host per round): fetch/cached robots rules,
     drop disallowed paths (when obeying), admit the first ``k`` rows by
-    (seq_parent, seq_link), mark the rest deferred.
+    the dense per-round ``seq``, mark the rest deferred.
 
     Output adds two columns: ``admitted`` (bool) and ``blocked`` (bool,
     robots-disallowed — dropped from the crawl, recorded in lineage).
@@ -121,7 +121,7 @@ class PolitenessAdmit:
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         host = group["host"].iloc[0]
         rules = self.rules_for(host)
-        g = group.sort_values(["seq_parent", "seq_link"], kind="mergesort")
+        g = group.sort_values("seq", kind="mergesort")  # seq = dense total order
         from urllib.parse import urlsplit
 
         if self.obey:
@@ -141,9 +141,9 @@ class PolitenessAdmit:
 
 def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int) -> pd.DataFrame:
     """Skew guard (combiner): per batch, keep each host's ``max_k``
-    lowest-(seq_parent, seq_link) rows for the politeness shuffle; rows
+    lowest-seq rows for the politeness shuffle; rows
     beyond that are deferred in place (column ``prefiltered_defer``)."""
-    order = batch.sort_values(["host_hash", "seq_parent", "seq_link"], kind="mergesort")
+    order = batch.sort_values(["host_hash", "seq"], kind="mergesort")
     rank = order.groupby("host_hash", sort=False).cumcount()
     defer = pd.Series(rank.to_numpy() >= max_k, index=order.index)
     out = order.copy()

@@ -1,0 +1,159 @@
+"""Engine-vs-oracle equivalence: fetch log, seen-set, items, sink rows,
+resume-with-no-duplicate-fetches, and parallelism-independence.
+
+These are the north-rule correctness gates (BASELINE.json): the Ray
+engine's sharded dedup + groupby politeness + actor fetch pool must
+reproduce the sequential oracle crawler exactly.
+"""
+
+import numpy as np
+import pytest
+
+from spider_ray.frontier import Crawler
+from spider_ray.imaging import FMT_PNG, decode, psnr
+from spider_ray.synth import World, WorldConfig
+
+from .oracle import OracleCrawler
+
+CAPTIONS = [f"caption number {i} with words" for i in range(7)]
+
+
+def _cfg(**kw):
+    base = dict(num_hosts=4, max_pages_per_host=3, details_per_page=4,
+                fail_pct=10, notfound_pct=5, private_pct=15)
+    base.update(kw)
+    return WorldConfig(**base)
+
+
+def _run_engine(cfg, *, obey=True, window=60_000, shards=4, mode="cuckoo",
+                checkpoint_dir=None, max_rounds=64):
+    c = Crawler(cfg, CAPTIONS, checkpoint_dir=checkpoint_dir,
+                num_dedup_shards=shards, dedup_mode=mode, obey_robots=obey,
+                round_window_ms=window, max_rounds=max_rounds)
+    res = c.crawl(cfg.seeds())
+    return c, res
+
+
+def _fetch_sets(crawler):
+    """Per-round fetched url_hash frozensets (order within a round is
+    defined by seq; across-round sequence is the ordering guarantee)."""
+    return [frozenset(int(h) for h in arr) for arr in crawler.fetched_hashes]
+
+
+def _oracle_fetch_sets(ores):
+    from spider_ray.hashing import xxh64
+
+    rounds = {}
+    for r, url in ores.fetch_log:
+        rounds.setdefault(r, set()).add(xxh64(url))
+    return [frozenset(rounds.get(i, set())) for i in range(max(rounds) + 1)] if rounds else []
+
+
+@pytest.mark.parametrize("obey", [True, False])
+def test_engine_matches_oracle(ray_session, obey):
+    cfg = _cfg()
+    eng, res = _run_engine(cfg, obey=obey)
+    ora = OracleCrawler(cfg, CAPTIONS, obey_robots=obey).crawl(cfg.seeds())
+
+    # fetch log: same rounds, same fetch set each round (per-round order
+    # inside the engine is by seq — set equality per round pins it)
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    # seen set exact match
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    # sink rows: same image ids, captions, formats, phashes
+    img = eng.images_table().to_pydict()
+    eng_rows = {
+        i: (c, f, p)
+        for i, c, f, p in zip(img["image_id"], img["caption"], img["fmt"], img["phash"])
+    }
+    ora_rows = {r["image_id"]: (r["caption"], r["fmt"], r["phash"]) for r in ora.images}
+    assert eng_rows == ora_rows
+    # items: same detail URLs extracted
+    if eng.items_table().num_rows:
+        eng_items = set(eng.items_table().column("external_link").to_pylist())
+    else:
+        eng_items = set()
+    # oracle items are pre-validity-filter; engine items are post-filter —
+    # engine items must be a subset with the same required-field survivors
+    ora_urls = {r["url"] for r in ora.items}
+    assert eng_items <= ora_urls
+
+
+def test_sink_row_invariants(ray_session):
+    """input_hint invariant: decoded pixels PSNR≥40dB vs oracle pixels for
+    lossy, exact for lossless; caption equality; phash recompute."""
+    from spider_ray.imaging import phash as compute_phash
+
+    cfg = _cfg(num_hosts=3)
+    eng, _ = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    tbl = eng.images_table()
+    assert tbl.num_rows > 0
+    d = tbl.to_pydict()
+    for image_id, data, fmt, ph in zip(d["image_id"], d["bytes"], d["fmt"], d["phash"]):
+        ora_px = ora.pixels[image_id]
+        px = decode(data, fmt)
+        if fmt == FMT_PNG:
+            assert (px == ora_px).all()
+        else:
+            assert psnr(px, ora_px) >= 40.0 or (px == ora_px).all()
+        assert compute_phash(px) == ph
+
+
+def test_politeness_deferral_small_window(ray_session):
+    """A tight window forces deferrals; totals must still match oracle."""
+    cfg = _cfg(num_hosts=2, max_pages_per_host=2)
+    eng, res = _run_engine(cfg, window=3_000)
+    ora = OracleCrawler(cfg, CAPTIONS, round_window_ms=3_000).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    assert sum(row["rows_deferred"] for row in eng.lineage) > 0
+
+
+def test_shard_count_invariance(ray_session):
+    """Dedup shard count is an execution detail — results identical."""
+    cfg = _cfg(num_hosts=3)
+    eng2, res2 = _run_engine(cfg, shards=2)
+    eng8, res8 = _run_engine(cfg, shards=8)
+    assert res2 == res8
+    assert _fetch_sets(eng2) == _fetch_sets(eng8)
+
+
+def test_exact_vs_cuckoo_mode(ray_session):
+    cfg = _cfg(num_hosts=3)
+    engc, resc = _run_engine(cfg, mode="cuckoo")
+    enge, rese = _run_engine(cfg, mode="exact")
+    assert resc == rese
+    assert _fetch_sets(engc) == _fetch_sets(enge)
+
+
+def test_resume_no_duplicate_fetches(ray_session, tmp_path):
+    cfg = _cfg(num_hosts=3)
+    full_eng, full_res = _run_engine(cfg)
+
+    # interrupted run: stop after 2 rounds
+    ck = str(tmp_path / "ck")
+    part, _ = _run_engine(cfg, checkpoint_dir=ck, max_rounds=2)
+
+    # resume from checkpoint
+    resumed = Crawler(cfg, CAPTIONS, checkpoint_dir=ck, num_dedup_shards=4,
+                      obey_robots=True, round_window_ms=60_000)
+    assert resumed.resume()
+    res = resumed.crawl([])  # seeds ignored on resume
+    assert res["rounds"] == full_res["rounds"]
+    assert res["fetched"] == full_res["fetched"]
+    assert res["images"] == full_res["images"]
+
+    # no URL fetched twice across the interrupted + resumed run
+    all_fetches = np.concatenate(resumed.fetched_hashes)
+    skip_ok = 0
+    # retries legitimately re-fetch (skip_dedup): count multiplicity>1 only
+    # when not explainable by retries
+    uniq, counts = np.unique(all_fetches, return_counts=True)
+    dup = counts - 1
+    total_retries = full_res["fetched"] - len(np.unique(np.concatenate(full_eng.fetched_hashes)))
+    assert dup.sum() == total_retries
+    # and the resumed totals equal the uninterrupted totals
+    assert _fetch_sets(resumed) == _fetch_sets(full_eng)
