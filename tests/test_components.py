@@ -1,0 +1,170 @@
+"""Unit tests: imaging kernels, cuckoo filter / shard state, robots +
+politeness budget, synthetic world determinism."""
+
+import numpy as np
+import pytest
+
+from spider_ray import imaging
+from spider_ray.dedup import CuckooFilter, _ShardState
+from spider_ray.politeness import (
+    PolitenessAdmit,
+    RobotsRules,
+    host_budget,
+    parse_robots,
+    prefilter_topk_per_host,
+)
+from spider_ray.synth import World, WorldConfig, image_bytes
+
+
+# ---------------------------------------------------------------- imaging
+def test_png_roundtrip_lossless():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    assert (imaging.decode_png(imaging.encode_png(px)) == px).all()
+
+
+def test_qpng_psnr_floor():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    out = imaging.decode_png(imaging.encode_qpng(px))
+    assert imaging.psnr(px, out) >= 40.0  # the input_hint lossy invariant
+
+
+def test_psnr_identity_inf():
+    px = np.zeros((8, 8, 3), np.uint8)
+    assert imaging.psnr(px, px) == float("inf")
+
+
+def test_phash_properties():
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    a = np.stack([(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], -1).astype(np.uint8)
+    b = imaging.decode_png(imaging.encode_qpng(a))  # mild quantization
+    assert imaging.hamming64(imaging.phash(a), imaging.phash(b)) <= 8
+    rng = np.random.default_rng(9)
+    c = rng.integers(0, 256, a.shape, dtype=np.uint8)
+    assert imaging.hamming64(imaging.phash(a), imaging.phash(c)) > 10
+    # int64 signedness fits the sink column
+    assert -(1 << 63) <= imaging.phash(a) < (1 << 63)
+
+
+def test_jpeg_stub_raises():
+    with pytest.raises(NotImplementedError):
+        imaging.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(NotImplementedError):
+        imaging.decode(b"xx", "jpeg")
+
+
+# ---------------------------------------------------------------- cuckoo
+def test_cuckoo_filter_no_false_negatives():
+    f = CuckooFilter(1 << 12)
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, 3000, dtype=np.uint64)
+    f.insert_many(keys)
+    assert f.contains_many(keys).all()  # never a false negative
+    other = rng.integers(0, 2**63, 3000, dtype=np.uint64)
+    fresh = np.setdiff1d(other, keys)
+    fp_rate = f.contains_many(fresh).mean()
+    assert fp_rate < 0.05  # 16-bit fingerprints → tiny FP rate
+
+
+def test_shard_state_two_phase():
+    st = _ShardState(mode="exact")
+    h = np.array([10, 10, 20], dtype=np.uint64)
+    sp = np.array([5, 3, 1])
+    sl = np.array([0, 2, 0])
+    st.register(h, sp, sl)
+    # min key wins within round for url 10 → (3, 2)
+    win = st.winners(h, sp, sl)
+    assert win.tolist() == [False, True, True]
+    st.commit_hashes(np.array([10], dtype=np.uint64))
+    st.clear_pending()
+    assert st.seen_mask(np.array([10, 20], dtype=np.uint64)).tolist() == [True, False]
+    snap = st.snapshot()
+    st2 = _ShardState(mode="cuckoo")
+    st2.restore(snap)
+    assert st2.seen_mask(np.array([10, 20], dtype=np.uint64)).tolist() == [True, False]
+
+
+def test_shard_state_cuckoo_confirms_exact():
+    st = _ShardState(capacity=1 << 10, mode="cuckoo")
+    keys = np.arange(100, dtype=np.uint64) * 7919
+    st.register(keys, np.zeros(100), np.arange(100))
+    st.commit_hashes(keys)
+    st.clear_pending()
+    assert st.seen_mask(keys).all()
+    # cuckoo false positives are confirmed against the exact set → False
+    probe = np.arange(100, dtype=np.uint64) * 104729 + 13
+    probe = np.setdiff1d(probe, keys)
+    assert not st.seen_mask(probe).any()
+
+
+# ---------------------------------------------------------------- politeness
+def test_parse_robots():
+    body = b"User-agent: *\nCrawl-delay: 1.5\nDisallow: /private/\nDisallow: /tmp\n"
+    r = parse_robots(body)
+    assert r.crawl_delay_ms == 1500
+    assert r.disallow == ("/private/", "/tmp")
+    assert r.allows("/prop/1") and not r.allows("/private/prop/2")
+    other = parse_robots(b"User-agent: googlebot\nDisallow: /\n")
+    assert other.allows("/anything")  # non-* section ignored
+
+
+def test_host_budget():
+    assert host_budget(1000, 60_000) == 60
+    assert host_budget(100_000, 60_000) == 1  # at least one per round
+    assert host_budget(1, 60_000) == 16 * 60  # concurrency cap
+
+
+def test_politeness_admit_and_prefilter():
+    import pandas as pd
+
+    cfg = WorldConfig(num_hosts=2)
+    admit = PolitenessAdmit(cfg, round_window_ms=5_000, obey_robots=True)
+    rules = admit.rules_for("h0.test")
+    k = host_budget(rules.crawl_delay_ms, 5_000)
+    n = k + 5
+    g = pd.DataFrame(
+        {
+            "host": ["h0.test"] * n,
+            "host_hash": [1] * n,
+            "canonical_url": [f"http://h0.test/prop/{i}" for i in range(n)]
+            + [],
+            "seq_parent": list(range(n)),
+            "seq_link": [0] * n,
+            "seq": list(range(n)),
+        }
+    )
+    out = admit(g)
+    assert out["admitted"].sum() == k
+    # first-k by seq
+    assert out[out["admitted"]]["seq"].max() < out[~out["admitted"]]["seq"].min()
+    # blocked: private path
+    g2 = g.copy()
+    g2.loc[0, "canonical_url"] = "http://h0.test/private/prop/0"
+    out2 = admit(g2)
+    assert bool(out2.sort_values("seq").iloc[0]["blocked"])
+
+    pre = prefilter_topk_per_host(g, max_k=3)
+    assert (~pre["prefiltered_defer"]).sum() == 3
+    assert pre[~pre["prefiltered_defer"]]["seq"].tolist() == [0, 1, 2]
+
+
+# ---------------------------------------------------------------- synth world
+def test_world_is_pure_function():
+    cfg = WorldConfig(num_hosts=2)
+    w1, w2 = World(cfg, ["c"]), World(cfg, ["c"])
+    for url in ["http://h0.test/list?page=1", "http://h0.test/prop/3",
+                "http://h0.test/img/3_0.png", "http://h0.test/robots.txt"]:
+        p1, p2 = w1.resolve(url), w2.resolve(url)
+        assert (p1.status, p1.kind, p1.body) == (p2.status, p2.kind, p2.body)
+    b1 = image_bytes(cfg, "3_0")
+    b2 = image_bytes(cfg, "3_0")
+    assert b1 == b2
+
+
+def test_world_transient_failure_then_success():
+    cfg = WorldConfig(num_hosts=4, fail_pct=100, notfound_pct=0)
+    w = World(cfg, ["c"])
+    p0 = w.resolve("http://h0.test/prop/1", attempt=0)
+    p1 = w.resolve("http://h0.test/prop/1", attempt=1)
+    assert p0.status == 503 and p1.status == 200

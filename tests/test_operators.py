@@ -1,0 +1,208 @@
+"""Unit tests for the scalar/batch operator library (SURVEY.md §2.2) —
+pinning the reference's helper.py semantics, including its quirks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spider_ray import canon, extract
+from spider_ray.hashing import splitmix64, xxh64, xxh64_many
+
+
+# ---------------------------------------------------------------- hashing
+def test_xxh64_spec_vectors():
+    # Published XXH64 test vectors (xxHash spec / library sanity strings)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64("abc") == xxh64(b"abc")  # str → utf-8
+    assert xxh64(b"abc", seed=1) != xxh64(b"abc")
+    # >32-byte path (stripe loop + merge)
+    assert xxh64(b"x" * 100) == 0x92F0DE5A88A3C094
+
+
+def test_xxh64_many():
+    vals = ["", "a", "abc", "http://h0.test/list?page=1"]
+    out = xxh64_many(vals)
+    assert out.dtype == np.uint64
+    assert [int(x) for x in out] == [xxh64(v) for v in vals]
+
+
+def test_splitmix64_deterministic():
+    assert splitmix64(42) == splitmix64(42)
+    arr = splitmix64(np.array([1, 2, 3], dtype=np.uint64))
+    assert arr.dtype == np.uint64 and len(set(arr.tolist())) == 3
+
+
+# ---------------------------------------------------------------- canon (M28)
+def test_canonicalize():
+    c = canon.canonicalize
+    assert c("HTTP://H0.Example.COM:80/a/./b/../c?b=2&a=1#frag") == \
+        "http://h0.example.com/a/c?a=1&b=2"
+    assert c("https://X.com:443/") == "https://x.com/"
+    assert c("http://x.com") == "http://x.com/"
+    assert c("/rel/path?z=1", base="http://h.test/dir/page") == \
+        "http://h.test/rel/path?z=1"
+    assert c("../up", base="http://h.test/a/b/c") == "http://h.test/a/up"
+
+
+def test_canonicalize_batch_hashes():
+    urls = ["http://A.test/x", "http://a.test/x", "http://b.test/y"]
+    cu, hosts, uh, hh = canon.canonicalize_batch(urls)
+    assert cu[0] == cu[1] and uh[0] == uh[1]
+    assert hosts == ["a.test", "a.test", "b.test"]
+    assert hh[0] == hh[1] != hh[2]
+
+
+# ---------------------------------------------------------------- M2-M7
+def test_strip_and_whitespace():
+    assert extract.strip_tags("<p>hi <b>there</b></p>") == "hi there"
+    assert extract.remove_white_spaces("  a \n\t b  ") == "a b"
+    assert extract.remove_unicode_char("ab€cd") == "abcd"
+
+
+def test_extract_number_only():
+    # helper.py:88-103 semantics: strip separators, first number, 0 if none
+    assert extract.extract_number_only("€ 1.234,56 pm", ".", ",") == 1234.56
+    assert extract.extract_number_only("$1,234.56", ",", ".") == 1234.56
+    assert extract.extract_number_only("no digits") == 0.0
+    assert extract.extract_last_number_only("3 rooms 120 sqm", ".", ",") == 120.0
+
+
+def test_get_price_dual_separator():
+    # helper.py:47-61: min of both parses, max when min < 10
+    assert extract.get_price("1.234") == 1234  # min parse 1.234 < 10 → take max
+    assert extract.get_price("1,50") == 150  # min=1.5<10 → max=150
+    assert extract.get_price("850") == 850
+
+
+def test_extract_rent_currency():
+    rent, cur = extract.extract_rent_currency("€ 1.250 per month", "h.test", ".", ",")
+    assert rent == 1250 and cur == "EUR"
+    rent, cur = extract.extract_rent_currency("$ 2,000 pw", "site-australia", ",", ".")
+    assert rent == 2000 and cur == "AUD"
+
+
+# ---------------------------------------------------------------- M8
+def test_currency_parser():
+    f = extract.currency_parser
+    assert f("€1000", "x") == "EUR"
+    assert f("£99", "x") == "GBP"
+    assert f("₺5", "x") == "TRY"
+    assert f("CHF 12", "x") == "CHF"
+    # $ → AUD iff source mentions australia (helper.py:140-169)
+    assert f("$100", "realestate-australia.com") == "AUD"
+    assert f("$100", "example.com") == "USD"
+    assert f("plain", "x") is None
+
+
+# ---------------------------------------------------------------- M10-M14
+def test_convert_numeric():
+    assert extract.convert_to_numeric("3.0") == 3
+    assert isinstance(extract.convert_to_numeric("3.0"), int)
+    assert extract.convert_to_numeric("3.5") == 3.5
+    assert extract.convert_to_numeric("x") is None
+    assert extract.convert_string_to_numeric("ca. 1.250 EUR", ".", ",") == 1250
+
+
+def test_dates():
+    assert extract.format_date("05/03/2026", "%d/%m/%Y") == "2026-03-05"
+    assert extract.format_date("garbage") == "garbage"  # pass-through
+    assert extract.extract_date("verfügbar ab 3. März 2026") == "2026-03-03"
+    assert extract.extract_date("from 12 October 2025") == "2025-10-12"
+    # year bump (helper.py:593-605): before REF_TODAY ⇒ +1 year
+    assert extract.parse_date_with_year_bump("01/06/2025") == "2026-06-01"
+    assert extract.parse_date_with_year_bump("01/06/2026") == "2026-06-01"
+    assert extract.parse_date_with_year_bump("bad") is None
+
+
+# ---------------------------------------------------------------- M15-M17
+def test_sqft_two_conversions():
+    # two DISTINCT roundings preserved on purpose (helper.py:36-44 vs 646-648)
+    assert extract.sq_feet_to_meters(1000) == 92      # int(1000/10.764)
+    assert extract.sq_feet_to_meters_itemclear(1000) == 92  # int(1000*0.09290304)
+    assert extract.sq_feet_to_meters(500) == 46
+    assert extract.sq_feet_to_meters_itemclear(500) == 46
+    assert extract.per_week_to_month(250) == 1000
+
+
+def test_energy_label_bins():
+    cases = [(95, "A"), (92, "A"), (91, "B"), (81, "B"), (80, "C"), (69, "C"),
+             (68, "D"), (55, "D"), (54, "E"), (39, "E"), (38, "F"), (21, "F"),
+             (20, "G"), (1, "G"), (0, None)]
+    for kwh, lab in cases:
+        assert extract.energy_label(kwh) == lab, kwh
+    arr = extract.energy_label_batch(np.array([95, 70, 10, 0]))
+    assert list(arr) == ["A", "C", "G", None]
+
+
+# ---------------------------------------------------------------- M18-M19
+def test_string_found_and_amenities():
+    assert extract.string_found(["balcony"], "Big Balcony!") is True
+    assert extract.string_found(["pool"], "poolside") is False  # word boundary
+    flags = extract.amenity_flags(pd.Series(["has balcony and lift", "nothing"]))
+    assert flags["balcony"].tolist() == [True, None]
+    assert flags["elevator"].tolist() == [True, None]
+    # True-or-None, never False (helper.py:390-434)
+    assert flags["parking"].tolist() == [None, None]
+
+
+# ---------------------------------------------------------------- M20-M24
+def test_description_cleaner():
+    s = "<p>Nice flat</p> see https://x.test/a email me@x.test Contact us at +31 20 123 4567"
+    out = extract.description_cleaner(s)
+    assert "http" not in out and "@" not in out and "Contact" not in out
+    assert out.startswith("Nice flat")
+
+
+def test_property_type_lookup():
+    assert extract.property_type_lookup("Mooie wohnung in centrum") == "apartment"
+    assert extract.property_type_lookup("maison de ville") == "house"
+    assert extract.property_type_lookup("kamer te huur") == "room"
+    assert extract.property_type_lookup("studio") == "studio"
+    assert extract.property_type_lookup("warehouse2") == "house"  # substring quirk preserved
+    assert extract.property_type_lookup("office") is None
+
+
+def test_word_to_num():
+    assert extract.word_to_num("two bedrooms") == 2
+    assert extract.word_to_num("twelve") == 12
+    assert extract.word_to_num("none here") is None
+
+
+def test_dedup_list_keep_order():
+    assert extract.dedup_list_keep_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+    assert extract.dedup_list_keep_order(None) == []
+
+
+# ---------------------------------------------------------------- parsers/filters
+def test_parse_listing_and_detail():
+    body = b'<html><body><a class="listing" href="/prop/1">x</a>\n<a class="next" href="/list?page=2">n</a></body></html>'
+    links, nxt = extract.parse_listing_links(body)
+    assert links == ["/prop/1"] and nxt == "/list?page=2"
+
+    from spider_ray.synth import World, WorldConfig
+
+    w = World(WorldConfig(num_hosts=1), ["cap"])
+    page = w.resolve("http://h0.test/prop/0", attempt=1)
+    raw = extract.parse_detail_page(page.body)
+    assert raw["external_id"] == "0"
+    assert raw["rent_raw"] and raw["images"]
+    assert raw["latitude"] is not None
+
+
+def test_filter_valid_items():
+    df = pd.DataFrame(
+        {
+            "external_link": ["a", "b", "c", None],
+            "address": ["x", "x", "x", "x"],
+            "property_type": ["apartment", None, "house", "house"],
+            "square_meters": pd.array([50, 60, 70, 80], dtype="Int64"),
+            "room_count": pd.array([2, 2, 2, 2], dtype="Int64"),
+            "rent": pd.array([900, 900, 50000, 900], dtype="Int64"),
+            "currency": ["EUR"] * 4,
+        }
+    )
+    out = extract.filter_valid_items(df)
+    # b: missing property_type; c: rent > 40000 (basic.tmpl:44-46); d: no link
+    assert out["external_link"].tolist() == ["a"]
