@@ -1,0 +1,141 @@
+"""Multimodal column operators — images/audio/video as opaque ``binary``
+columns with typed metadata (the sink-table shape of BASELINE.json
+``input_hint``).
+
+Everything that CAN be real in this container (no PIL/cv2/ffmpeg) is
+real: PNG/QPNG decode, block-mean resize, channel statistics, phash —
+all through spider_ray.imaging's numpy/zlib kernels. Codec-dependent
+paths (JPEG decode, audio resample, video frame-sample) are STUBS
+behind import-tries that raise ``NotImplementedError`` with the
+Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) fully wired and tested.
+
+Batch sizing note (wide binary rows): these stages should run with a
+small ``batch_size`` (64–256) and ``batch_format='pyarrow'`` so a
+batch × actor-pool-concurrency of image bytes fits in the worker heap;
+blocks of the input dataset should be capped via
+``DataContext.target_max_block_size`` when bytes are large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..imaging import FMT_PNG, FMT_QPNG, _resize_mean, decode_png, phash
+
+
+class DecodeStats:
+    """Actor-pool stage: decode image bytes → (w, h, mean_r, mean_g,
+    mean_b, phash64). Real for png/qpng; 'jpeg' rows raise unless a
+    codec is importable (stub contract)."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        try:  # pragma: no cover — PIL absent in this container
+            from PIL import Image  # noqa: F401
+
+            self.has_jpeg = True
+        except ImportError:
+            self.has_jpeg = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = np.zeros(n, np.int32)
+        h = np.zeros(n, np.int32)
+        means = np.zeros((n, 3), np.float64)
+        ph = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for j in range(n):
+            fmt = fmts[j]
+            if fmt in (FMT_PNG, FMT_QPNG):
+                px = decode_png(blobs[j])
+            elif self.has_jpeg:  # pragma: no cover
+                raise NotImplementedError("jpeg path not wired for PIL yet")
+            elif self.strict:
+                raise NotImplementedError(
+                    f"no decoder for fmt={fmt!r} in this container (stub)"
+                )
+            else:
+                continue
+            h[j], w[j] = px.shape[0], px.shape[1]
+            means[j] = px.reshape(-1, 3).mean(axis=0)
+            ph[j] = phash(px)
+            ok[j] = True
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols["dec_w"] = pa.array(w, pa.int32())
+        cols["dec_h"] = pa.array(h, pa.int32())
+        cols["mean_r"] = pa.array(np.round(means[:, 0], 4))
+        cols["mean_g"] = pa.array(np.round(means[:, 1], 4))
+        cols["mean_b"] = pa.array(np.round(means[:, 2], 4))
+        cols["phash64"] = pa.array(ph, pa.int64())
+        cols["decode_ok"] = pa.array(ok)
+        return pa.table(cols)
+
+
+class ResizeImages:
+    """Actor-pool stage: decode → block-mean resize to (size × size) →
+    re-encode PNG. Output keeps the sink schema (bytes/w/h/fmt)."""
+
+    def __init__(self, size: int = 16):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging import encode_png
+
+        out_bytes, out_w, out_h = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            if fmt not in (FMT_PNG, FMT_QPNG):
+                raise NotImplementedError(f"no decoder for fmt={fmt!r} (stub)")
+            px = decode_png(data)
+            small = np.stack(
+                [_resize_mean(px[..., c].astype(np.float64), self.size) for c in range(3)],
+                axis=-1,
+            )
+            small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+            out_bytes.append(encode_png(small))
+            out_w.append(self.size)
+            out_h.append(self.size)
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["w"] = pa.array(out_w, pa.int32())
+        cols["h"] = pa.array(out_h, pa.int32())
+        cols["fmt"] = pa.array([FMT_PNG] * batch.num_rows, pa.string())
+        return pa.table(cols)
+
+
+class FrameSample:
+    """Video frame-sampling stage — PURE STUB: no video codec exists in
+    this container. The contract (constructor knobs, batch signature,
+    output schema) is what a real ffmpeg-backed actor would implement.
+    """
+
+    OUTPUT_SCHEMA = pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+        ]
+    )
+
+    def __init__(self, every_n_frames: int = 30):
+        self.every = every_n_frames
+        try:  # pragma: no cover
+            import cv2  # noqa: F401
+
+            self.backend = "cv2"
+        except ImportError:
+            self.backend = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend is None:
+            raise NotImplementedError(
+                "video decode unavailable (no cv2/ffmpeg in container); "
+                "stage contract: binary video column → OUTPUT_SCHEMA rows"
+            )
+        raise NotImplementedError  # pragma: no cover

@@ -1,0 +1,1077 @@
+"""Query registry — one entry per implemented operator (SURVEY.md §2)
+plus the training-data operators, each as a Ray Data pipeline over the
+driver's parquet tables with (where SQL-expressible) a DuckDB oracle.
+
+Contract (driver __ray_entry__.py): every callable takes ``sf_dir``
+and returns a Dataset / DataFrame / Table whose column NAMES AND VALUES
+match the oracle SQL exactly (the driver sorts columns by name and
+value-hashes). Numerics are normalized to int64/float64; float-derived
+outputs are avoided or integer-quantized so hashes can't drift.
+
+Ray-Data idioms exercised on purpose: column-pruned reads, vectorized
+pyarrow.compute bodies, broadcast small-side joins (ray.put), partial
+aggregation before groupby, groupby+map_groups dedup-first, sort+limit
+top-k, and the ops/ modules' combiner patterns.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .. import canon, extract
+from ..ops import dedup_text, similarity, text as text_ops
+
+# REF_TODAY pinned in extract.py (2026-01-01) — both sides use it.
+_REF_TODAY_SQL = "DATE '2026-01-01'"
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# =============================================================== crawl-op analogues
+def q_url_canonicalize(sf_dir: str):
+    """M28 — URL canonicalization over templated raw URLs."""
+    ds = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        raw = [
+            f"HTTP://H{k}.EXAMPLE.com:80/a/./b/../c?b={r}&a=1#frag"
+            for k, r in zip(b["n_nationkey"].to_pylist(), b["n_regionkey"].to_pylist())
+        ]
+        cu, _, _, _ = canon.canonicalize_batch(raw)
+        return pa.table(
+            {
+                "n_nationkey": b["n_nationkey"].cast(pa.int64()),
+                "canonical_url": pa.array(cu, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_URL_CANONICALIZE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       'http://h' || n_nationkey || '.example.com/a/c?a=1&b=' || n_regionkey
+         AS canonical_url
+FROM nation
+"""
+
+
+def q_dedup_first(sf_dir: str):
+    """O3/D1/ST1 — first-fetch-wins per key: hash-partition + per-group
+    first (the crawl dedup shape over the orders table)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("o_orderkey").head(1)
+
+    out = ds.groupby("o_custkey").map_groups(first, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_FIRST = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+"""
+
+
+def q_filter_required(sf_dir: str):
+    """F1 — required-field validity filter (pipelines.py:23-36 intent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b["lang"]), pc.is_valid(b["doc_id"])),
+                pc.greater(b["n_chars"], 200),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_REQUIRED = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND n_chars > 200
+"""
+
+
+def q_rent_gate(sf_dir: str):
+    """F2 — rent range gate 0 < x ≤ 40000 (basic.tmpl:44-46)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": b["o_totalprice"],
+            }
+        ).filter(
+            pc.and_(
+                pc.greater(b["o_totalprice"], 0.0),
+                pc.less_equal(b["o_totalprice"], 40000.0),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RENT_GATE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM orders WHERE o_totalprice > 0 AND o_totalprice <= 40000
+"""
+
+
+def q_extract_number(sf_dir: str):
+    """M5/M9 — separator-aware numeric extraction: the Ray side builds a
+    EU-formatted rent string then parses it back; the oracle states the
+    expected number directly."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        vals = [int(v) for v in b["o_totalprice"].to_pylist()]
+        strings = ["€ " + f"{v:,}".replace(",", ".") + " p/m" for v in vals]
+        rents = [int(extract.extract_number_only(s, ".", ",")) for s in strings]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "rent": pa.array(rents, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_EXTRACT_NUMBER = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS rent
+FROM orders
+"""
+
+
+def q_min_price_dual(sf_dir: str):
+    """M7 — dual-separator price parse (min, or max when min < 10); the
+    oracle is an independent SQL translation of helper.py:47-61."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        vals = [int(v) for v in b["l_extendedprice"].to_pylist()]
+        strings = [f"{v:,}".replace(",", ".") for v in vals]
+        prices = [extract.get_price(s) for s in strings]
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+                "price": pa.array(prices, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_MIN_PRICE_DUAL = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         REPLACE(FORMAT('{:,}', CAST(FLOOR(l_extendedprice) AS BIGINT)), ',', '.') AS str
+  FROM lineitem
+), p AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(REPLACE(str, '.', '') AS DOUBLE) AS a,
+         CAST(REGEXP_EXTRACT(str, '\\d+(\\.\\d+)?') AS DOUBLE) AS b
+  FROM s
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       -- FLOOR, not CAST: Python int() truncates, DuckDB CAST rounds
+       CAST(FLOOR(CASE WHEN LEAST(a, b) < 10 THEN GREATEST(a, b)
+                       ELSE LEAST(a, b) END) AS BIGINT) AS price
+FROM p
+"""
+
+
+_CURRENCY_CYCLE = ["€", "£", "$", "₺", "CHF"]
+
+
+def q_currency_map(sf_dir: str):
+    """M8 — symbol → ISO currency incl. the $→AUD-iff-australia rule."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        cur = [
+            extract.currency_parser(
+                f"{_CURRENCY_CYCLE[k % 5]} 1200",
+                "rentals-australia.test" if k % 2 == 0 else "rentals-us.test",
+            )
+            for k in keys
+        ]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "currency": pa.array(cur, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_CURRENCY_MAP = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE o_orderkey % 5
+         WHEN 0 THEN 'EUR' WHEN 1 THEN 'GBP'
+         WHEN 2 THEN CASE WHEN o_orderkey % 2 = 0 THEN 'AUD' ELSE 'USD' END
+         WHEN 3 THEN 'TRY' ELSE 'CHF' END AS currency
+FROM orders
+"""
+
+
+def q_date_format(sf_dir: str):
+    """M12 — timestamp → %Y-%m-%d string (vectorized strftime)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DATE_FORMAT = """
+SELECT CAST(event_id AS BIGINT) AS event_id, STRFTIME(ts, '%Y-%m-%d') AS day
+FROM events
+"""
+
+
+def q_date_year_bump(sf_dir: str):
+    """M14 — availability-date year bump: parsed date < REF_TODAY ⇒ +1
+    year (helper.py:593-605 with the pinned 'today'). Day-29+ rows are
+    excluded (leap-year year+1 is undefined in the reference too)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(pc.day(b["ts"]), 28)
+        t = b.filter(keep)
+        raw = pc.strftime(t["ts"], format="%d/%m/%Y").to_pylist()
+        bumped = [extract.parse_date_with_year_bump(s) for s in raw]
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "available_date": pa.array(bumped, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_DATE_YEAR_BUMP = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN CAST(ts AS DATE) < {_REF_TODAY_SQL}
+            THEN STRFTIME(CAST(ts AS DATE) + INTERVAL 1 YEAR, '%Y-%m-%d')
+            ELSE STRFTIME(ts, '%Y-%m-%d') END AS available_date
+FROM events WHERE DAY(ts) <= 28
+"""
+
+
+def q_energy_label(sf_dir: str):
+    """M17 — kWh → A..G binning (helper.py:185-201)."""
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        kwh = (np.asarray(b["p_partkey"].to_pylist()) % 120) + 1
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "energy_label": pa.array(extract.energy_label_batch(kwh), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ENERGY_LABEL = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CASE WHEN kwh >= 92 THEN 'A' WHEN kwh >= 81 THEN 'B'
+            WHEN kwh >= 69 THEN 'C' WHEN kwh >= 55 THEN 'D'
+            WHEN kwh >= 39 THEN 'E' WHEN kwh >= 21 THEN 'F'
+            WHEN kwh >= 1 THEN 'G' END AS energy_label
+FROM (SELECT p_partkey, p_partkey % 120 + 1 AS kwh FROM part)
+"""
+
+
+def q_sqft_conversions(sf_dir: str):
+    """M15 — BOTH sqft→m² roundings (helper.py:36-44 vs 646-648)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def f(b: pa.Table) -> pa.Table:
+        feet = np.asarray(b["p_size"].to_pylist(), dtype=np.float64) * 29
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "sqm_div": pa.array(
+                    [extract.sq_feet_to_meters(x) for x in feet], pa.int64()
+                ),
+                "sqm_mul": pa.array(
+                    [extract.sq_feet_to_meters_itemclear(x) for x in feet], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_SQFT_CONVERSIONS = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(FLOOR((p_size * 29) / 10.764) AS BIGINT) AS sqm_div,
+       CAST(FLOOR((p_size * 29) * 0.09290304) AS BIGINT) AS sqm_mul
+FROM part
+"""
+
+
+def q_amenities(sf_dir: str):
+    """M19/J5 — keyword containment flags, True-or-None semantics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": b["doc_id"].cast(pa.int64())}
+        for word, col in (("spark", "has_spark"), ("vector", "has_vector"),
+                          ("stream", "has_stream")):
+            hit = pc.match_substring_regex(b["text"], rf"\b{word}\b")
+            cols[col] = pc.if_else(hit, pa.scalar(True), pa.scalar(None, pa.bool_()))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_AMENITIES = """
+SELECT doc_id,
+       CASE WHEN REGEXP_MATCHES(text, '\\bspark\\b') THEN TRUE END AS has_spark,
+       CASE WHEN REGEXP_MATCHES(text, '\\bvector\\b') THEN TRUE END AS has_vector,
+       CASE WHEN REGEXP_MATCHES(text, '\\bstream\\b') THEN TRUE END AS has_stream
+FROM documents
+"""
+
+
+def q_whitespace_clean(sf_dir: str):
+    """M3 — collapse runs of whitespace + trim (vectorized)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "cleaned": pc.utf8_trim_whitespace(
+                    pc.replace_substring_regex(b["text"], r"\s+", " ")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WHITESPACE_CLEAN = """
+SELECT doc_id, TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+
+def q_image_set_dedup(sf_dir: str):
+    """A1/D2 — per-item image-URL set dedup + count (pipelines.py:127-131)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        counts = []
+        for k in keys:
+            urls = [f"img_{k % 7}", f"img_{k % 5}", f"img_{k % 7}"]
+            counts.append(len(extract.dedup_list_keep_order(urls)))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "external_images_count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_IMAGE_SET_DEDUP = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(LEN(LIST_DISTINCT([
+            'img_' || (o_orderkey % 7),
+            'img_' || (o_orderkey % 5),
+            'img_' || (o_orderkey % 7)])) AS BIGINT) AS external_images_count
+FROM orders
+"""
+
+
+_PTYPE_CYCLE = ["wohnung", "maison", "kamer", "studio", "flat", "office"]
+
+
+def q_property_type(sf_dir: str):
+    """M23/J1 — multilingual property-type dictionary lookup."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        mapped = [extract.property_type_lookup(_PTYPE_CYCLE[k % 6]) for k in keys]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "property_type": pa.array(mapped, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_PROPERTY_TYPE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE o_orderkey % 6
+         WHEN 0 THEN 'apartment' WHEN 1 THEN 'house' WHEN 2 THEN 'room'
+         WHEN 3 THEN 'studio' WHEN 4 THEN 'apartment' ELSE NULL END
+         AS property_type
+FROM orders
+"""
+
+
+_WORDNUM_CYCLE = ["two", "three", "five", "ten", "none"]
+
+
+def q_word2num(sf_dir: str):
+    """M24 — word → number fallback (helper.py:567-575)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        nums = [extract.word_to_num(_WORDNUM_CYCLE[k % 5]) for k in keys]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "n": pa.array(nums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_WORD2NUM = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE o_orderkey % 5 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5
+            WHEN 3 THEN 10 ELSE NULL END AS n
+FROM orders
+"""
+
+
+# =============================================================== engine shapes
+def q_topk_hosts(sf_dir: str):
+    """O1/A6 analog — top-10 keys by row count (groupby → sort → limit)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    from ray.data.aggregate import Count
+
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    out = agg.sort(["n", "o_custkey"], descending=[True, False]).limit(10)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOPK_HOSTS = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, COUNT(*) AS n
+FROM orders GROUP BY o_custkey
+ORDER BY n DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_join_enrich(sf_dir: str):
+    """J1/J3/J4 — broadcast small-side join: customer ⋈ nation ⋈ region
+    (dimension dicts shipped once via ray.put, looked up per batch)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((n2r, r2name))
+
+    def f(b: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(lookup_ref)
+        nk = b["c_nationkey"].to_pylist()
+        names = [r2name_[n2r_[k]] for k in nk]
+        return pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "c_acctbal": b["c_acctbal"],
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    joined = ds.map_batches(f, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("r_name").aggregate(
+        Count(alias_name="customers"), Sum("c_acctbal", alias_name="acct_sum")
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": b["r_name"],
+                "customers": b["customers"].cast(pa.int64()),
+                "acct_cents": pc.cast(
+                    pc.round(pc.multiply(b["acct_sum"], 100.0), 0), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_JOIN_ENRICH = """
+SELECT r.r_name AS r_name, COUNT(*) AS customers,
+       CAST(ROUND(SUM(c.c_acctbal) * 100, 0) AS BIGINT) AS acct_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_agg_pricing(sf_dir: str):
+    """A3/pre-agg — TPC-H-Q1-shaped grouped aggregate with a per-batch
+    partial-aggregation combiner BEFORE the shuffle (ray_guide
+    'Aggregation at scale'): each batch emits one row per key."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_price=("l_extendedprice", "sum"),
+                n=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n", alias_name="n"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.cast(pc.round(b["sum_qty"], 0), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b["sum_price"], 100.0), 0), pa.int64()
+                ),
+                "n": b["n"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS price_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_window(sf_dir: str):
+    """§2.9 streaming analog — tumbling 1-hour window per user over the
+    events log (groupby key+window; value sums integer-quantized)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "hour": pc.strftime(hour, format="%Y-%m-%d %H:00:00"),
+                "value": b["value"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "hour": b["hour"],
+                "n": b["n"].cast(pa.int64()),
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(b["value_sum"], 100.0), 0), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(sf_dir: str):
+    """S4 — JSON body traversal (json.loads in 680 spiders)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] if p else None for p in b["props"].to_pylist()]
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_EVENTS_JSON = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# =============================================================== training-data ops
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact text dedup over a corpus with injected duplicates (the
+    documents table unioned with a shifted copy of itself): content-hash
+    + hash-partition + per-group min-id first."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shifted(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"].cast(pa.int64()), 1_000_000),
+                "text": b["text"],
+            }
+        )
+
+    base = ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "text": b["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    dup = ds.map_batches(shifted, batch_format="pyarrow")
+    out = dedup_text.exact_dedup(base.union(dup))
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EXACT_DEDUP_DOCS = """
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000 AS doc_id, text FROM documents
+)
+SELECT doc_id FROM corpus
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "n_tokens": b["n_tokens"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_ops.quality_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "q_chars": b["q_chars"],
+                "q_tokens": b["q_tokens"],
+                "q_stopwords": b["q_stopwords"],
+                "q_punct": b["q_punct"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS q_chars,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS q_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b(?:the|a)\\b')) AS BIGINT) AS q_stopwords,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,;:!?]')) AS BIGINT) AS q_punct
+FROM documents
+"""
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    agg = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LANG_DISTRIBUTION = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup pairs (n=1 for the SQL oracle; the
+    LSH pipeline uses n=3). Outputs exact integer |∩| and |∪| so the
+    hash can't drift."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    sets_ref = ray.put(
+        {
+            int(i): np.unique(
+                np.fromiter(
+                    (dedup_text.xxh64(w) for w in set((t or "").split())),
+                    dtype=np.uint64,
+                )
+            )
+            for i, t in zip(ids, tbl["text"].to_pylist())
+        }
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        all_sets = ray.get(sets_ref)
+        rows_a, rows_b, inter_l, union_l = [], [], [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            a_set = all_sets[int(i)]
+            for j, b_set in all_sets.items():
+                if j <= int(i):
+                    continue
+                inter = np.intersect1d(a_set, b_set, assume_unique=True).size
+                union = a_set.size + b_set.size - inter
+                if union and inter * 2 >= union:  # jaccard ≥ 0.5
+                    rows_a.append(int(i))
+                    rows_b.append(j)
+                    inter_l.append(int(inter))
+                    union_l.append(int(union))
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "n_inter": pa.array(inter_l, pa.int64()),
+                "n_union": pa.array(union_l, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(LEN(LIST_INTERSECT(a.words, b.words)) AS BIGINT) AS n_inter,
+       CAST(LEN(a.words) + LEN(b.words)
+            - LEN(LIST_INTERSECT(a.words, b.words)) AS BIGINT) AS n_union
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.words, b.words)) * 2 >=
+      LEN(a.words) + LEN(b.words) - LEN(LIST_INTERSECT(a.words, b.words))
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors as queries —
+    broadcast query matrix + per-batch partial top-k (combiner)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = emb.slice(0, 5)
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack(qtbl["embedding"].to_pylist())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = similarity.ann_topk_bruteforce(ds, qids, qmat, k=10)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"], pa.int64()),
+            "vec_id": pa.array(df["vec_id"], pa.int64()),
+            "rank": pa.array(df["rank"], pa.int64()),
+        }
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT * FROM e WHERE vec_id < 5)
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY ROUND(LIST_COSINE_SIMILARITY(q.v, e.v), 6) DESC, e.vec_id ASC
+       ) AS rank
+FROM q CROSS JOIN e
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_norm(sf_dir: str):
+    """L2 norm per embedding, milli-quantized (vectorized numpy)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(b: pa.Table) -> pa.Table:
+        mat = np.stack(b["embedding"].to_pylist()).astype(np.float64)
+        norms = np.round(np.linalg.norm(mat, axis=1) * 1000.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "norm_milli": pa.array(norms, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NORM = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000, 0) AS BIGINT)
+         AS norm_milli
+FROM embeddings
+"""
+
+
+# =============================================================== non-SQL ops
+def q_minhash_lsh_dedup(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only driver check; recall vs the
+    exact Jaccard oracle is asserted in tests/test_ops.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = dedup_text.minhash_lsh_pairs(ds, k=3, bands=32, threshold=0.6)
+    return pa.table(
+        {
+            "a": pa.array(df["a"], pa.int64()),
+            "b": pa.array(df["b"], pa.int64()),
+            "jacc_milli": pa.array(
+                (df["jaccard"] * 1000).round().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def q_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(dedup_text.simhash_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "simhash": b["simhash"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = dedup_text.embedding_dup_pairs(ds, threshold=0.95)
+    return pa.table(
+        {
+            "a": pa.array(df["a"], pa.int64()),
+            "b": pa.array(df["b"], pa.int64()),
+        }
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.95
+"""
+
+
+def q_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_ops.LangId, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "lang_pred": b["lang_pred"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_ops.fingerprint_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "fingerprint": b["fingerprint"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN (scale path; approximate → rows-only check)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = emb.slice(0, 5)
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack(qtbl["embedding"].to_pylist())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = similarity.ann_topk_lsh(ds, qids, qmat, k=10, nbits=8)
+    return pa.Table.from_pandas(df[["query_id", "vec_id", "rank"]], preserve_index=False)
+
+
+def q_crawl_images(sf_dir: str):
+    """The flagship crawl itself at small scale → the Lance-shape
+    image+caption sink table (rows-only; full invariants in pytest)."""
+    from .crawl import run_crawl
+
+    crawler, _ = run_crawl(sf_dir, num_hosts=4, max_pages_per_host=2,
+                           details_per_page=3)
+    return crawler.images_table()
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal decode/feature stage over crawled image bytes
+    (actor pool; real PNG path, stubbed JPEG path)."""
+    from ..ops.multimodal import DecodeStats
+    from .crawl import run_crawl
+
+    crawler, _ = run_crawl(sf_dir, num_hosts=3, max_pages_per_host=2,
+                           details_per_page=2)
+    ds = rd.from_arrow(crawler.images_table())
+    out = ds.map_batches(DecodeStats, batch_format="pyarrow", batch_size=64,
+                         concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": b["image_id"],
+                "dec_w": b["dec_w"].cast(pa.int64()),
+                "dec_h": b["dec_h"].cast(pa.int64()),
+                "phash64": b["phash64"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# =============================================================== registry
+QUERIES = {
+    # crawl operator analogues (SQL-checked)
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "dedup_first": (q_dedup_first, SQL_DEDUP_FIRST),
+    "filter_required": (q_filter_required, SQL_FILTER_REQUIRED),
+    "rent_gate": (q_rent_gate, SQL_RENT_GATE),
+    "extract_number": (q_extract_number, SQL_EXTRACT_NUMBER),
+    "min_price_dual": (q_min_price_dual, SQL_MIN_PRICE_DUAL),
+    "currency_map": (q_currency_map, SQL_CURRENCY_MAP),
+    "date_format": (q_date_format, SQL_DATE_FORMAT),
+    "date_year_bump": (q_date_year_bump, SQL_DATE_YEAR_BUMP),
+    "energy_label": (q_energy_label, SQL_ENERGY_LABEL),
+    "sqft_conversions": (q_sqft_conversions, SQL_SQFT_CONVERSIONS),
+    "amenities": (q_amenities, SQL_AMENITIES),
+    "whitespace_clean": (q_whitespace_clean, SQL_WHITESPACE_CLEAN),
+    "image_set_dedup": (q_image_set_dedup, SQL_IMAGE_SET_DEDUP),
+    "property_type": (q_property_type, SQL_PROPERTY_TYPE),
+    "word2num": (q_word2num, SQL_WORD2NUM),
+    # engine shapes
+    "topk_hosts": (q_topk_hosts, SQL_TOPK_HOSTS),
+    "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
+    "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    # training-data ops (SQL-checked)
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embedding_norm": (q_embedding_norm, SQL_EMBEDDING_NORM),
+    "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    # non-SQL-expressible (driver rows-only check)
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
+    "simhash": (q_simhash, None),
+    "langid": (q_langid, None),
+    "fingerprint": (q_fingerprint, None),
+    "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "crawl_images": (q_crawl_images, None),
+    "multimodal_decode": (q_multimodal_decode, None),
+}
