@@ -37,6 +37,28 @@ USER_AGENTS = [f"spider-ray/0.1 (variant {i})" for i in range(73)]
 
 MAX_RETRIES = 3  # settings.py:98 RETRY_TIMES
 
+# Per-worker-process session cache for the stateless-task fetch path:
+# a Ray worker process reuses this across every task it runs, so
+# session construction (HTTP pools in a real deployment, the World
+# resolver + caption corpus here) is amortized exactly like actor
+# state — without paying an actor-pool spin-up on every Dataset
+# execution of the round loop. The actor-pool form (``Fetcher``) is
+# the right shape for once-per-crawl executions; the task form wins
+# when the loop launches many short executions.
+_SESSION_CACHE: dict = {}
+
+
+def get_world(cfg: WorldConfig, captions_ref=None) -> World:
+    key = (cfg, captions_ref.hex() if captions_ref is not None else None)
+    w = _SESSION_CACHE.get(key)
+    if w is None:
+        import ray
+
+        captions = ray.get(captions_ref) if captions_ref is not None else None
+        w = World(cfg, captions)
+        _SESSION_CACHE[key] = w
+    return w
+
 
 class Fetcher:
     """Actor-pool fetch stage over the deterministic synthetic world.
@@ -54,43 +76,53 @@ class Fetcher:
         self.simulate_latency = simulate_latency
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["canonical_url"].to_pylist()
-        retries = (
-            batch["retry_count"].to_pylist()
-            if "retry_count" in batch.column_names
-            else [0] * len(urls)
-        )
-        statuses = np.empty(len(urls), dtype=np.int32)
-        kinds: list[str] = []
-        bodies: list[bytes] = []
-        fmts: list[str] = []
-        latencies = np.empty(len(urls), dtype=np.int32)
-        total_sleep = 0.0
-        for j, (u, rc) in enumerate(zip(urls, retries)):
-            page = self.world.resolve(u, attempt=rc or 0)
-            statuses[j] = page.status
-            kinds.append(page.kind)
-            bodies.append(page.body)
-            fmts.append(page.fmt)
-            latencies[j] = page.latency_ms
-            total_sleep += page.latency_ms / 1000.0
-        if self.simulate_latency and total_sleep:
-            # batch-level sleep stand-in for network time (politeness
-            # pacing itself lives in the politeness stage, not here)
-            import time
+        return _fetch_table(self.world, batch, self.simulate_latency)
 
-            time.sleep(min(total_sleep / max(len(urls), 1), 0.05))
-        cols = dict(zip(batch.column_names, batch.columns))
-        cols["status"] = pa.array(statuses, pa.int32())
-        cols["kind"] = pa.array(kinds, pa.string())
-        cols["body"] = pa.array(bodies, pa.large_binary())
-        cols["fmt"] = pa.array(fmts, pa.string())
-        cols["latency_ms"] = pa.array(latencies, pa.int32())
-        cols["ua"] = pa.array(
-            [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],
-            pa.string(),
-        )
-        return pa.table(cols)
+
+def fetch_batch(batch: pa.Table, *, cfg: WorldConfig, captions_ref=None,
+                simulate_latency: bool = False) -> pa.Table:
+    """Stateless-task fetch body (session held in the per-process cache)."""
+    return _fetch_table(get_world(cfg, captions_ref), batch, simulate_latency)
+
+
+def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Table:
+    urls = batch["canonical_url"].to_pylist()
+    retries = (
+        batch["retry_count"].to_pylist()
+        if "retry_count" in batch.column_names
+        else [0] * len(urls)
+    )
+    statuses = np.empty(len(urls), dtype=np.int32)
+    kinds: list[str] = []
+    bodies: list[bytes] = []
+    fmts: list[str] = []
+    latencies = np.empty(len(urls), dtype=np.int32)
+    total_sleep = 0.0
+    for j, (u, rc) in enumerate(zip(urls, retries)):
+        page = world.resolve(u, attempt=rc or 0)
+        statuses[j] = page.status
+        kinds.append(page.kind)
+        bodies.append(page.body)
+        fmts.append(page.fmt)
+        latencies[j] = page.latency_ms
+        total_sleep += page.latency_ms / 1000.0
+    if simulate_latency and total_sleep:
+        # batch-level sleep stand-in for network time (politeness
+        # pacing itself lives in the politeness stage, not here)
+        import time
+
+        time.sleep(min(total_sleep / max(len(urls), 1), 0.05))
+    cols = dict(zip(batch.column_names, batch.columns))
+    cols["status"] = pa.array(statuses, pa.int32())
+    cols["kind"] = pa.array(kinds, pa.string())
+    cols["body"] = pa.array(bodies, pa.large_binary())
+    cols["fmt"] = pa.array(fmts, pa.string())
+    cols["latency_ms"] = pa.array(latencies, pa.int32())
+    cols["ua"] = pa.array(
+        [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],
+        pa.string(),
+    )
+    return pa.table(cols)
 
 
 def split_by_retry(batch: pa.Table, max_retries: int = MAX_RETRIES) -> tuple[pa.Table, pa.Table]:

@@ -5,18 +5,23 @@ schedule → dupefilter → fetch → parse → item pipeline continuously in
 one process, with ordering defined by async completion (not
 reproducible). The graft restructures this as an **iterative round
 loop** (SURVEY.md §2.9). Each round runs exactly THREE Ray Data
-executions (fixed per-round overhead matters when rounds are small;
-at scale each execution streams the round's bounded working set):
+executions:
 
-  1. register  — dedup phase 1: every candidate registers its
-                 (url_hash → min seq key) with its shard actor.
-                 Barrier (the seen-set protocol is two-phase).
-  2. admit     — dedup phase 2 winner filter → politeness groupby
-                 shuffle by host_hash → per-host budget admission.
-  3. fetch+parse — actor-pool fetch over admitted rows fused with the
-                 parse stage: listing→link candidates, detail→raw
-                 items + image requests, image→sink rows, retryable
-                 statuses → retry markers.
+  1. register    — dedup phase 1: every candidate registers its
+                   (url_hash → min seq key) with its shard actor.
+                   Barrier (the seen-set protocol is two-phase).
+  2. admit       — dedup phase 2 winner filter → politeness groupby
+                   shuffle by host_hash → per-host budget admission.
+  3. fetch+parse — fetch tasks (per-worker session cache, see
+                   fetch.get_world) fused with parse+normalize:
+                   listing→canonicalized link candidates, detail→
+                   normalized+validated items + image requests,
+                   image→decoded/phashed sink rows, retryable
+                   statuses → retry markers. Everything per-row
+                   expensive (canonicalize, xxh64, normalize, decode,
+                   phash, sink writes) happens INSIDE these tasks —
+                   the driver only concatenates thin Arrow tables and
+                   sorts the next frontier.
 
 Determinism: the frontier is sorted by ``(seq_parent, seq_link,
 canonical_url)`` and given a dense per-round ``seq``; admission takes
@@ -27,9 +32,14 @@ level (the N vs 4N criterion; see bench.py --scaling).
 
 Checkpoint/resume (north rule): after each round the engine atomically
 writes ``round_XXXX/{frontier.parquet, seen/shard_*.npy, fetched.npy,
-lineage.json, items.parquet, images.parquet}`` (write to ``.tmp``,
+lineage.json, items.parquet[, images.parquet]}`` (write to ``.tmp``,
 rename). ``Crawler.resume()`` reloads the newest complete round and
 continues; a resumed crawl re-fetches nothing (tests/test_frontier.py).
+With ``images_out_dir`` set, sink rows stream to per-round parquet
+partitions from inside the parse tasks (deterministic filenames; an
+incomplete round's partition is wiped before re-running it), so image
+bytes never accumulate on the driver — the resumable partitioned
+output layout.
 
 Skew (SURVEY.md §4): the politeness shuffle is the one skewed
 exchange. When a round's frontier exceeds ``prefilter_threshold``
@@ -37,20 +47,13 @@ rows, a combiner pass (``prefilter_topk_per_host``) first marks, per
 input batch, everything beyond each host's admissible top-k as
 deferred-in-place — those rows never enter the shuffle, so a hot host
 ships O(k × blocks) rows instead of its entire queue.
-
-Scale notes:
-  * image/page bodies live only inside execution 3's stream — the
-    frontier stays thin (urls + ints);
-  * frontier ordering uses a driver Arrow sort below
-    ``sort_driver_threshold`` rows; above it, ``Dataset.sort`` plus a
-    per-partition count + prefix-offset pass assigns the same dense
-    seq (the order key is partition-independent).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re as _re
 import shutil
 
 import numpy as np
@@ -69,10 +72,10 @@ from .extract import (
     parse_detail_page,
     parse_listing_links,
 )
-from .fetch import MAX_RETRIES, Fetcher
+from .fetch import MAX_RETRIES, fetch_batch
 from .imaging import decode, phash
 from .politeness import PolitenessAdmit, host_budget, prefilter_topk_per_host
-from .schema import FRONTIER_SCHEMA, IMAGES_SCHEMA
+from .schema import AMENITY_COLUMNS, FRONTIER_SCHEMA, IMAGES_SCHEMA
 from .synth import RETRY_HTTP_CODES, WorldConfig, host_separators
 
 _EMPTY_FRONTIER = FRONTIER_SCHEMA.empty_table()
@@ -109,7 +112,12 @@ def make_seed_frontier(seed_urls: list[str]) -> pa.Table:
 
 
 def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
-    """Sort by the deterministic order key and assign dense per-round seq."""
+    """Sort by the deterministic order key and assign dense per-round seq.
+
+    Arrow C++ sort on the driver; the key is partition-independent, so
+    at >10^8 rows/round this becomes Dataset.sort + per-partition
+    count/prefix-offset with identical output.
+    """
     if frontier.num_rows == 0:
         return frontier
     order = pc.sort_indices(
@@ -130,40 +138,6 @@ def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
         t.schema.get_field_index("round"),
         "round",
         pa.array(np.full(t.num_rows, round_no, dtype=np.int32), pa.int32()),
-    )
-
-
-def _candidates_to_frontier(rows: list[dict]) -> pa.Table:
-    """Raw (url, base) candidate dicts → canonicalized frontier table."""
-    if not rows:
-        return _EMPTY_FRONTIER
-    urls = [r["url"] for r in rows]
-    bases = [r["base"] for r in rows]
-    canon_urls, hosts, uh, hh = canon.canonicalize_batch(urls, bases)
-    n = len(rows)
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "canonical_url": pa.array(canon_urls, pa.string()),
-            "url_hash": pa.array(uh, pa.uint64()),
-            "host": pa.array(hosts, pa.string()),
-            "host_hash": pa.array(hh, pa.uint64()),
-            "depth": pa.array([int(r["depth"]) for r in rows], pa.int8()),
-            "priority": pa.array([0] * n, pa.int32()),
-            "seq_parent": pa.array([int(r["seq_parent"]) for r in rows], pa.int64()),
-            "seq_link": pa.array([int(r["seq_link"]) for r in rows], pa.int32()),
-            "seq": pa.array([0] * n, pa.int64()),
-            "parent_url": pa.array([r["parent_url"] for r in rows], pa.string()),
-            "round": pa.array([0] * n, pa.int32()),
-            "callback": pa.array([r["callback"] for r in rows], pa.string()),
-            "meta": pa.array([None] * n, FRONTIER_SCHEMA.field("meta").type),
-            "form_body": pa.array([None] * n, pa.binary()),
-            "retry_count": pa.array([0] * n, pa.int32()),
-            "skip_dedup": pa.array([False] * n, pa.bool_()),
-            "caption": pa.array(
-                [r.get("caption") for r in rows], pa.string(), from_pandas=True
-            ),
-        }
     )
 
 
@@ -194,39 +168,48 @@ def _winner_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
-# Union output schema of the fused fetch+parse execution.
+# Union output schema of the fused fetch+parse+normalize execution.
+_ITEM_FIELDS = [
+    ("external_link", pa.string()),
+    ("external_source", pa.string()),
+    ("external_id", pa.string()),
+    ("position", pa.int64()),
+    ("title", pa.string()),
+    ("description", pa.large_string()),
+    ("address", pa.string()),
+    ("property_type", pa.string()),
+    ("square_meters", pa.int64()),
+    ("room_count", pa.int64()),
+    ("bathroom_count", pa.int64()),
+    ("rent_string", pa.string()),
+    ("rent", pa.int64()),
+    ("currency", pa.string()),
+    ("available_date", pa.string()),
+    ("energy_label", pa.string()),
+    *[(c, pa.bool_()) for c in AMENITY_COLUMNS],
+    ("images", pa.list_(pa.string())),
+    ("external_images_count", pa.int64()),
+    ("latitude", pa.string()),
+    ("longitude", pa.string()),
+]
+
 PARSE_SCHEMA = pa.schema(
     [
         ("rowtype", pa.string()),  # 'link' | 'item' | 'image' | 'retry' | 'fail'
-        # link candidates
+        # link candidates (canonicalized + hashed in-task)
         ("url", pa.string()),
-        ("base", pa.string()),
+        ("canonical_url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("host_hash", pa.uint64()),
         ("depth", pa.int32()),
         ("seq_parent", pa.int64()),
         ("seq_link", pa.int32()),
         ("parent_url", pa.string()),
         ("callback", pa.string()),
         ("caption", pa.string()),
-        # retry markers / lineage
-        ("url_hash", pa.uint64()),
-        ("status", pa.int32()),
-        # raw item fields (extract.parse_detail_page output)
-        ("host", pa.string()),
-        ("seq", pa.int64()),
-        ("title", pa.string()),
-        ("property_type_raw", pa.string()),
-        ("rent_raw", pa.string()),
-        ("area_raw", pa.string()),
-        ("rooms_raw", pa.string()),
-        ("baths_raw", pa.string()),
-        ("address_raw", pa.string()),
-        ("date_raw", pa.string()),
-        ("energy_raw", pa.string()),
-        ("description_raw", pa.large_string()),
-        ("external_id", pa.string()),
-        ("latitude", pa.string()),
-        ("longitude", pa.string()),
-        ("images", pa.list_(pa.string())),
+        ("status", pa.int32()),  # retry/fail markers
+        *_ITEM_FIELDS,
         # image sink fields
         ("image_id", pa.string()),
         ("bytes", pa.large_binary()),
@@ -237,78 +220,63 @@ PARSE_SCHEMA = pa.schema(
     ]
 )
 
-import re as _re
-
+_ITEM_COLS = ["rowtype"] + [f[0] for f in _ITEM_FIELDS]
 _RE_CAPTION = _re.compile(r"<p>(.*?)</p>", _re.DOTALL)
 
 
-def _link_rows(row: dict, links: list[str], callback: str, depth: int,
-               seq_link_base: int, caption: str | None = None) -> list[dict]:
-    base = row["canonical_url"]
-    sp = int(row["seq"])
-    return [
-        {
-            "rowtype": "link",
-            "url": href,
-            "base": base,
-            "depth": depth,
-            "seq_parent": sp,
-            "seq_link": seq_link_base + j,
-            "parent_url": base,
-            "callback": callback,
-            "caption": caption,
-        }
-        for j, href in enumerate(links)
-    ]
+def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
+              round_no: int) -> pa.Table:
+    """M1 + M26/M27: one pass over fetched bodies → union rows.
 
-
-def _parse_fn(batch: pa.Table) -> pa.Table:
-    """M1: one pass over fetched bodies → union rows (see PARSE_SCHEMA)."""
+    Links are canonicalized + hashed here (in-task, distributed);
+    items are normalized + validity-filtered here; image rows are
+    decoded/phashed here and, when ``images_out_dir`` is set, written
+    straight to the round's parquet partition (bytes then stay out of
+    the driver entirely).
+    """
     out_rows: list[dict] = []
+    item_raws: list[dict] = []
+    link_raw: list[tuple] = []  # (url, base, depth, seq_parent, seq_link, callback, caption)
+    image_rows: list[dict] = []
     rows = batch.to_pylist()
     for row in rows:
         status = row["status"]
         kind = row["kind"]
         if status != 200:
-            if status in RETRY_HTTP_CODES and row["retry_count"] < MAX_RETRIES:
-                out_rows.append(
-                    {"rowtype": "retry", "url_hash": row["url_hash"], "status": status}
-                )
-            else:
-                out_rows.append(
-                    {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
-                )
+            marker = "retry" if (
+                status in RETRY_HTTP_CODES and row["retry_count"] < MAX_RETRIES
+            ) else "fail"
+            out_rows.append(
+                {"rowtype": marker, "url_hash": row["url_hash"], "status": status}
+            )
             continue
+        base = row["canonical_url"]
+        sp = int(row["seq"])
         if kind == "listing":
             links, nxt = parse_listing_links(row["body"])
-            cand = _link_rows(row, links, "populate_item", int(row["depth"]) + 1, 0)
+            for j, href in enumerate(links):
+                link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
+                                 "populate_item", None))
             if nxt:
-                # pagination stays level-1 (the next-page link is a sibling
-                # listing page, not a deeper level — 123wonen_nl.py:53-55)
-                cand += _link_rows(row, [nxt], "parse", int(row["depth"]), len(links))
-            out_rows.extend(cand)
+                # pagination stays level-1: the next-page link is a sibling
+                # listing page, not a deeper level (123wonen_nl.py:53-55)
+                link_raw.append((nxt, base, int(row["depth"]), sp, len(links),
+                                 "parse", None))
         elif kind == "detail":
             raw = parse_detail_page(row["body"])
             m = _RE_CAPTION.search(raw.get("description_raw") or "")
             caption = m.group(1) if m else None
-            out_rows.append(
-                {
-                    "rowtype": "item",
-                    "url": row["canonical_url"],
-                    "host": row["host"],
-                    "seq": int(row["seq"]),
-                    "caption": caption,
-                    **raw,
-                }
-            )
-            out_rows.extend(
-                _link_rows(row, raw["images"], "image", int(row["depth"]) + 1, 0,
-                           caption=caption)
-            )
+            raw["url"] = base
+            raw["host"] = row["host"]
+            raw["seq"] = sp
+            item_raws.append(raw)
+            for j, href in enumerate(raw["images"]):
+                link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
+                                 "image", caption))
         elif kind == "image":
             data = row["body"]
             px = decode(data, row["fmt"])
-            out_rows.append(
+            image_rows.append(
                 {
                     "rowtype": "image",
                     "image_id": f"{int(row['url_hash']):016x}",
@@ -321,10 +289,79 @@ def _parse_fn(batch: pa.Table) -> pa.Table:
                     "url": row["canonical_url"],
                 }
             )
-        else:  # 'missing' with status 200 cannot happen; robots not enqueued
+        else:
             out_rows.append(
                 {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
             )
+
+    # links: canonicalize + hash in one vectorized-ish pass
+    if link_raw:
+        canon_urls, hosts, uh, hh = canon.canonicalize_batch(
+            [l[0] for l in link_raw], [l[1] for l in link_raw]
+        )
+        for l, cu, h, u64, h64 in zip(link_raw, canon_urls, hosts, uh, hh):
+            out_rows.append(
+                {
+                    "rowtype": "link",
+                    "url": l[0],
+                    "canonical_url": cu,
+                    "url_hash": int(u64),
+                    "host": h,
+                    "host_hash": int(h64),
+                    "depth": l[2],
+                    "seq_parent": l[3],
+                    "seq_link": l[4],
+                    "parent_url": l[1],
+                    "callback": l[5],
+                    "caption": l[6],
+                }
+            )
+
+    # items: normalize (M26/M27) + validity filter (F1/F2) in-task
+    if item_raws:
+        df = pd.DataFrame(item_raws)
+        seps = [host_separators(cfg, h) for h in df["host"]]
+        df["thousand_separator"] = [s[0] for s in seps]
+        df["scale_separator"] = [s[1] for s in seps]
+        norm = normalize_items(df)
+        norm["position"] = df["seq"].to_numpy(dtype=np.int64)
+        valid = filter_valid_items(norm)
+        for rec in valid.to_dict("records"):
+            rec = {
+                k: (None if (not isinstance(v, (list, np.ndarray)) and pd.isna(v))
+                    else (list(v) if isinstance(v, np.ndarray) else v))
+                for k, v in rec.items()
+            }
+            rec["rowtype"] = "item"
+            out_rows.append(rec)
+
+    # images: stream to the partitioned sink, or carry bytes inline
+    if image_rows:
+        if images_out_dir is not None:
+            part_dir = os.path.join(images_out_dir, f"round_{round_no:04d}")
+            os.makedirs(part_dir, exist_ok=True)
+            sink_tbl = pa.table(
+                {
+                    "image_id": pa.array([r["image_id"] for r in image_rows], pa.string()),
+                    "bytes": pa.array([r["bytes"] for r in image_rows], pa.binary()),
+                    "w": pa.array([r["w"] for r in image_rows], pa.int32()),
+                    "h": pa.array([r["h"] for r in image_rows], pa.int32()),
+                    "fmt": pa.array([r["fmt"] for r in image_rows], pa.string()),
+                    "caption": pa.array([r["caption"] for r in image_rows], pa.string()),
+                    "phash": pa.array([r["phash"] for r in image_rows], pa.int64()),
+                }
+            )
+            # deterministic filename: first image id is unique per batch
+            pq.write_table(
+                sink_tbl, os.path.join(part_dir, f"part-{image_rows[0]['image_id']}.parquet")
+            )
+            for r in image_rows:
+                r = dict(r)
+                r.pop("bytes")  # bytes stay in the sink partition
+                out_rows.append(r)
+        else:
+            out_rows.extend(image_rows)
+
     return pa.Table.from_pylist(out_rows, schema=PARSE_SCHEMA)
 
 
@@ -335,9 +372,13 @@ class Crawler:
     Parameters
     ----------
     cfg : WorldConfig — the synthetic universe (a real-HTTP deployment
-        would swap the Fetcher's resolver; everything else is agnostic).
-    captions : caption corpus broadcast to fetch actors via ``ray.put``.
+        swaps the resolver inside fetch.get_world; everything else is
+        agnostic).
+    captions : caption corpus broadcast via ``ray.put`` (read once per
+        worker process).
     checkpoint_dir : per-round atomic state; None disables checkpoints.
+    images_out_dir : stream sink rows to per-round parquet partitions
+        from inside parse tasks (bytes never touch the driver).
     obey_robots : False reproduces the reference exactly
         (ROBOTSTXT_OBEY=False, settings.py:21); True enables the
         north-rule robots path.
@@ -351,33 +392,32 @@ class Crawler:
         captions: list[str] | None = None,
         *,
         checkpoint_dir: str | None = None,
+        images_out_dir: str | None = None,
         num_dedup_shards: int = 8,
         dedup_mode: str = "cuckoo",
         obey_robots: bool = True,
         round_window_ms: int = 60_000,
-        fetch_concurrency: int | tuple = (1, 8),
         fetch_batch_size: int = 512,
         max_rounds: int = 64,
         prefilter_threshold: int = 200_000,
-        keep_tables_in_memory: bool = True,
+        max_parallel_blocks: int = 64,
     ):
         self.cfg = cfg
         self.captions = captions or ["synthetic caption"]
         self.captions_ref = ray.put(self.captions)
         self.checkpoint_dir = checkpoint_dir
+        self.images_out_dir = images_out_dir
         self.dedup = ShardedDedup(num_dedup_shards, mode=dedup_mode)
         self.obey_robots = obey_robots
         self.round_window_ms = round_window_ms
-        self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
         self.max_rounds = max_rounds
         self.prefilter_threshold = prefilter_threshold
-        self.keep_tables_in_memory = keep_tables_in_memory
+        self.max_parallel_blocks = max_parallel_blocks
         self.lineage: list[dict] = []
         self.items_tables: list[pa.Table] = []
         self.images_tables: list[pa.Table] = []
         self.fetched_hashes: list[np.ndarray] = []
-        self._sep_cache: dict[str, tuple[str, str]] = {}
         self.start_round = 0
         self.frontier: pa.Table = _EMPTY_FRONTIER
 
@@ -462,15 +502,9 @@ class Crawler:
             "images": int(sum(t.num_rows for t in self.images_tables)),
         }
 
-    def _host_seps(self, host: str) -> tuple[str, str]:
-        s = self._sep_cache.get(host)
-        if s is None:
-            s = host_separators(self.cfg, host)
-            self._sep_cache[host] = s
-        return s
-
     def _nblocks(self, rows: int) -> int:
-        return int(np.clip(rows // max(self.fetch_batch_size, 1), 1, 64))
+        return int(np.clip(rows // max(self.fetch_batch_size, 1), 1,
+                           self.max_parallel_blocks))
 
     def _run_round(self, r: int) -> None:
         frontier = self.frontier
@@ -491,7 +525,7 @@ class Crawler:
         )
         deferred_pre = pd.DataFrame()
         if rows_in > self.prefilter_threshold:
-            # skew guard: keep only admissible top-k per host per batch in
+            # skew guard: only admissible top-k per host per batch enters
             # the shuffle; the rest defer in place (no shuffle for them)
             max_k = host_budget(
                 self.cfg.min_crawl_delay_ms if self.obey_robots else 100,
@@ -528,34 +562,42 @@ class Crawler:
             .map_groups(admit_group, batch_format="pandas")
             .to_arrow_refs()
         )
-        admit_df = pa.concat_tables(
-            admit_parts, promote_options="default"
-        ).to_pandas() if admit_parts else pd.DataFrame()
-        if len(admit_df) == 0:
+        admit_tbl = (
+            pa.concat_tables(admit_parts, promote_options="default")
+            if admit_parts
+            else None
+        )
+        if admit_tbl is None or admit_tbl.num_rows == 0:
             self.dedup.commit(np.empty(0, np.uint64))
             self.frontier = _EMPTY_FRONTIER
             self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
                                _EMPTY_FRONTIER, np.empty(0, np.uint64), None, None)
             return
-        # seen = attempted (admitted) ∪ robots-blocked; deferred rows stay
-        # unseen so they can compete again next round
+        adm_mask = admit_tbl["admitted"]
+        blk_mask = admit_tbl["blocked"]
+        # seen = attempted (admitted) ∪ robots-blocked; deferred stays unseen
         self.dedup.commit(
-            admit_df.loc[
-                admit_df["admitted"] | admit_df["blocked"], "url_hash"
-            ].to_numpy(dtype=np.uint64)
+            admit_tbl.filter(pc.or_(adm_mask, blk_mask))["url_hash"]
+            .to_numpy(zero_copy_only=False)
         )
-        admitted = admit_df[admit_df["admitted"]].drop(columns=["admitted", "blocked"])
-        blocked_n = int(admit_df["blocked"].sum())
-        deferred_grp = admit_df[~admit_df["admitted"] & ~admit_df["blocked"]].drop(
-            columns=["admitted", "blocked"]
+        admitted_tbl = (
+            admit_tbl.filter(adm_mask)
+            .drop_columns(["admitted", "blocked"])
+            .select(FRONTIER_SCHEMA.names)
+            .cast(FRONTIER_SCHEMA)
         )
-        rows_admitted = len(admitted)
-        rows_unique = len(admit_df) + len(deferred_pre)
+        deferred_grp = admit_tbl.filter(
+            pc.and_(pc.invert(adm_mask), pc.invert(blk_mask))
+        ).drop_columns(["admitted", "blocked"])
+        blocked_n = int(pc.sum(blk_mask).as_py() or 0)
+        rows_admitted = admitted_tbl.num_rows
+        rows_unique = admit_tbl.num_rows + len(deferred_pre)
 
-        # --- execution 3: fetch (actor pool) fused with parse (tasks)
-        admitted_tbl = pa.Table.from_pandas(
-            admitted, schema=FRONTIER_SCHEMA, preserve_index=False
-        )
+        # --- execution 3: fetch (session-cached tasks) fused with parse
+        if self.images_out_dir is not None:
+            part_dir = os.path.join(self.images_out_dir, f"round_{r:04d}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)  # incomplete prior attempt
         fetch_ds = rd.from_arrow(admitted_tbl)
         nb = self._nblocks(rows_admitted)
         if nb > 1:
@@ -563,65 +605,82 @@ class Crawler:
         parsed = pa.concat_tables(
             ray.get(
                 fetch_ds.map_batches(
-                    Fetcher,
-                    fn_constructor_kwargs={
+                    fetch_batch,
+                    fn_kwargs={
                         "cfg": self.cfg,
                         "captions_ref": self.captions_ref,
                     },
                     batch_format="pyarrow",
                     batch_size=self.fetch_batch_size,
-                    concurrency=self.fetch_concurrency,
-                    num_cpus=0.5,
                 )
-                .map_batches(_parse_fn, batch_format="pyarrow", batch_size=256)
+                .map_batches(
+                    _parse_fn,
+                    fn_kwargs={
+                        "cfg": self.cfg,
+                        "images_out_dir": self.images_out_dir,
+                        "round_no": r,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=self.fetch_batch_size,
+                )
                 .to_arrow_refs()
             ),
             promote_options="default",
         )
-        rowtype = parsed["rowtype"] if parsed.num_rows else pa.array([], pa.string())
-        links_df = parsed.filter(pc.equal(rowtype, "link")).to_pandas()
-        items_df = parsed.filter(pc.equal(rowtype, "item")).to_pandas()
-        images_df = parsed.filter(pc.equal(rowtype, "image")).to_pandas()
+        rowtype = parsed["rowtype"]  # schema present even when empty
+        links_tbl = parsed.filter(pc.equal(rowtype, "link"))
+        items_part = parsed.filter(pc.equal(rowtype, "item")).select(_ITEM_COLS[1:])
+        images_part = parsed.filter(pc.equal(rowtype, "image"))
         retry_hashes = parsed.filter(pc.equal(rowtype, "retry"))["url_hash"]
         rows_failed = int(pc.sum(pc.equal(rowtype, "fail")).as_py() or 0)
         fetched_hashes = admitted_tbl["url_hash"].to_numpy(zero_copy_only=False)
 
-        # --- items: normalize + validity filter (M27 + F1/F2)
-        items_tbl = None
-        if len(items_df):
-            items_df = items_df.copy()
-            seps = [self._host_seps(h) for h in items_df["host"]]
-            items_df["thousand_separator"] = [s[0] for s in seps]
-            items_df["scale_separator"] = [s[1] for s in seps]
-            norm = normalize_items(items_df)
-            norm["position"] = items_df["seq"].to_numpy(dtype=np.int64)
-            valid = filter_valid_items(norm)
-            if len(valid):
-                items_tbl = pa.Table.from_pandas(valid, preserve_index=False)
-                self.items_tables.append(items_tbl)
-
+        items_tbl = items_part if items_part.num_rows else None
+        if items_tbl is not None:
+            self.items_tables.append(items_tbl)
         images_tbl = None
-        if len(images_df):
+        if images_part.num_rows:
             images_tbl = pa.table(
                 {
-                    "image_id": pa.array(images_df["image_id"], pa.string()),
-                    "bytes": pa.array(list(images_df["bytes"]), pa.binary()),
-                    "w": pa.array(images_df["w"].astype("int32"), pa.int32()),
-                    "h": pa.array(images_df["h"].astype("int32"), pa.int32()),
-                    "fmt": pa.array(images_df["fmt"], pa.string()),
-                    "caption": pa.array(images_df["caption"], pa.string(), from_pandas=True),
-                    "phash": pa.array(images_df["phash"].astype("int64"), pa.int64()),
+                    "image_id": images_part["image_id"],
+                    "bytes": images_part["bytes"].cast(pa.binary()),
+                    "w": images_part["w"],
+                    "h": images_part["h"],
+                    "fmt": images_part["fmt"],
+                    "caption": images_part["caption"],
+                    "phash": images_part["phash"],
                 }
             )
             self.images_tables.append(images_tbl)
 
-        # --- next frontier: new links + retries + deferred
+        # --- next frontier: new links + retries + deferred (all Arrow)
         parts = []
-        new_cand = _candidates_to_frontier(
-            links_df.to_dict("records") if len(links_df) else []
-        )
-        if new_cand.num_rows:
-            parts.append(new_cand)
+        if links_tbl.num_rows:
+            n = links_tbl.num_rows
+            parts.append(
+                pa.table(
+                    {
+                        "url": links_tbl["url"],
+                        "canonical_url": links_tbl["canonical_url"],
+                        "url_hash": links_tbl["url_hash"],
+                        "host": links_tbl["host"],
+                        "host_hash": links_tbl["host_hash"],
+                        "depth": links_tbl["depth"].cast(pa.int8()),
+                        "priority": pa.array(np.zeros(n, np.int32), pa.int32()),
+                        "seq_parent": links_tbl["seq_parent"],
+                        "seq_link": links_tbl["seq_link"],
+                        "seq": pa.array(np.zeros(n, np.int64), pa.int64()),
+                        "parent_url": links_tbl["parent_url"],
+                        "round": pa.array(np.zeros(n, np.int32), pa.int32()),
+                        "callback": links_tbl["callback"],
+                        "meta": pa.nulls(n, FRONTIER_SCHEMA.field("meta").type),
+                        "form_body": pa.nulls(n, pa.binary()),
+                        "retry_count": pa.array(np.zeros(n, np.int32), pa.int32()),
+                        "skip_dedup": pa.array(np.zeros(n, bool), pa.bool_()),
+                        "caption": links_tbl["caption"],
+                    }
+                )
+            )
         if len(retry_hashes):
             retry_rows = admitted_tbl.filter(
                 pc.is_in(admitted_tbl["url_hash"], value_set=retry_hashes)
@@ -637,11 +696,13 @@ class Crawler:
                 pa.array(np.ones(retry_rows.num_rows, dtype=bool), pa.bool_()),
             )
             parts.append(retry_rows)
-        for df in (deferred_pre, deferred_grp):
-            if len(df):
-                parts.append(
-                    pa.Table.from_pandas(df, schema=FRONTIER_SCHEMA, preserve_index=False)
-                )
+        if len(deferred_pre):
+            parts.append(
+                pa.Table.from_pandas(deferred_pre, schema=FRONTIER_SCHEMA,
+                                     preserve_index=False)
+            )
+        if deferred_grp.num_rows:
+            parts.append(deferred_grp.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA))
         nxt = (
             assign_seq(
                 pa.concat_tables(
@@ -654,11 +715,10 @@ class Crawler:
         )
         self._finish_round(
             r, rows_in, rows_in - rows_unique, rows_admitted,
-            len(deferred_pre) + len(deferred_grp),
+            len(deferred_pre) + deferred_grp.num_rows,
             len(fetched_hashes) - len(retry_hashes), rows_failed + blocked_n,
             items_tbl.num_rows if items_tbl is not None else 0,
-            images_tbl.num_rows if images_tbl is not None else 0,
-            nxt, fetched_hashes, items_tbl, images_tbl,
+            images_part.num_rows, nxt, fetched_hashes, items_tbl, images_tbl,
         )
 
     def _finish_round(self, r, rows_in, deduped, admitted, deferred, fetched_ok,
@@ -689,11 +749,25 @@ class Crawler:
         return pa.concat_tables(self.items_tables, promote_options="default")
 
     def images_table(self) -> pa.Table:
+        """In-memory sink rows; when streaming to ``images_out_dir`` the
+        driver-held copy has a null ``bytes`` column — read the
+        partitions (``images_dataset``) for the full rows."""
+        if self.images_out_dir is not None:
+            files = []
+            for root, _dirs, names in os.walk(self.images_out_dir):
+                files += [os.path.join(root, f) for f in names if f.endswith(".parquet")]
+            if not files:
+                return IMAGES_SCHEMA.empty_table()
+            return pa.concat_tables(
+                [pq.read_table(f) for f in sorted(files)], promote_options="default"
+            )
         if not self.images_tables:
             return IMAGES_SCHEMA.empty_table()
         return pa.concat_tables(self.images_tables, promote_options="default")
 
     def images_dataset(self) -> rd.Dataset:
+        if self.images_out_dir is not None and os.path.isdir(self.images_out_dir):
+            return rd.read_parquet(self.images_out_dir)
         return rd.from_arrow(self.images_table())
 
     def lineage_table(self) -> pa.Table:

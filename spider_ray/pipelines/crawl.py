@@ -25,8 +25,8 @@ def run_crawl(
     checkpoint_dir: str | None = None,
     num_dedup_shards: int = 8,
     round_window_ms: int = 60_000,
-    fetch_concurrency=(1, 8),
     fetch_batch_size: int = 512,
+    images_out_dir: str | None = None,
 ) -> tuple[Crawler, dict]:
     captions = load_captions_from_documents(f"{sf_dir}/documents.parquet")
     cfg = WorldConfig(
@@ -41,8 +41,8 @@ def run_crawl(
         num_dedup_shards=num_dedup_shards,
         obey_robots=obey_robots,
         round_window_ms=round_window_ms,
-        fetch_concurrency=fetch_concurrency,
         fetch_batch_size=fetch_batch_size,
+        images_out_dir=images_out_dir,
     )
     stats = crawler.crawl(cfg.seeds())
     return crawler, stats

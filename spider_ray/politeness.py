@@ -46,6 +46,8 @@ from .synth import World, WorldConfig
 PER_DOMAIN_CONCURRENCY = 16  # settings.py:31
 AUTOTHROTTLE_START_DELAY_MS = 100  # settings.py:76 (0.1 s)
 
+_RULES_CACHE: dict = {}  # per-process robots cache, keyed by WorldConfig
+
 
 @dataclass
 class RobotsRules:
@@ -104,7 +106,10 @@ class PolitenessAdmit:
         self.world = World(cfg)  # robots fetches only; captions irrelevant
         self.window = round_window_ms
         self.obey = obey_robots
-        self.cache: dict[str, RobotsRules] = {}
+        # robots cache is per worker PROCESS (keyed by world config), so
+        # map_groups tasks across rounds reuse it — same amortization as
+        # actor state without per-execution actor churn
+        self.cache: dict[str, RobotsRules] = _RULES_CACHE.setdefault(cfg, {})
 
     def rules_for(self, host: str) -> RobotsRules:
         r = self.cache.get(host)
