@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline crawl pipeline over a synthetic world sized
+from $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line:
+
+  {"metric": "crawl_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "fetched_urls": F, "fetched_urls_per_sec": ...,
+   "frontier_rows": R, "frontier_rows_per_sec": ...}
+
+--scaling: run the same crawl twice in FRESH subprocesses at N and 4N
+CPUs (4 and 16 — see the comment in run_scaling) on the same input,
+print throughput at both plus the scaling efficiency (and a
+determinism cross-check of the final seen-set / fetch / sink counts).
+Results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Bench world: two listing levels, wide pages → ~68k fetches dominated
+# by the compute-bearing stages (detail parse+normalize, image
+# synth/encode/decode/phash) with a pagination round and a retry tail.
+BENCH_WORLD = dict(
+    num_hosts=256,
+    max_pages_per_host=1,
+    details_per_page=96,
+    obey_robots=True,
+    round_window_ms=600_000,  # ample budget: politeness on, no deferral tail
+    fetch_batch_size=512,
+    world_overrides=dict(images_per_detail=3, img_min_side=64, img_max_side=128),
+)
+
+BENCH_QUERIES = [
+    "agg_pricing",
+    "dedup_first",
+    "events_window",
+    "token_count",
+    "min_price_dual",
+    "ann_topk",
+    "exact_dedup_docs",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spider_ray.pipelines.crawl import run_crawl
+    from spider_ray.pipelines.queries import QUERIES
+
+    # warm the page cache / worker pool with one untimed small read
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    import shutil
+    import tempfile
+
+    # one warm-up pass primes Ray's worker pool + per-process session
+    # caches (measured pass reflects steady-state throughput, not
+    # interpreter spawn)
+    warm_dir = tempfile.mkdtemp(prefix="spider_bench_warm_")
+    run_crawl(SF_DIR, images_out_dir=warm_dir, **BENCH_WORLD)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    images_dir = tempfile.mkdtemp(prefix="spider_bench_images_")
+    t0 = time.perf_counter()
+    crawler, stats = run_crawl(SF_DIR, images_out_dir=images_dir, **BENCH_WORLD)
+    crawl_sec = time.perf_counter() - t0
+    frontier_rows = int(sum(r["rows_in"] for r in crawler.lineage))
+    result = {
+        "metric": "crawl_wall_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rounds": stats["rounds"],
+        "fetched_urls": stats["fetched"],
+        "fetched_urls_per_sec": round(stats["fetched"] / crawl_sec, 1),
+        "frontier_rows": frontier_rows,
+        "frontier_rows_per_sec": round(frontier_rows / crawl_sec, 1),
+        "images_written": stats["images"],
+        "items_emitted": stats["items"],
+        "seen_urls": stats["seen"],
+        "queries": {},
+    }
+    shutil.rmtree(images_dir, ignore_errors=True)
+
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        tq = time.perf_counter()
+        out = fn(SF_DIR)
+        # consume lazily-built datasets
+        if hasattr(out, "count"):
+            out.count()
+        result["queries"][name] = round(time.perf_counter() - tq, 3)
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # N vs 4N parallelism levels. 4/16 rather than 8/32: at 32-way this
+    # single VM saturates (raylet + driver + shard actors + host noise
+    # share the same 32 cores), which measures box contention, not the
+    # engine. 4→16 leaves scheduler headroom at both levels — the
+    # honest analog of N- and 4N-node clusters where each node brings
+    # its own cores.
+    lo, hi = 4, 16
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    deterministic = (
+        r_lo["seen_urls"] == r_hi["seen_urls"]
+        and r_lo["images_written"] == r_hi["images_written"]
+        and r_lo["fetched_urls"] == r_hi["fetched_urls"]
+        and r_lo["items_emitted"] == r_hi["items_emitted"]
+    )
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "fetched_per_sec_lo": r_lo["fetched_urls_per_sec"],
+        "fetched_per_sec_hi": r_hi["fetched_urls_per_sec"],
+        "frontier_rows_per_sec_lo": r_lo["frontier_rows_per_sec"],
+        "frontier_rows_per_sec_hi": r_hi["frontier_rows_per_sec"],
+        "deterministic_across_parallelism": deterministic,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

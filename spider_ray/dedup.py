@@ -138,8 +138,10 @@ class _ShardState:
         self.mode = mode
         self.exact: set[int] = set()
         self.filter = CuckooFilter(capacity) if mode == "cuckoo" else None
-        # round-scoped candidate registry: url_hash -> min (seq_parent, seq_link)
-        self.pending: dict[int, tuple[int, int]] = {}
+        # round-keyed candidate registries: round -> {url_hash: min key}.
+        # Keyed by round so round r's parse tasks can pre-register round
+        # r+1's links while r's registry is still live.
+        self.pending: dict[int, dict[int, tuple[int, int]]] = {}
 
     # ---- cross-round membership
     def seen_mask(self, hashes: np.ndarray) -> np.ndarray:
@@ -154,8 +156,9 @@ class _ShardState:
         )
 
     # ---- two-phase within-round first-wins
-    def register(self, hashes: np.ndarray, seq_parent: np.ndarray, seq_link: np.ndarray):
-        pend = self.pending
+    def register(self, hashes: np.ndarray, seq_parent: np.ndarray,
+                 seq_link: np.ndarray, round_no: int):
+        pend = self.pending.setdefault(round_no, {})
         for x, sp, sl in zip(hashes, seq_parent, seq_link):
             k = int(x)
             key = (int(sp), int(sl))
@@ -173,18 +176,18 @@ class _ShardState:
             self.filter.insert_many(np.array(new_hashes, dtype=np.uint64))
         return len(new_hashes)
 
-    def clear_pending(self) -> None:
-        self.pending.clear()
+    def clear_pending(self, round_no: int) -> None:
+        self.pending.pop(round_no, None)
 
     def winners(self, hashes: np.ndarray, seq_parent: np.ndarray,
-                seq_link: np.ndarray) -> np.ndarray:
+                seq_link: np.ndarray, round_no: int) -> np.ndarray:
         """Phase-2 query: True where this row's (seq_parent, seq_link)
-        equals the registered minimum for its URL. Callers AND this with
-        ``~seen_mask`` (earlier-round membership) — see
-        ``DedupShard.winners_and_seen``. Must run before
-        :meth:`commit_round` (commit clears the registry)."""
+        equals the registered minimum for its URL in this round's
+        registry. Callers AND this with ``~seen_mask`` (earlier-round
+        membership) — see ``DedupShard.winners_and_seen``. Must run
+        before commit clears the round's registry."""
         out = np.zeros(len(hashes), dtype=bool)
-        pend = self.pending
+        pend = self.pending.get(round_no, {})
         for j, (x, sp, sl) in enumerate(zip(hashes, seq_parent, seq_link)):
             k = int(x)
             best = pend.get(k)
@@ -218,24 +221,27 @@ class DedupShard:
     def seen_mask(self, hashes):
         return self.state.seen_mask(np.asarray(hashes, dtype=np.uint64))
 
-    def register(self, hashes, seq_parent, seq_link):
+    def register(self, hashes, seq_parent, seq_link, round_no):
         self.state.register(
             np.asarray(hashes, dtype=np.uint64),
             np.asarray(seq_parent),
             np.asarray(seq_link),
+            int(round_no),
         )
         return True
 
     def commit_hashes(self, hashes):
         return self.state.commit_hashes(np.asarray(hashes, dtype=np.uint64))
 
-    def clear_pending(self):
-        self.state.clear_pending()
+    def clear_pending(self, round_no):
+        self.state.clear_pending(int(round_no))
         return True
 
-    def winners_and_seen(self, hashes, seq_parent, seq_link):
+    def winners_and_seen(self, hashes, seq_parent, seq_link, round_no):
         h = np.asarray(hashes, dtype=np.uint64)
-        win = self.state.winners(h, np.asarray(seq_parent), np.asarray(seq_link))
+        win = self.state.winners(
+            h, np.asarray(seq_parent), np.asarray(seq_link), int(round_no)
+        )
         seen = self.state.seen_mask(h)
         return win & ~seen
 
@@ -272,7 +278,7 @@ class ShardedDedup:
     def _route(self, url_hash: np.ndarray) -> np.ndarray:
         return (url_hash % np.uint64(self.num_shards)).astype(np.int64)
 
-    def register_arrays(self, url_hash, seq_parent, seq_link) -> None:
+    def register_arrays(self, url_hash, seq_parent, seq_link, round_no) -> None:
         sid = self._route(url_hash)
         refs = []
         for s in range(self.num_shards):
@@ -280,12 +286,12 @@ class ShardedDedup:
             if m.any():
                 refs.append(
                     self.shards[s].register.remote(
-                        url_hash[m], seq_parent[m], seq_link[m]
+                        url_hash[m], seq_parent[m], seq_link[m], round_no
                     )
                 )
         ray.get(refs)
 
-    def winner_mask_arrays(self, url_hash, seq_parent, seq_link) -> np.ndarray:
+    def winner_mask_arrays(self, url_hash, seq_parent, seq_link, round_no) -> np.ndarray:
         sid = self._route(url_hash)
         out = np.zeros(len(url_hash), dtype=bool)
         refs, idxs = [], []
@@ -294,7 +300,7 @@ class ShardedDedup:
             if len(m):
                 refs.append(
                     self.shards[s].winners_and_seen.remote(
-                        url_hash[m], seq_parent[m], seq_link[m]
+                        url_hash[m], seq_parent[m], seq_link[m], round_no
                     )
                 )
                 idxs.append(m)
@@ -302,8 +308,8 @@ class ShardedDedup:
             out[m] = r
         return out
 
-    def commit(self, url_hash: np.ndarray) -> int:
-        """Mark fetched/blocked URLs seen and clear the round registry."""
+    def commit(self, url_hash: np.ndarray, round_no: int) -> int:
+        """Mark fetched/blocked URLs seen and drop the round's registry."""
         url_hash = np.asarray(url_hash, dtype=np.uint64)
         sid = self._route(url_hash)
         refs = []
@@ -312,7 +318,7 @@ class ShardedDedup:
             if m.any():
                 refs.append(self.shards[s].commit_hashes.remote(url_hash[m]))
         n = int(sum(ray.get(refs))) if refs else 0
-        ray.get([s.clear_pending.remote() for s in self.shards])
+        ray.get([s.clear_pending.remote(round_no) for s in self.shards])
         return n
 
     def seen_mask_arrays(self, url_hash: np.ndarray) -> np.ndarray:

@@ -4,15 +4,18 @@ Reference lifecycle (SURVEY.md §3): Scrapy's event loop interleaves
 schedule → dupefilter → fetch → parse → item pipeline continuously in
 one process, with ordering defined by async completion (not
 reproducible). The graft restructures this as an **iterative round
-loop** (SURVEY.md §2.9). Each round runs exactly THREE Ray Data
-executions:
+loop** (SURVEY.md §2.9). Each round runs exactly TWO Ray Data
+executions (dedup registration — phase 1 of the two-phase seen-set
+protocol — rides along inside the PREVIOUS round's parse tasks, which
+register the links they emit with the round-keyed shard registries;
+only seeds and re-competing deferred rows are registered by the driver
+directly):
 
-  1. register    — dedup phase 1: every candidate registers its
-                   (url_hash → min seq key) with its shard actor.
-                   Barrier (the seen-set protocol is two-phase).
-  2. admit       — dedup phase 2 winner filter → politeness groupby
-                   shuffle by host_hash → per-host budget admission.
-  3. fetch+parse — fetch tasks (per-worker session cache, see
+  1. admit       — dedup phase 2 winner filter → politeness admission,
+                   fused shuffle-free over host-aligned blocks (the
+                   groupby-shuffle path remains for frontiers too big
+                   to order on the driver).
+  2. fetch+parse — fetch tasks (per-worker session cache, see
                    fetch.get_world) fused with parse+normalize:
                    listing→canonicalized link candidates, detail→
                    normalized+validated items + image requests,
@@ -144,17 +147,90 @@ def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
 # ------------------------------------------------------------------ stages
 # Plain functions + fn_kwargs → stateless Ray tasks (no actor spin-up);
 # the ShardedDedup facade pickles its actor handles into each task.
-def _register_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
-    if batch.num_rows:
+def _register_table(dedup: ShardedDedup, tbl: pa.Table, round_no: int) -> None:
+    """Driver-side dedup registration for rows whose registration did not
+    ride along in a parse task (seeds, deferred, resume reload)."""
+    if tbl.num_rows:
         dedup.register_arrays(
-            batch["url_hash"].to_numpy(zero_copy_only=False),
-            batch["seq_parent"].to_numpy(zero_copy_only=False),
-            batch["seq_link"].to_numpy(zero_copy_only=False),
+            tbl["url_hash"].to_numpy(zero_copy_only=False),
+            tbl["seq_parent"].to_numpy(zero_copy_only=False),
+            tbl["seq_link"].to_numpy(zero_copy_only=False),
+            round_no,
         )
-    return batch.select(["url_hash"])  # tiny barrier output
 
 
-def _winner_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
+def _collect(ds: rd.Dataset) -> pa.Table:
+    """Execute once and concat blocks. materialize() first — a bare
+    to_arrow_refs() re-runs a limit-1 plan for .schema() afterwards."""
+    mat = ds.materialize()
+    if os.environ.get("SPIDER_RAY_STATS") == "1":
+        print(mat.stats())
+    tables = ray.get(mat.to_arrow_refs())
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _host_aligned_slices(frontier: pa.Table, nblocks: int) -> list[pa.Table]:
+    """Sort by (host_hash, seq) and slice into ≤nblocks tables, cutting
+    only at host boundaries — each host's candidates land whole in one
+    block, which is the precondition for shuffle-free admission."""
+    idx = pc.sort_indices(
+        frontier,
+        sort_keys=[("host_hash", "ascending"), ("seq", "ascending")],
+    )
+    t = frontier.take(idx)
+    n = t.num_rows
+    if nblocks <= 1 or n == 0:
+        return [t]
+    hh = t["host_hash"].to_numpy(zero_copy_only=False)
+    bounds = np.nonzero(np.diff(hh))[0] + 1  # positions where host changes
+    if len(bounds) == 0:
+        return [t]
+    targets = np.linspace(0, n, nblocks + 1)[1:-1]
+    cuts = sorted({int(bounds[min(np.searchsorted(bounds, x), len(bounds) - 1)])
+                   for x in targets})
+    cuts = [c for c in cuts if 0 < c < n]
+    out, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            out.append(t.slice(prev, c - prev))
+            prev = c
+    return out
+
+
+def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
+                     round_window_ms: int, obey_robots: bool,
+                     round_no: int) -> pa.Table:
+    """Fused dedup-phase-2 + politeness admission over one host-aligned
+    block (no shuffle): winner mask RPC to the shard actors, then the
+    per-host first-k budget kernel. Arrow-native throughout."""
+    from .politeness import admit_masks
+
+    empty_extra = batch.schema.append(pa.field("admitted", pa.bool_())).append(
+        pa.field("blocked", pa.bool_())
+    )
+    if not batch.num_rows:
+        return empty_extra.empty_table()
+    win = dedup.winner_mask_arrays(
+        batch["url_hash"].to_numpy(zero_copy_only=False),
+        batch["seq_parent"].to_numpy(zero_copy_only=False),
+        batch["seq_link"].to_numpy(zero_copy_only=False),
+        round_no,
+    )
+    keep = win | batch["skip_dedup"].to_numpy(zero_copy_only=False)
+    t = batch.filter(pa.array(keep))
+    if not t.num_rows:
+        return empty_extra.empty_table()
+    admit = PolitenessAdmit(cfg, round_window_ms, obey_robots)
+    admitted, blocked = admit_masks(
+        t["host"].to_pylist(), t["canonical_url"].to_pylist(),
+        admit.rules_for, round_window_ms, obey_robots,
+    )
+    return t.append_column("admitted", pa.array(admitted)).append_column(
+        "blocked", pa.array(blocked)
+    )
+
+
+def _winner_fn(batch: pa.Table, *, dedup: ShardedDedup, round_no: int) -> pa.Table:
     """Dedup phase 2: keep round winners not previously seen
     (``skip_dedup`` rows always pass — dont_filter semantics)."""
     if not batch.num_rows:
@@ -163,6 +239,7 @@ def _winner_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
         batch["url_hash"].to_numpy(zero_copy_only=False),
         batch["seq_parent"].to_numpy(zero_copy_only=False),
         batch["seq_link"].to_numpy(zero_copy_only=False),
+        round_no,
     )
     keep = win | batch["skip_dedup"].to_numpy(zero_copy_only=False)
     return batch.filter(pa.array(keep))
@@ -225,7 +302,7 @@ _RE_CAPTION = _re.compile(r"<p>(.*?)</p>", _re.DOTALL)
 
 
 def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
-              round_no: int) -> pa.Table:
+              round_no: int, dedup: ShardedDedup | None = None) -> pa.Table:
     """M1 + M26/M27: one pass over fetched bodies → union rows.
 
     Links are canonicalized + hashed here (in-task, distributed);
@@ -294,11 +371,21 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
             )
 
-    # links: canonicalize + hash in one vectorized-ish pass
+    # links: canonicalize + hash in one vectorized-ish pass; dedup
+    # phase-1 registration for the NEXT round rides along here (the
+    # shard registries are round-keyed, so this is race-free with the
+    # current round's winner queries)
     if link_raw:
         canon_urls, hosts, uh, hh = canon.canonicalize_batch(
             [l[0] for l in link_raw], [l[1] for l in link_raw]
         )
+        if dedup is not None:
+            dedup.register_arrays(
+                uh,
+                np.array([l[3] for l in link_raw], dtype=np.int64),
+                np.array([l[4] for l in link_raw], dtype=np.int32),
+                round_no + 1,
+            )
         for l, cu, h, u64, h64 in zip(link_raw, canon_urls, hosts, uh, hh):
             out_rows.append(
                 {
@@ -420,6 +507,10 @@ class Crawler:
         self.fetched_hashes: list[np.ndarray] = []
         self.start_round = 0
         self.frontier: pa.Table = _EMPTY_FRONTIER
+        # rows whose dedup registration the driver still owes (seeds,
+        # deferred re-competers, resume reload); links are registered by
+        # the parse tasks that emit them
+        self._to_register: pa.Table | None = None
 
     # ---------------- checkpoint plumbing
     def _round_dir(self, r: int) -> str:
@@ -484,12 +575,14 @@ class Crawler:
             if os.path.exists(fh):
                 self.fetched_hashes.append(np.load(fh))
         self.start_round = int(rounds[-1].split("_")[1]) + 1
+        self._to_register = self.frontier  # fresh actors: re-register all
         return True
 
     # ---------------- the loop
     def crawl(self, seed_urls: list[str]) -> dict:
         if self.frontier.num_rows == 0 and self.start_round == 0:
             self.frontier = assign_seq(make_seed_frontier(seed_urls), 0)
+            self._to_register = self.frontier
         r = self.start_round
         while self.frontier.num_rows and r < self.max_rounds:
             self._run_round(r)
@@ -507,68 +600,94 @@ class Crawler:
                            self.max_parallel_blocks))
 
     def _run_round(self, r: int) -> None:
+        import time as _time
+
+        _prof = os.environ.get("SPIDER_RAY_PROFILE") == "1"
+        _t = _time.perf_counter
+        _marks = [("start", _t())]
         frontier = self.frontier
         rows_in = frontier.num_rows
-        nblocks = self._nblocks(rows_in)
-        ds = rd.from_arrow(frontier)
-        if nblocks > 1:
-            ds = ds.repartition(nblocks)
+        use_local = rows_in <= self.prefilter_threshold
+        if use_local:
+            # host-aligned blocks (driver Arrow sort, ~ms): every block
+            # holds whole hosts, so winner-filter AND admission fuse into
+            # ONE shuffle-free task per block (the groupby path below is
+            # the at-scale fallback when the frontier can't sit on the
+            # driver)
+            blocks = _host_aligned_slices(frontier, self._nblocks(rows_in))
+            ds = rd.from_arrow(blocks)
+        else:
+            nblocks = self._nblocks(rows_in)
+            ds = rd.from_arrow(frontier)
+            if nblocks > 1:
+                ds = ds.repartition(nblocks)
 
-        # --- execution 1: dedup register (barrier)
-        ds.map_batches(
-            _register_fn, fn_kwargs={"dedup": self.dedup}, batch_format="pyarrow"
-        ).count()
+        # --- dedup phase 1 for rows not pre-registered by last round's
+        # parse tasks (seeds, deferred re-competers, resume reload)
+        if self._to_register is not None and self._to_register.num_rows:
+            _register_table(self.dedup, self._to_register, r)
+        self._to_register = None
+        _marks.append(("register", _t()))
 
-        # --- execution 2: winner filter → politeness admit
-        winners = ds.map_batches(
-            _winner_fn, fn_kwargs={"dedup": self.dedup}, batch_format="pyarrow"
-        )
+        # --- execution 1: winner filter → politeness admit
         deferred_pre = pd.DataFrame()
-        if rows_in > self.prefilter_threshold:
+        if use_local:
+            admit_tbl = _collect(
+                ds.map_batches(
+                    _winner_admit_fn,
+                    fn_kwargs={
+                        "dedup": self.dedup,
+                        "cfg": self.cfg,
+                        "round_window_ms": self.round_window_ms,
+                        "obey_robots": self.obey_robots,
+                        "round_no": r,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=None,  # whole host-aligned block per call
+                )
+            )
+        else:
+            winners = ds.map_batches(
+                _winner_fn,
+                fn_kwargs={"dedup": self.dedup, "round_no": r},
+                batch_format="pyarrow",
+            )
             # skew guard: only admissible top-k per host per batch enters
             # the shuffle; the rest defer in place (no shuffle for them)
             max_k = host_budget(
                 self.cfg.min_crawl_delay_ms if self.obey_robots else 100,
                 self.round_window_ms,
             )
-            pre_tbl = pa.concat_tables(
-                ray.get(
-                    winners.map_batches(
-                        prefilter_topk_per_host,
-                        fn_kwargs={"max_k": max_k},
-                        batch_format="pandas",
-                    ).to_arrow_refs()
-                ),
-                promote_options="default",
+            pre_tbl = _collect(
+                winners.map_batches(
+                    prefilter_topk_per_host,
+                    fn_kwargs={"max_k": max_k},
+                    batch_format="pandas",
+                )
             )
             pre = pre_tbl.to_pandas()
             deferred_pre = pre[pre["prefiltered_defer"]].drop(
                 columns=["prefiltered_defer"]
             )
-            winners = rd.from_pandas(
-                pre[~pre["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
+            admit = PolitenessAdmit(
+                self.cfg,
+                round_window_ms=self.round_window_ms,
+                obey_robots=self.obey_robots,
             )
-        admit = PolitenessAdmit(
-            self.cfg,
-            round_window_ms=self.round_window_ms,
-            obey_robots=self.obey_robots,
-        )
 
-        def admit_group(g: pd.DataFrame) -> pd.DataFrame:
-            return admit(g)
+            def admit_group(g: pd.DataFrame) -> pd.DataFrame:
+                return admit(g)
 
-        admit_parts = ray.get(
-            winners.groupby("host_hash")
-            .map_groups(admit_group, batch_format="pandas")
-            .to_arrow_refs()
-        )
-        admit_tbl = (
-            pa.concat_tables(admit_parts, promote_options="default")
-            if admit_parts
-            else None
-        )
-        if admit_tbl is None or admit_tbl.num_rows == 0:
-            self.dedup.commit(np.empty(0, np.uint64))
+            admit_tbl = _collect(
+                rd.from_pandas(
+                    pre[~pre["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
+                )
+                .groupby("host_hash")
+                .map_groups(admit_group, batch_format="pandas")
+            )
+        _marks.append(("admit", _t()))
+        if admit_tbl.num_rows == 0:
+            self.dedup.commit(np.empty(0, np.uint64), r)
             self.frontier = _EMPTY_FRONTIER
             self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
                                _EMPTY_FRONTIER, np.empty(0, np.uint64), None, None)
@@ -578,7 +697,8 @@ class Crawler:
         # seen = attempted (admitted) ∪ robots-blocked; deferred stays unseen
         self.dedup.commit(
             admit_tbl.filter(pc.or_(adm_mask, blk_mask))["url_hash"]
-            .to_numpy(zero_copy_only=False)
+            .to_numpy(zero_copy_only=False),
+            r,
         )
         admitted_tbl = (
             admit_tbl.filter(adm_mask)
@@ -602,31 +722,28 @@ class Crawler:
         nb = self._nblocks(rows_admitted)
         if nb > 1:
             fetch_ds = fetch_ds.repartition(nb)
-        parsed = pa.concat_tables(
-            ray.get(
-                fetch_ds.map_batches(
-                    fetch_batch,
-                    fn_kwargs={
-                        "cfg": self.cfg,
-                        "captions_ref": self.captions_ref,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=self.fetch_batch_size,
-                )
-                .map_batches(
-                    _parse_fn,
-                    fn_kwargs={
-                        "cfg": self.cfg,
-                        "images_out_dir": self.images_out_dir,
-                        "round_no": r,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=self.fetch_batch_size,
-                )
-                .to_arrow_refs()
-            ),
-            promote_options="default",
+        parsed = _collect(
+            fetch_ds.map_batches(
+                fetch_batch,
+                fn_kwargs={
+                    "cfg": self.cfg,
+                    "captions_ref": self.captions_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=self.fetch_batch_size,
+            ).map_batches(
+                _parse_fn,
+                fn_kwargs={
+                    "cfg": self.cfg,
+                    "images_out_dir": self.images_out_dir,
+                    "round_no": r,
+                    "dedup": self.dedup,
+                },
+                batch_format="pyarrow",
+                batch_size=self.fetch_batch_size,
+            )
         )
+        _marks.append(("fetch_parse", _t()))
         rowtype = parsed["rowtype"]  # schema present even when empty
         links_tbl = parsed.filter(pc.equal(rowtype, "link"))
         items_part = parsed.filter(pc.equal(rowtype, "item")).select(_ITEM_COLS[1:])
@@ -696,13 +813,20 @@ class Crawler:
                 pa.array(np.ones(retry_rows.num_rows, dtype=bool), pa.bool_()),
             )
             parts.append(retry_rows)
+        defer_parts = []
         if len(deferred_pre):
-            parts.append(
+            defer_parts.append(
                 pa.Table.from_pandas(deferred_pre, schema=FRONTIER_SCHEMA,
                                      preserve_index=False)
             )
         if deferred_grp.num_rows:
-            parts.append(deferred_grp.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA))
+            defer_parts.append(
+                deferred_grp.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+            )
+        parts.extend(defer_parts)
+        if defer_parts:
+            self._to_register = pa.concat_tables(defer_parts,
+                                                 promote_options="default")
         nxt = (
             assign_seq(
                 pa.concat_tables(
@@ -713,6 +837,13 @@ class Crawler:
             if parts
             else _EMPTY_FRONTIER
         )
+        _marks.append(("assemble", _t()))
+        if _prof:
+            deltas = {
+                _marks[i][0]: round(_marks[i][1] - _marks[i - 1][1], 2)
+                for i in range(1, len(_marks))
+            }
+            print(f"[prof] round {r} rows_in={rows_in} admitted={rows_admitted} {deltas}")
         self._finish_round(
             r, rows_in, rows_in - rows_unique, rows_admitted,
             len(deferred_pre) + deferred_grp.num_rows,

@@ -27,12 +27,14 @@ def run_crawl(
     round_window_ms: int = 60_000,
     fetch_batch_size: int = 512,
     images_out_dir: str | None = None,
+    world_overrides: dict | None = None,
 ) -> tuple[Crawler, dict]:
     captions = load_captions_from_documents(f"{sf_dir}/documents.parquet")
     cfg = WorldConfig(
         num_hosts=num_hosts,
         max_pages_per_host=max_pages_per_host,
         details_per_page=details_per_page,
+        **(world_overrides or {}),
     )
     crawler = Crawler(
         cfg,

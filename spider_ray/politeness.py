@@ -124,24 +124,52 @@ class PolitenessAdmit:
         return r
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        host = group["host"].iloc[0]
-        rules = self.rules_for(host)
-        g = group.sort_values("seq", kind="mergesort")  # seq = dense total order
-        from urllib.parse import urlsplit
+        return admit_frame(group, self.rules_for, self.window, self.obey)
 
-        if self.obey:
-            paths = g["canonical_url"].map(lambda u: urlsplit(u).path)
-            blocked = ~paths.map(rules.allows)
+
+def admit_masks(hosts, urls, rules_for, window_ms: int,
+                obey: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Core admission kernel over rows ALREADY sorted by (host_hash, seq)
+    with each host fully contained: per contiguous host segment, mark
+    robots-disallowed rows blocked and admit the first-k eligible rows.
+    Returns (admitted, blocked) bool arrays in input order."""
+    from urllib.parse import urlsplit
+
+    n = len(hosts)
+    admitted = np.zeros(n, dtype=bool)
+    blocked = np.zeros(n, dtype=bool)
+    start = 0
+    for end in range(1, n + 1):
+        if end < n and hosts[end] == hosts[start]:
+            continue
+        rules = rules_for(hosts[start])
+        if obey:
+            blk = np.fromiter(
+                (not rules.allows(urlsplit(u).path) for u in urls[start:end]),
+                dtype=bool, count=end - start,
+            )
         else:
-            blocked = pd.Series(False, index=g.index)
-        delay = rules.crawl_delay_ms if self.obey else AUTOTHROTTLE_START_DELAY_MS
-        k = host_budget(delay, self.window)
-        eligible = ~blocked
-        admitted = eligible & (eligible.cumsum() <= k)
-        g = g.copy()
-        g["admitted"] = admitted.to_numpy()
-        g["blocked"] = blocked.to_numpy()
-        return g
+            blk = np.zeros(end - start, dtype=bool)
+        delay = rules.crawl_delay_ms if obey else AUTOTHROTTLE_START_DELAY_MS
+        k = host_budget(delay, window_ms)
+        eligible = ~blk
+        admitted[start:end] = eligible & (np.cumsum(eligible) <= k)
+        blocked[start:end] = blk
+        start = end
+    return admitted, blocked
+
+
+def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
+                obey: bool) -> pd.DataFrame:
+    """pandas wrapper over :func:`admit_masks` (groupby/map_groups path)."""
+    g = df.sort_values(["host_hash", "seq"], kind="mergesort").copy()
+    admitted, blocked = admit_masks(
+        g["host"].to_numpy(), g["canonical_url"].to_numpy(),
+        rules_for, window_ms, obey,
+    )
+    g["admitted"] = admitted
+    g["blocked"] = blocked
+    return g
 
 
 def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int) -> pd.DataFrame:

@@ -72,12 +72,15 @@ def test_shard_state_two_phase():
     h = np.array([10, 10, 20], dtype=np.uint64)
     sp = np.array([5, 3, 1])
     sl = np.array([0, 2, 0])
-    st.register(h, sp, sl)
+    st.register(h, sp, sl, round_no=0)
     # min key wins within round for url 10 → (3, 2)
-    win = st.winners(h, sp, sl)
+    win = st.winners(h, sp, sl, round_no=0)
     assert win.tolist() == [False, True, True]
+    # a registration for the NEXT round must not disturb round 0
+    st.register(h[:1], sp[:1] - 5, sl[:1], round_no=1)
+    assert st.winners(h, sp, sl, round_no=0).tolist() == [False, True, True]
     st.commit_hashes(np.array([10], dtype=np.uint64))
-    st.clear_pending()
+    st.clear_pending(0)
     assert st.seen_mask(np.array([10, 20], dtype=np.uint64)).tolist() == [True, False]
     snap = st.snapshot()
     st2 = _ShardState(mode="cuckoo")
@@ -88,9 +91,9 @@ def test_shard_state_two_phase():
 def test_shard_state_cuckoo_confirms_exact():
     st = _ShardState(capacity=1 << 10, mode="cuckoo")
     keys = np.arange(100, dtype=np.uint64) * 7919
-    st.register(keys, np.zeros(100), np.arange(100))
+    st.register(keys, np.zeros(100), np.arange(100), round_no=0)
     st.commit_hashes(keys)
-    st.clear_pending()
+    st.clear_pending(0)
     assert st.seen_mask(keys).all()
     # cuckoo false positives are confirmed against the exact set → False
     probe = np.arange(100, dtype=np.uint64) * 104729 + 13
