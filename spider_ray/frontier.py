@@ -487,6 +487,7 @@ class Crawler:
         fetch_batch_size: int = 512,
         max_rounds: int = 64,
         prefilter_threshold: int = 200_000,
+        inline_threshold: int = 300,
         max_parallel_blocks: int = 64,
     ):
         self.cfg = cfg
@@ -500,6 +501,9 @@ class Crawler:
         self.fetch_batch_size = fetch_batch_size
         self.max_rounds = max_rounds
         self.prefilter_threshold = prefilter_threshold
+        # rounds at or below this many rows run their stage functions
+        # inline on the driver (identical semantics, no execution launch)
+        self.inline_threshold = min(inline_threshold, prefilter_threshold)
         self.max_parallel_blocks = max_parallel_blocks
         self.lineage: list[dict] = []
         self.items_tables: list[pa.Table] = []
@@ -631,7 +635,26 @@ class Crawler:
 
         # --- execution 1: winner filter → politeness admit
         deferred_pre = pd.DataFrame()
-        if use_local:
+        inline = rows_in <= self.inline_threshold
+        if inline:
+            # tiny round (seeds / retry tails): a Ray Data execution's
+            # launch latency exceeds the work — run the SAME stage
+            # functions inline on the driver (identical results)
+            admit_tbl = pa.concat_tables(
+                [
+                    _winner_admit_fn(
+                        b,
+                        dedup=self.dedup,
+                        cfg=self.cfg,
+                        round_window_ms=self.round_window_ms,
+                        obey_robots=self.obey_robots,
+                        round_no=r,
+                    )
+                    for b in blocks
+                ],
+                promote_options="default",
+            )
+        elif use_local:
             admit_tbl = _collect(
                 ds.map_batches(
                     _winner_admit_fn,
@@ -718,31 +741,40 @@ class Crawler:
             part_dir = os.path.join(self.images_out_dir, f"round_{r:04d}")
             if os.path.exists(part_dir):
                 shutil.rmtree(part_dir)  # incomplete prior attempt
-        fetch_ds = rd.from_arrow(admitted_tbl)
-        nb = self._nblocks(rows_admitted)
-        if nb > 1:
-            fetch_ds = fetch_ds.repartition(nb)
-        parsed = _collect(
-            fetch_ds.map_batches(
-                fetch_batch,
-                fn_kwargs={
-                    "cfg": self.cfg,
-                    "captions_ref": self.captions_ref,
-                },
-                batch_format="pyarrow",
-                batch_size=self.fetch_batch_size,
-            ).map_batches(
-                _parse_fn,
-                fn_kwargs={
-                    "cfg": self.cfg,
-                    "images_out_dir": self.images_out_dir,
-                    "round_no": r,
-                    "dedup": self.dedup,
-                },
-                batch_format="pyarrow",
-                batch_size=self.fetch_batch_size,
+        if inline:
+            fetched = fetch_batch(
+                admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref
             )
-        )
+            parsed = _parse_fn(
+                fetched, cfg=self.cfg, images_out_dir=self.images_out_dir,
+                round_no=r, dedup=self.dedup,
+            )
+        else:
+            fetch_ds = rd.from_arrow(admitted_tbl)
+            nb = self._nblocks(rows_admitted)
+            if nb > 1:
+                fetch_ds = fetch_ds.repartition(nb)
+            parsed = _collect(
+                fetch_ds.map_batches(
+                    fetch_batch,
+                    fn_kwargs={
+                        "cfg": self.cfg,
+                        "captions_ref": self.captions_ref,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=self.fetch_batch_size,
+                ).map_batches(
+                    _parse_fn,
+                    fn_kwargs={
+                        "cfg": self.cfg,
+                        "images_out_dir": self.images_out_dir,
+                        "round_no": r,
+                        "dedup": self.dedup,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=self.fetch_batch_size,
+                )
+            )
         _marks.append(("fetch_parse", _t()))
         rowtype = parsed["rowtype"]  # schema present even when empty
         links_tbl = parsed.filter(pc.equal(rowtype, "link"))
