@@ -23,7 +23,7 @@ from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 import numpy as np
 import pyarrow as pa
 
-from .hashing import xxh64_many
+from .hashing import xxh64, xxh64_many
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -87,6 +87,16 @@ def canonicalize_batch(
         uniq[k] = int(v)
     host_hash = np.fromiter((uniq[h] for h in hosts), dtype=np.uint64, count=len(hosts))
     return canon, hosts, url_hash, host_hash
+
+
+def request_fingerprint(canonical_url: str, form_body: bytes | None = None) -> int:
+    """Dedup key: xxh64 over the canonical URL, extended with the POST
+    body when present — Scrapy's request fingerprint hashes
+    method+URL+body (SURVEY.md ST1), so two POSTs to the same URL with
+    different form data are distinct frontier entries."""
+    if form_body:
+        return xxh64(canonical_url.encode("utf-8") + b"\x00" + form_body)
+    return xxh64(canonical_url)
 
 
 def add_frontier_keys(batch: pa.Table, url_col: str = "url") -> pa.Table:

@@ -92,14 +92,19 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
         if "retry_count" in batch.column_names
         else [0] * len(urls)
     )
+    bodies_in = (
+        batch["form_body"].to_pylist()
+        if "form_body" in batch.column_names
+        else [None] * len(urls)
+    )
     statuses = np.empty(len(urls), dtype=np.int32)
     kinds: list[str] = []
     bodies: list[bytes] = []
     fmts: list[str] = []
     latencies = np.empty(len(urls), dtype=np.int32)
     total_sleep = 0.0
-    for j, (u, rc) in enumerate(zip(urls, retries)):
-        page = world.resolve(u, attempt=rc or 0)
+    for j, (u, rc, fb) in enumerate(zip(urls, retries, bodies_in)):
+        page = world.resolve(u, attempt=rc or 0, form_body=fb)
         statuses[j] = page.status
         kinds.append(page.kind)
         bodies.append(page.body)

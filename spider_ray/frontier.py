@@ -85,14 +85,26 @@ _EMPTY_FRONTIER = FRONTIER_SCHEMA.empty_table()
 
 
 # ------------------------------------------------------------------ frontier rows
-def make_seed_frontier(seed_urls: list[str]) -> pa.Table:
+def make_seed_frontier(seeds: list) -> pa.Table:
     """Seed rows (S1): depth 0, seq_parent −1, seq_link = list position —
-    the analog of ``start_requests`` order (basic.tmpl:21-24)."""
-    n = len(seed_urls)
-    canon_urls, hosts, uh, hh = canon.canonicalize_batch(seed_urls)
+    the analog of ``start_requests`` order (basic.tmpl:21-24).
+
+    A seed is either a plain URL string (GET) or a dict
+    ``{url, form_body?, meta?}`` — the FormRequest analog
+    (spiders/31plusvastgoed_nl.py:36-40); POST seeds fingerprint over
+    url+body.
+    """
+    n = len(seeds)
+    urls = [s if isinstance(s, str) else s["url"] for s in seeds]
+    forms = [None if isinstance(s, str) else s.get("form_body") for s in seeds]
+    metas = [None if isinstance(s, str) else s.get("meta") for s in seeds]
+    canon_urls, hosts, uh, hh = canon.canonicalize_batch(urls)
+    for j, fb in enumerate(forms):
+        if fb:
+            uh[j] = np.uint64(canon.request_fingerprint(canon_urls[j], fb))
     return pa.table(
         {
-            "url": pa.array(seed_urls, pa.string()),
+            "url": pa.array(urls, pa.string()),
             "canonical_url": pa.array(canon_urls, pa.string()),
             "url_hash": pa.array(uh, pa.uint64()),
             "host": pa.array(hosts, pa.string()),
@@ -105,8 +117,8 @@ def make_seed_frontier(seed_urls: list[str]) -> pa.Table:
             "parent_url": pa.array([None] * n, pa.string()),
             "round": pa.array([0] * n, pa.int32()),
             "callback": pa.array(["parse"] * n, pa.string()),
-            "meta": pa.array([None] * n, FRONTIER_SCHEMA.field("meta").type),
-            "form_body": pa.array([None] * n, pa.binary()),
+            "meta": pa.array(metas, FRONTIER_SCHEMA.field("meta").type),
+            "form_body": pa.array(forms, pa.binary()),
             "retry_count": pa.array([0] * n, pa.int32()),
             "skip_dedup": pa.array([False] * n, pa.bool_()),
             "caption": pa.array([None] * n, pa.string()),
@@ -285,6 +297,10 @@ PARSE_SCHEMA = pa.schema(
         ("parent_url", pa.string()),
         ("callback", pa.string()),
         ("caption", pa.string()),
+        ("form_body", pa.large_binary()),  # POST pagination (S3/ST10)
+        ("meta_page", pa.int32()),
+        ("meta_skip", pa.int32()),
+        ("meta_take", pa.int32()),
         ("status", pa.int32()),  # retry/fail markers
         *_ITEM_FIELDS,
         # image sink fields
@@ -333,12 +349,30 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
             links, nxt = parse_listing_links(row["body"])
             for j, href in enumerate(links):
                 link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
-                                 "populate_item", None))
+                                 "populate_item", None, None, None, None, None))
             if nxt:
                 # pagination stays level-1: the next-page link is a sibling
                 # listing page, not a deeper level (123wonen_nl.py:53-55)
                 link_raw.append((nxt, base, int(row["depth"]), sp, len(links),
-                                 "parse", None))
+                                 "parse", None, None, None, None, None))
+        elif kind == "api":
+            # form-POST JSON search response (S4): detail links + a
+            # next-page POST to the SAME url with bumped skip (ST10 meta
+            # carry); has_more=False terminates the chain (O2)
+            data = json.loads(row["body"])
+            for j, href in enumerate(data["results"]):
+                link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
+                                 "populate_item", None, None, None, None, None))
+            if data["has_more"]:
+                nskip = data["skip"] + data["take"]
+                meta = row.get("meta") or {}
+                page = (meta.get("page") or 1) + 1
+                link_raw.append(
+                    (row["url"], base, int(row["depth"]), sp,
+                     len(data["results"]), "parse", None,
+                     f"skip={nskip}&take={data['take']}".encode(),
+                     page, nskip, data["take"])
+                )
         elif kind == "detail":
             raw = parse_detail_page(row["body"])
             m = _RE_CAPTION.search(raw.get("description_raw") or "")
@@ -349,7 +383,7 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
             item_raws.append(raw)
             for j, href in enumerate(raw["images"]):
                 link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
-                                 "image", caption))
+                                 "image", caption, None, None, None, None))
         elif kind == "image":
             data = row["body"]
             px = decode(data, row["fmt"])
@@ -379,6 +413,11 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         canon_urls, hosts, uh, hh = canon.canonicalize_batch(
             [l[0] for l in link_raw], [l[1] for l in link_raw]
         )
+        # POST requests fingerprint over url+body (ST1 request-fingerprint
+        # semantics) — two POSTs to the same url are distinct entries
+        for j, l in enumerate(link_raw):
+            if l[7]:
+                uh[j] = np.uint64(canon.request_fingerprint(canon_urls[j], l[7]))
         if dedup is not None:
             dedup.register_arrays(
                 uh,
@@ -401,6 +440,10 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                     "parent_url": l[1],
                     "callback": l[5],
                     "caption": l[6],
+                    "form_body": l[7],
+                    "meta_page": l[8],
+                    "meta_skip": l[9],
+                    "meta_take": l[10],
                 }
             )
 
@@ -822,8 +865,16 @@ class Crawler:
                         "parent_url": links_tbl["parent_url"],
                         "round": pa.array(np.zeros(n, np.int32), pa.int32()),
                         "callback": links_tbl["callback"],
-                        "meta": pa.nulls(n, FRONTIER_SCHEMA.field("meta").type),
-                        "form_body": pa.nulls(n, pa.binary()),
+                        "meta": pa.StructArray.from_arrays(
+                            [
+                                links_tbl["meta_page"].combine_chunks(),
+                                pa.nulls(n, pa.string()),
+                                links_tbl["meta_skip"].combine_chunks(),
+                                links_tbl["meta_take"].combine_chunks(),
+                            ],
+                            names=["page", "property_type", "skip", "take"],
+                        ),
+                        "form_body": links_tbl["form_body"].cast(pa.binary()),
                         "retry_count": pa.array(np.zeros(n, np.int32), pa.int32()),
                         "skip_dedup": pa.array(np.zeros(n, bool), pa.bool_()),
                         "caption": links_tbl["caption"],

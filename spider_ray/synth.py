@@ -95,13 +95,34 @@ class WorldConfig:
     max_crawl_delay_ms: int = 2000
     img_min_side: int = 24
     img_max_side: int = 64
+    # % of hosts whose listings are served by a form-POST JSON search API
+    # (FormRequest pagination with skip/take — 2,514 reference spiders,
+    # spiders/31plusvastgoed_nl.py:19-24,36-40; S3/S4/O2/ST10)
+    api_host_pct: int = 0
     seed: int = 42
 
     def host(self, i: int) -> str:
         return f"h{i}.test"
 
-    def seeds(self) -> list[str]:
-        return [f"http://{self.host(i)}/list?page=1" for i in range(self.num_hosts)]
+    def is_api_host(self, i: int) -> bool:
+        return splitmix64(xxh64(f"api:{self.seed}:{i}")) % 100 < self.api_host_pct
+
+    def seeds(self) -> list:
+        """Seed list. Plain hosts seed a GET listing URL (str); API hosts
+        seed a POST search request (dict with form_body + paging meta)."""
+        out = []
+        for i in range(self.num_hosts):
+            if self.is_api_host(i):
+                out.append(
+                    {
+                        "url": f"http://{self.host(i)}/api/search",
+                        "form_body": f"skip=0&take={self.details_per_page}".encode(),
+                        "meta": {"page": 1, "skip": 0, "take": self.details_per_page},
+                    }
+                )
+            else:
+                out.append(f"http://{self.host(i)}/list?page=1")
+        return out
 
     def pages_for_host(self, i: int) -> int:
         return 1 + splitmix64(xxh64(f"pages:{self.seed}:{i}")) % self.max_pages_per_host
@@ -293,7 +314,8 @@ class World:
             return -1
         return i if 0 <= i < self.cfg.num_hosts else -1
 
-    def resolve(self, url: str, attempt: int = 0) -> Page:
+    def resolve(self, url: str, attempt: int = 0,
+                form_body: bytes | None = None) -> Page:
         cfg = self.cfg
         from urllib.parse import parse_qs, urlsplit
 
@@ -304,6 +326,29 @@ class World:
         if i < 0:
             return Page(url, 404, "missing", latency_ms=latency)
         path = parts.path
+
+        if path == "/api/search":
+            # form-POST JSON search API (S3/S4): skip/take pagination,
+            # has_more=False is the empty-expansion terminator (O2)
+            if not cfg.is_api_host(i) or form_body is None:
+                return Page(url, 404, "missing", latency_ms=latency)
+            import json as _json
+
+            params = parse_qs(form_body.decode("utf-8", "replace"))
+            skip = int(params.get("skip", ["0"])[0])
+            take = max(1, int(params.get("take", ["8"])[0]))
+            total = cfg.pages_for_host(i) * cfg.details_per_page
+            base_k = i * (cfg.max_pages_per_host * cfg.details_per_page)
+            results = []
+            for off in range(skip, min(skip + take, total)):
+                k = base_k + off
+                pfx = "/private" if _h(cfg, "priv", k) % 100 < cfg.private_pct else ""
+                results.append(f"{pfx}/prop/{k}")
+            body = _json.dumps(
+                {"results": results, "skip": skip, "take": take,
+                 "has_more": skip + take < total}
+            ).encode()
+            return Page(url, 200, "api", body, "application/json", latency)
 
         if path == "/robots.txt":
             delay = cfg.crawl_delay_ms(host)

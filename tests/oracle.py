@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
-from spider_ray.canon import canonicalize, host_of
+from spider_ray.canon import canonicalize, host_of, request_fingerprint
 from spider_ray.extract import parse_detail_page, parse_listing_links
 from spider_ray.hashing import xxh64
 from spider_ray.imaging import decode, phash
@@ -49,12 +49,18 @@ class _Cand:
     caption: str | None = None
     retry_count: int = 0
     skip_dedup: bool = False
+    form_body: bytes | None = None
+    page: int = 1
     seq: int = -1
+
+    @property
+    def fingerprint(self) -> int:
+        return request_fingerprint(self.canonical, self.form_body)
 
 
 @dataclass
 class OracleResult:
-    fetch_log: list[tuple[int, str]] = field(default_factory=list)  # (round, url)
+    fetch_log: list[tuple] = field(default_factory=list)  # (round, url, fingerprint)
     seen: set[int] = field(default_factory=set)  # url_hash values
     items: list[dict] = field(default_factory=list)
     images: list[dict] = field(default_factory=list)
@@ -77,10 +83,19 @@ class OracleCrawler:
 
     def crawl(self, seed_urls: list[str]) -> OracleResult:
         res = OracleResult()
-        frontier = [
-            _Cand(u, canonicalize(u), host_of(canonicalize(u)), 0, -1, i, "parse")
-            for i, u in enumerate(seed_urls)
-        ]
+        frontier = []
+        for i, seed in enumerate(seed_urls):
+            if isinstance(seed, str):
+                url, form, page = seed, None, 1
+            else:
+                url = seed["url"]
+                form = seed.get("form_body")
+                page = (seed.get("meta") or {}).get("page", 1)
+            cu = canonicalize(url)
+            frontier.append(
+                _Cand(url, cu, host_of(cu), 0, -1, i, "parse",
+                      form_body=form, page=page)
+            )
         robots_cache: dict[str, object] = {}
         r = 0
         while frontier and r < self.max_rounds:
@@ -93,7 +108,7 @@ class OracleCrawler:
             unique: list[_Cand] = []
             in_round: set[int] = set()
             for c in frontier:
-                h = xxh64(c.canonical)
+                h = c.fingerprint
                 if c.skip_dedup:
                     unique.append(c)
                     continue
@@ -112,28 +127,45 @@ class OracleCrawler:
                     robots_cache[c.host] = self._robots(c.host)
                 rules = robots_cache[c.host]
                 if self.obey and not rules.allows(urlsplit(c.canonical).path):
-                    res.seen.add(xxh64(c.canonical))  # blocked
+                    res.seen.add(c.fingerprint)  # blocked
                     continue
                 delay = rules.crawl_delay_ms if self.obey else AUTOTHROTTLE_START_DELAY_MS
                 k = host_budget(delay, self.window)
                 if taken.get(c.host, 0) < k:
                     taken[c.host] = taken.get(c.host, 0) + 1
                     admitted.append(c)
-                    res.seen.add(xxh64(c.canonical))
+                    res.seen.add(c.fingerprint)
                 else:
                     deferred.append(c)
             # fetch + parse in seq order
             nxt: list[_Cand] = list(deferred)
             for c in admitted:
-                res.fetch_log.append((r, c.canonical))
-                page = self.world.resolve(c.canonical, attempt=c.retry_count)
+                res.fetch_log.append((r, c.canonical, c.fingerprint))
+                page = self.world.resolve(c.canonical, attempt=c.retry_count,
+                                          form_body=c.form_body)
                 if page.status != 200:
                     if page.status in RETRY_HTTP_CODES and c.retry_count < MAX_RETRIES:
                         c.retry_count += 1
                         c.skip_dedup = True
                         nxt.append(c)
                     continue
-                if page.kind == "listing":
+                if page.kind == "api":
+                    import json as _json
+
+                    data = _json.loads(page.body)
+                    for j, href in enumerate(data["results"]):
+                        nxt.append(self._child(c, href, "populate_item",
+                                               c.depth + 1, j))
+                    if data["has_more"]:
+                        nskip = data["skip"] + data["take"]
+                        child = self._child(c, c.canonical, "parse", c.depth,
+                                            len(data["results"]))
+                        child.form_body = (
+                            f"skip={nskip}&take={data['take']}".encode()
+                        )
+                        child.page = c.page + 1
+                        nxt.append(child)
+                elif page.kind == "listing":
                     links, nxt_page = parse_listing_links(page.body)
                     for j, href in enumerate(links):
                         nxt.append(self._child(c, href, "populate_item", c.depth + 1, j))

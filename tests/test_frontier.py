@@ -41,11 +41,9 @@ def _fetch_sets(crawler):
 
 
 def _oracle_fetch_sets(ores):
-    from spider_ray.hashing import xxh64
-
     rounds = {}
-    for r, url in ores.fetch_log:
-        rounds.setdefault(r, set()).add(xxh64(url))
+    for r, _url, fp in ores.fetch_log:
+        rounds.setdefault(r, set()).add(fp)
     return [frozenset(rounds.get(i, set())) for i in range(max(rounds) + 1)] if rounds else []
 
 
