@@ -912,6 +912,75 @@ FROM embeddings
 """
 
 
+# synthetic fx table — J4 broadcast-rates lookup (helper.py:453-485);
+# rates in milli-units so cent conversion is pure integer math (no
+# float-rounding drift between the Ray side and the SQL oracle)
+_FX_RATES_MILLI = {
+    "EUR": 1000, "GBP": 1170, "USD": 920, "AUD": 600, "TRY": 27, "CHF": 1050,
+}
+
+
+def q_fx_convert(sf_dir: str):
+    """J4 — fx-rate broadcast lookup: currency from the M8 cycle, rent
+    from o_totalprice, converted to EUR cents via a rates dict shipped
+    once with ray.put."""
+    rates_ref = ray.put(_FX_RATES_MILLI)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        rates = ray.get(rates_ref)
+        keys = b["o_orderkey"].to_pylist()
+        rents = [int(v) for v in b["o_totalprice"].to_pylist()]
+        curs = [
+            extract.currency_parser(
+                f"{_CURRENCY_CYCLE[k % 5]} x",
+                "rentals-australia.test" if k % 2 == 0 else "rentals-us.test",
+            )
+            for k in keys
+        ]
+        cents = [(r * rates[c]) // 10 for r, c in zip(rents, curs)]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "currency": pa.array(curs, pa.string()),
+                "eur_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FX_CONVERT = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS rent,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'EUR' WHEN 1 THEN 'GBP'
+           WHEN 2 THEN CASE WHEN o_orderkey % 2 = 0 THEN 'AUD' ELSE 'USD' END
+           WHEN 3 THEN 'TRY' ELSE 'CHF' END AS currency
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, currency,
+       CAST((rent * CASE currency
+              WHEN 'EUR' THEN 1000 WHEN 'GBP' THEN 1170 WHEN 'USD' THEN 920
+              WHEN 'AUD' THEN 600 WHEN 'TRY' THEN 27 ELSE 1050 END) // 10
+            AS BIGINT) AS eur_cents
+FROM c
+"""
+
+
+def q_hll_distinct(sf_dir: str):
+    """A4 scale path — approximate distinct count via mergeable per-batch
+    HyperLogLog sketches (exact at shard level in the engine; the sketch
+    is the 10^10-scale fleet aggregate). Deterministic estimate;
+    rows-only driver check (accuracy asserted in tests/test_ops.py)."""
+    from ..ops.sketches import distinct_count_approx
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    est = distinct_count_approx(ds, "l_orderkey", p=12)
+    return pa.table({"approx_distinct_orderkeys": pa.array([int(round(est))], pa.int64())})
+
+
 # =============================================================== non-SQL ops
 def q_minhash_lsh_dedup(sf_dir: str):
     """MinHash+LSH near-dup pairs (rows-only driver check; recall vs the
@@ -1066,7 +1135,9 @@ QUERIES = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_norm": (q_embedding_norm, SQL_EMBEDDING_NORM),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "fx_convert": (q_fx_convert, SQL_FX_CONVERT),
     # non-SQL-expressible (driver rows-only check)
+    "hll_distinct": (q_hll_distinct, None),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, None),
     "simhash": (q_simhash, None),
     "langid": (q_langid, None),

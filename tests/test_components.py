@@ -171,3 +171,28 @@ def test_world_transient_failure_then_success():
     p0 = w.resolve("http://h0.test/prop/1", attempt=0)
     p1 = w.resolve("http://h0.test/prop/1", attempt=1)
     assert p0.status == 503 and p1.status == 200
+
+
+def test_sink_write_read_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from spider_ray.schema import IMAGES_SCHEMA
+    from spider_ray.sink import read_images, write_images
+
+    tbl = pa.table(
+        {
+            "image_id": ["a", "b"],
+            "bytes": [b"\x89PNGxx", b"\x89PNGyy"],
+            "w": pa.array([4, 5], pa.int32()),
+            "h": pa.array([4, 5], pa.int32()),
+            "fmt": ["png", "qpng"],
+            "caption": ["c1", "c2"],
+            "phash": pa.array([1, -2], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "sink")
+    fmt = write_images(tbl, out)
+    assert fmt in ("lance", "parquet")
+    back = read_images(out).to_pandas()
+    assert sorted(back["image_id"]) == ["a", "b"]
+    assert set(back.columns) >= set(IMAGES_SCHEMA.names)

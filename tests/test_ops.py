@@ -175,3 +175,52 @@ def test_multimodal_stubs_raise(ray_session):
     dec = DecodeStats(strict=True)
     with pytest.raises(NotImplementedError):
         dec(pa.table({"bytes": [b"xx"], "fmt": ["jpeg"]}))
+
+
+def test_hyperloglog_accuracy_and_merge(ray_session):
+    from spider_ray.ops.sketches import HyperLogLog, distinct_count_approx
+
+    h = HyperLogLog(12)
+    h.add_values(range(50_000))
+    assert abs(h.estimate() - 50_000) / 50_000 < 0.05
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_values(range(0, 30_000))
+    b.add_values(range(20_000, 50_000))
+    merged = a.merge(b)
+    assert merged.estimate() == h.estimate()  # same registers → same estimate
+    rt = HyperLogLog.deserialize(merged.serialize())
+    assert rt.estimate() == merged.estimate()
+
+    ds = rd.from_items([{"k": i % 1000} for i in range(5000)])
+    est = distinct_count_approx(ds, "k", p=12)
+    assert abs(est - 1000) / 1000 < 0.1
+
+
+def test_verify_images_stage(ray_session):
+    """spider_ray.verify.VerifyImages — the streamed sink validation
+    stage (the analog of the reference's remote validate API)."""
+    from spider_ray.frontier import Crawler
+    from spider_ray.synth import WorldConfig
+    from spider_ray.verify import VerifyImages
+
+    cfg = WorldConfig(num_hosts=2, max_pages_per_host=1, details_per_page=3)
+    captions = ["alpha caption", "beta caption"]
+    c = Crawler(cfg, captions, num_dedup_shards=2)
+    c.crawl(cfg.seeds())
+    tbl = c.images_table()
+    assert tbl.num_rows > 0
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            VerifyImages,
+            fn_constructor_kwargs={"cfg": cfg, "captions": captions},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert out["phash_ok"].all()
+    assert out["caption_ok"].all()
+    assert out["pixels_ok"].all()
+    assert (out.loc[out["fmt"] != "png", "psnr_db"] >= 40.0).all()
