@@ -33,12 +33,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # synth/encode/decode/phash) with a pagination round and a retry tail.
 BENCH_WORLD = dict(
     num_hosts=256,
-    max_pages_per_host=1,
-    details_per_page=96,
+    max_pages_per_host=2,
+    details_per_page=64,
     obey_robots=True,
     round_window_ms=600_000,  # ample budget: politeness on, no deferral tail
     fetch_batch_size=512,
-    world_overrides=dict(images_per_detail=3, img_min_side=64, img_max_side=128),
+    world_overrides=dict(images_per_detail=3, img_min_side=64, img_max_side=128,
+                         api_host_pct=25),  # a quarter of hosts paginate via POST
 )
 
 BENCH_QUERIES = [
