@@ -308,8 +308,11 @@ class ShardedDedup:
             out[m] = r
         return out
 
-    def commit(self, url_hash: np.ndarray, round_no: int) -> int:
-        """Mark fetched/blocked URLs seen and drop the round's registry."""
+    def push_commit(self, url_hash: np.ndarray) -> int:
+        """Mark URLs seen WITHOUT clearing a registry — safe to call from
+        parallel tasks (set insert is order-independent). The round's
+        registry is dropped separately via :meth:`clear_round` once every
+        push has completed."""
         url_hash = np.asarray(url_hash, dtype=np.uint64)
         sid = self._route(url_hash)
         refs = []
@@ -317,8 +320,15 @@ class ShardedDedup:
             m = sid == s
             if m.any():
                 refs.append(self.shards[s].commit_hashes.remote(url_hash[m]))
-        n = int(sum(ray.get(refs))) if refs else 0
+        return int(sum(ray.get(refs))) if refs else 0
+
+    def clear_round(self, round_no: int) -> None:
         ray.get([s.clear_pending.remote(round_no) for s in self.shards])
+
+    def commit(self, url_hash: np.ndarray, round_no: int) -> int:
+        """Mark fetched/blocked URLs seen and drop the round's registry."""
+        n = self.push_commit(url_hash)
+        self.clear_round(round_no)
         return n
 
     def seen_mask_arrays(self, url_hash: np.ndarray) -> np.ndarray:

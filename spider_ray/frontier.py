@@ -97,7 +97,7 @@ def make_seed_frontier(seeds: list) -> pa.Table:
     n = len(seeds)
     urls = [s if isinstance(s, str) else s["url"] for s in seeds]
     forms = [None if isinstance(s, str) else s.get("form_body") for s in seeds]
-    metas = [None if isinstance(s, str) else s.get("meta") for s in seeds]
+    metas = [({} if isinstance(s, str) else (s.get("meta") or {})) for s in seeds]
     canon_urls, hosts, uh, hh = canon.canonicalize_batch(urls)
     for j, fb in enumerate(forms):
         if fb:
@@ -117,7 +117,12 @@ def make_seed_frontier(seeds: list) -> pa.Table:
             "parent_url": pa.array([None] * n, pa.string()),
             "round": pa.array([0] * n, pa.int32()),
             "callback": pa.array(["parse"] * n, pa.string()),
-            "meta": pa.array(metas, FRONTIER_SCHEMA.field("meta").type),
+            "meta_page": pa.array([m.get("page") for m in metas], pa.int32()),
+            "meta_skip": pa.array([m.get("skip") for m in metas], pa.int32()),
+            "meta_take": pa.array([m.get("take") for m in metas], pa.int32()),
+            "meta_property_type": pa.array(
+                [m.get("property_type") for m in metas], pa.string()
+            ),
             "form_body": pa.array(forms, pa.binary()),
             "retry_count": pa.array([0] * n, pa.int32()),
             "skip_dedup": pa.array([False] * n, pa.bool_()),
@@ -302,6 +307,11 @@ PARSE_SCHEMA = pa.schema(
         ("meta_skip", pa.int32()),
         ("meta_take", pa.int32()),
         ("status", pa.int32()),  # retry/fail markers
+        # carried frontier state (retry rows are self-contained: the next
+        # frontier rebuilds them without joining back to the input)
+        ("priority", pa.int32()),
+        ("retry_count", pa.int32()),
+        ("skip_dedup", pa.bool_()),
         *_ITEM_FIELDS,
         # image sink fields
         ("image_id", pa.string()),
@@ -318,7 +328,8 @@ _RE_CAPTION = _re.compile(r"<p>(.*?)</p>", _re.DOTALL)
 
 
 def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
-              round_no: int, dedup: ShardedDedup | None = None) -> pa.Table:
+              round_no: int, dedup: ShardedDedup | None = None,
+              items_out_dir: str | None = None) -> pa.Table:
     """M1 + M26/M27: one pass over fetched bodies → union rows.
 
     Links are canonicalized + hashed here (in-task, distributed);
@@ -336,12 +347,37 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         status = row["status"]
         kind = row["kind"]
         if status != 200:
-            marker = "retry" if (
-                status in RETRY_HTTP_CODES and row["retry_count"] < MAX_RETRIES
-            ) else "fail"
-            out_rows.append(
-                {"rowtype": marker, "url_hash": row["url_hash"], "status": status}
-            )
+            if status in RETRY_HTTP_CODES and row["retry_count"] < MAX_RETRIES:
+                out_rows.append(
+                    {
+                        "rowtype": "retry",
+                        "status": status,
+                        "url": row["url"],
+                        "canonical_url": row["canonical_url"],
+                        "url_hash": row["url_hash"],
+                        "host": row["host"],
+                        "host_hash": row["host_hash"],
+                        "depth": int(row["depth"]),
+                        "seq_parent": row["seq_parent"],
+                        "seq_link": row["seq_link"],
+                        "parent_url": row["parent_url"],
+                        "callback": row["callback"],
+                        "caption": row["caption"],
+                        "form_body": row["form_body"],
+                        "meta_page": row.get("meta_page"),
+                        "meta_skip": row.get("meta_skip"),
+                        "meta_take": row.get("meta_take"),
+                        "priority": row["priority"],
+                        # bumped here; re-injected with dont_filter
+                        # semantics (ST4 — retry middleware)
+                        "retry_count": row["retry_count"] + 1,
+                        "skip_dedup": True,
+                    }
+                )
+            else:
+                out_rows.append(
+                    {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
+                )
             continue
         base = row["canonical_url"]
         sp = int(row["seq"])
@@ -365,8 +401,7 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                                  "populate_item", None, None, None, None, None))
             if data["has_more"]:
                 nskip = data["skip"] + data["take"]
-                meta = row.get("meta") or {}
-                page = (meta.get("page") or 1) + 1
+                page = (row.get("meta_page") or 1) + 1
                 link_raw.append(
                     (row["url"], base, int(row["depth"]), sp,
                      len(data["results"]), "parse", None,
@@ -456,14 +491,27 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         norm = normalize_items(df)
         norm["position"] = df["seq"].to_numpy(dtype=np.int64)
         valid = filter_valid_items(norm)
-        for rec in valid.to_dict("records"):
-            rec = {
-                k: (None if (not isinstance(v, (list, np.ndarray)) and pd.isna(v))
-                    else (list(v) if isinstance(v, np.ndarray) else v))
-                for k, v in rec.items()
-            }
-            rec["rowtype"] = "item"
-            out_rows.append(rec)
+        if items_out_dir is not None and len(valid):
+            # stream items to the round's parquet partition (resumable
+            # layout, same as images); emit only count markers
+            part_dir = os.path.join(items_out_dir, f"round_{round_no:04d}")
+            os.makedirs(part_dir, exist_ok=True)
+            items_tbl = pa.Table.from_pandas(valid, preserve_index=False)
+            first_pos = int(valid["position"].iloc[0])
+            pq.write_table(
+                items_tbl, os.path.join(part_dir, f"part-{first_pos:012d}.parquet")
+            )
+            for u in valid["external_link"]:
+                out_rows.append({"rowtype": "item", "url": u})
+        else:
+            for rec in valid.to_dict("records"):
+                rec = {
+                    k: (None if (not isinstance(v, (list, np.ndarray)) and pd.isna(v))
+                        else (list(v) if isinstance(v, np.ndarray) else v))
+                    for k, v in rec.items()
+                }
+                rec["rowtype"] = "item"
+                out_rows.append(rec)
 
     # images: stream to the partitioned sink, or carry bytes inline
     if image_rows:
@@ -493,6 +541,48 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
             out_rows.extend(image_rows)
 
     return pa.Table.from_pylist(out_rows, schema=PARSE_SCHEMA)
+
+
+
+def parse_rows_to_frontier(tbl: pa.Table, *, is_retry: bool) -> pa.Table:
+    """Parse-output rows (rowtype 'link' or 'retry') → frontier-schema
+    table, fully vectorized (Arrow column ops only)."""
+    n = tbl.num_rows
+    if n == 0:
+        return _EMPTY_FRONTIER
+    if is_retry:
+        priority = tbl["priority"].combine_chunks()
+        retry_count = tbl["retry_count"].combine_chunks()
+        skip_dedup = tbl["skip_dedup"].combine_chunks()
+    else:
+        priority = pa.array(np.zeros(n, np.int32), pa.int32())
+        retry_count = pa.array(np.zeros(n, np.int32), pa.int32())
+        skip_dedup = pa.array(np.zeros(n, bool), pa.bool_())
+    return pa.table(
+        {
+            "url": tbl["url"],
+            "canonical_url": tbl["canonical_url"],
+            "url_hash": tbl["url_hash"],
+            "host": tbl["host"],
+            "host_hash": tbl["host_hash"],
+            "depth": tbl["depth"].cast(pa.int8()),
+            "priority": priority,
+            "seq_parent": tbl["seq_parent"],
+            "seq_link": tbl["seq_link"],
+            "seq": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "parent_url": tbl["parent_url"],
+            "round": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "callback": tbl["callback"],
+            "meta_page": tbl["meta_page"],
+            "meta_skip": tbl["meta_skip"],
+            "meta_take": tbl["meta_take"],
+            "meta_property_type": pa.nulls(n, pa.string()),
+            "form_body": tbl["form_body"].cast(pa.binary()),
+            "retry_count": retry_count,
+            "skip_dedup": skip_dedup,
+            "caption": tbl["caption"],
+        }
+    ).cast(FRONTIER_SCHEMA)
 
 
 # ------------------------------------------------------------------ crawler
@@ -823,7 +913,7 @@ class Crawler:
         links_tbl = parsed.filter(pc.equal(rowtype, "link"))
         items_part = parsed.filter(pc.equal(rowtype, "item")).select(_ITEM_COLS[1:])
         images_part = parsed.filter(pc.equal(rowtype, "image"))
-        retry_hashes = parsed.filter(pc.equal(rowtype, "retry"))["url_hash"]
+        n_retries = int(pc.sum(pc.equal(rowtype, "retry")).as_py() or 0)
         rows_failed = int(pc.sum(pc.equal(rowtype, "fail")).as_py() or 0)
         fetched_hashes = admitted_tbl["url_hash"].to_numpy(zero_copy_only=False)
 
@@ -848,54 +938,12 @@ class Crawler:
         # --- next frontier: new links + retries + deferred (all Arrow)
         parts = []
         if links_tbl.num_rows:
-            n = links_tbl.num_rows
-            parts.append(
-                pa.table(
-                    {
-                        "url": links_tbl["url"],
-                        "canonical_url": links_tbl["canonical_url"],
-                        "url_hash": links_tbl["url_hash"],
-                        "host": links_tbl["host"],
-                        "host_hash": links_tbl["host_hash"],
-                        "depth": links_tbl["depth"].cast(pa.int8()),
-                        "priority": pa.array(np.zeros(n, np.int32), pa.int32()),
-                        "seq_parent": links_tbl["seq_parent"],
-                        "seq_link": links_tbl["seq_link"],
-                        "seq": pa.array(np.zeros(n, np.int64), pa.int64()),
-                        "parent_url": links_tbl["parent_url"],
-                        "round": pa.array(np.zeros(n, np.int32), pa.int32()),
-                        "callback": links_tbl["callback"],
-                        "meta": pa.StructArray.from_arrays(
-                            [
-                                links_tbl["meta_page"].combine_chunks(),
-                                pa.nulls(n, pa.string()),
-                                links_tbl["meta_skip"].combine_chunks(),
-                                links_tbl["meta_take"].combine_chunks(),
-                            ],
-                            names=["page", "property_type", "skip", "take"],
-                        ),
-                        "form_body": links_tbl["form_body"].cast(pa.binary()),
-                        "retry_count": pa.array(np.zeros(n, np.int32), pa.int32()),
-                        "skip_dedup": pa.array(np.zeros(n, bool), pa.bool_()),
-                        "caption": links_tbl["caption"],
-                    }
-                )
-            )
-        if len(retry_hashes):
-            retry_rows = admitted_tbl.filter(
-                pc.is_in(admitted_tbl["url_hash"], value_set=retry_hashes)
-            )
-            idx = retry_rows.schema.get_field_index("retry_count")
-            bumped = pc.add(retry_rows["retry_count"], 1).cast(pa.int32())
-            retry_rows = retry_rows.set_column(idx, "retry_count", bumped)
-            # retries bypass the seen-set like the reference's retry
-            # middleware re-injecting with dont_filter=True (ST4)
-            sd = retry_rows.schema.get_field_index("skip_dedup")
-            retry_rows = retry_rows.set_column(
-                sd, "skip_dedup",
-                pa.array(np.ones(retry_rows.num_rows, dtype=bool), pa.bool_()),
-            )
-            parts.append(retry_rows)
+            parts.append(parse_rows_to_frontier(links_tbl, is_retry=False))
+        retry_tbl = parsed.filter(pc.equal(rowtype, "retry"))
+        if retry_tbl.num_rows:
+            # self-contained retry rows (retry_count bumped + skip_dedup
+            # set in the parse task — ST4 dont_filter re-injection)
+            parts.append(parse_rows_to_frontier(retry_tbl, is_retry=True))
         defer_parts = []
         if len(deferred_pre):
             defer_parts.append(
@@ -930,7 +978,7 @@ class Crawler:
         self._finish_round(
             r, rows_in, rows_in - rows_unique, rows_admitted,
             len(deferred_pre) + deferred_grp.num_rows,
-            len(fetched_hashes) - len(retry_hashes), rows_failed + blocked_n,
+            len(fetched_hashes) - n_retries, rows_failed + blocked_n,
             items_tbl.num_rows if items_tbl is not None else 0,
             images_part.num_rows, nxt, fetched_hashes, items_tbl, images_tbl,
         )

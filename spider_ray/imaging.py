@@ -47,15 +47,19 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 → PNG bytes (color type 2, bit depth 8, filter 0)."""
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (color type 2, bit depth 8, filter 0).
+
+    ``level`` is the zlib effort — any level yields a valid, losslessly
+    round-tripping PNG; the synthetic world uses a low level (its encode
+    cost simulates the SERVER, not the engine)."""
     assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
     h, w, _ = pixels.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 per scanline
     raw[:, 1:] = pixels.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), level)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -92,10 +96,10 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
-def encode_qpng(pixels: np.ndarray) -> bytes:
+def encode_qpng(pixels: np.ndarray, level: int = 6) -> bytes:
     """Lossy stand-in encode: quantize to step 8 (mid-rise) then PNG-store."""
     q = (pixels.astype(np.uint16) // _QUANT_STEP) * _QUANT_STEP + _QUANT_STEP // 2
-    return encode_png(np.minimum(q, 255).astype(np.uint8))
+    return encode_png(np.minimum(q, 255).astype(np.uint8), level)
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:

@@ -15,15 +15,10 @@ from __future__ import annotations
 import pyarrow as pa
 
 # ---------------------------------------------------------------- frontier
-META_STRUCT = pa.struct(
-    [
-        ("page", pa.int32()),
-        ("property_type", pa.string()),
-        ("skip", pa.int32()),
-        ("take", pa.int32()),
-    ]
-)
-
+# request.meta continuation state (ST10) is FLATTENED into plain
+# columns — "meta propagation becomes ordinary columns carried through
+# map_batches" (SURVEY.md §1.3); a nested struct would also defeat
+# Ray Data's sort/shuffle kernels.
 FRONTIER_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -45,7 +40,10 @@ FRONTIER_SCHEMA = pa.schema(
         ("parent_url", pa.string()),
         ("round", pa.int32()),
         ("callback", pa.string()),  # 'parse' | 'populate_item' | 'image'
-        ("meta", META_STRUCT),
+        ("meta_page", pa.int32()),
+        ("meta_skip", pa.int32()),
+        ("meta_take", pa.int32()),
+        ("meta_property_type", pa.string()),
         ("form_body", pa.binary()),
         ("retry_count", pa.int32()),
         ("skip_dedup", pa.bool_()),  # dont_filter=True (spiders/15walmer.py:112)

@@ -176,7 +176,10 @@ def image_fmt(cfg: WorldConfig, image_key: str) -> str:
 def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]:
     px = image_pixels(cfg, image_key)
     fmt = image_fmt(cfg, image_key)
-    data = encode_qpng(px) if fmt == FMT_QPNG else encode_png(px)
+    # level 2: the encode simulates the remote web SERVER producing the
+    # bytes — deterministic at any level, and the engine-side work
+    # (decode/phash/verify) is unaffected
+    data = encode_qpng(px, level=2) if fmt == FMT_QPNG else encode_png(px, level=2)
     return data, fmt, px.shape[1], px.shape[0]
 
 

@@ -1,0 +1,81 @@
+"""StreamingCrawler (spider_ray.frontier_stream) must be semantically
+identical to the driver-mode Crawler: same seen-set, same per-round
+fetch counts, same item/image outputs — on GET worlds, POST/API worlds
+and deferral-heavy windows."""
+
+import pytest
+
+from spider_ray.frontier import Crawler
+from spider_ray.frontier_stream import StreamingCrawler
+from spider_ray.synth import WorldConfig
+
+CAPTIONS = [f"caption {i}" for i in range(5)]
+
+
+def _driver_run(cfg, window=60_000):
+    c = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                round_window_ms=window)
+    res = c.crawl(cfg.seeds())
+    seen = set()
+    for snap in c.dedup.snapshot():
+        seen.update(int(x) for x in snap)
+    return c, res, seen
+
+
+def _stream_run(cfg, tmp_path, window=60_000):
+    s = StreamingCrawler(cfg, CAPTIONS, work_dir=str(tmp_path / "work"),
+                         num_dedup_shards=4, obey_robots=True,
+                         round_window_ms=window)
+    res = s.crawl(cfg.seeds())
+    return s, res, s.seen_set()
+
+
+@pytest.mark.parametrize("api_pct,window", [(0, 60_000), (100, 60_000), (0, 3_000)])
+def test_streaming_equals_driver_mode(ray_session, tmp_path, api_pct, window):
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15,
+                      api_host_pct=api_pct)
+    dc, dres, dseen = _driver_run(cfg, window)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, window)
+
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["items"] == dres["items"]
+    assert sres["images"] == dres["images"]
+    # per-round admitted counts line up
+    d_admits = [row["rows_admitted"] for row in dc.lineage]
+    s_admits = [row["rows_admitted"] for row in sc.lineage]
+    assert s_admits == d_admits
+
+    # sink rows identical (ids + phashes + captions)
+    dimg = dc.images_table().to_pydict()
+    simg = sc.images_dataset().to_pandas()
+    d_rows = dict(zip(dimg["image_id"], zip(dimg["phash"], dimg["caption"])))
+    s_rows = dict(zip(simg["image_id"], zip(simg["phash"], simg["caption"])))
+    assert s_rows == d_rows
+
+    # item rows identical (link + rent + position)
+    ditems = dc.items_table()
+    if ditems.num_rows:
+        dset = set(
+            zip(
+                ditems.column("external_link").to_pylist(),
+                ditems.column("rent").to_pylist(),
+                ditems.column("position").to_pylist(),
+            )
+        )
+        sitems = sc.items_dataset().to_pandas()
+        sset = set(zip(sitems["external_link"], sitems["rent"], sitems["position"]))
+        assert sset == dset
+
+
+def test_streaming_frontier_partitions_on_disk(ray_session, tmp_path):
+    import os
+
+    cfg = WorldConfig(num_hosts=2, max_pages_per_host=1, details_per_page=3)
+    sc, res, _ = _stream_run(cfg, tmp_path)
+    rounds = sorted(os.listdir(sc.frontier_root))
+    assert len(rounds) >= res["rounds"]  # one partition dir per round
+    assert all(r.startswith("round_") for r in rounds)
+    # seen snapshots checkpointed per round
+    assert len(os.listdir(sc.seen_dir)) == res["rounds"]
