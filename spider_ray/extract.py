@@ -480,6 +480,28 @@ def normalize_items(df: pd.DataFrame) -> pd.DataFrame:
     out["available_date"] = df["date_raw"].map(
         lambda s: parse_date_with_year_bump(s) if s else None
     )
+    # zipcode/city split out of the address tail (loaders.py address
+    # processors analog); landlord contact pulled from the RAW
+    # description BEFORE description_cleaner strips it (M20 removes
+    # emails/phones from the public text, the landlord_* fields keep it)
+    zc = df["address_raw"].map(
+        lambda s: _RE_ZIP_CITY.search(s) if s else None
+    )
+    out["zipcode"] = zc.map(lambda m: m.group(1) if m else None)
+    out["city"] = zc.map(lambda m: m.group(2) if m else None)
+    out["landlord_email"] = df["description_raw"].map(
+        lambda s: (m.group(0) if (m := _RE_EMAIL_ONE.search(s or "")) else None)
+    )
+    out["landlord_phone"] = df["description_raw"].map(
+        lambda s: (m.group(0).strip() if (m := _RE_PHONE_ONE.search(
+            strip_tags(s or ""))) else None)
+    )
+    # fields the synthetic world doesn't carry stay null (schema parity
+    # with ListingItem — items.py:8-56)
+    for col in ("floor", "deposit", "prepaid_rent", "utilities",
+                "water_cost", "heating_cost", "landlord_name"):
+        out[col] = None
+    out["floor_plan_images"] = [[] for _ in range(len(df))]
     out["energy_label"] = df["energy_raw"].map(
         lambda s: energy_label(extract_number_only(s)) if s else None
     )
@@ -494,6 +516,9 @@ def normalize_items(df: pd.DataFrame) -> pd.DataFrame:
 
 
 _RE_SQFT = re.compile(r"sq\.?\s*ft", re.IGNORECASE)
+_RE_ZIP_CITY = re.compile(r",\s*(\d{4,5})\s+(\S+)\s*$")
+_RE_EMAIL_ONE = re.compile(r"[\w.+-]+@[\w.-]+")
+_RE_PHONE_ONE = re.compile(r"\+?\d[\d\s()./-]{6,}\d")
 
 
 def _area_to_sqm(s: str | None) -> int | None:

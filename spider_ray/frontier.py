@@ -282,9 +282,21 @@ _ITEM_FIELDS = [
     ("energy_label", pa.string()),
     *[(c, pa.bool_()) for c in AMENITY_COLUMNS],
     ("images", pa.list_(pa.string())),
+    ("floor_plan_images", pa.list_(pa.string())),
     ("external_images_count", pa.int64()),
     ("latitude", pa.string()),
     ("longitude", pa.string()),
+    ("city", pa.string()),
+    ("zipcode", pa.string()),
+    ("floor", pa.string()),
+    ("deposit", pa.int64()),
+    ("prepaid_rent", pa.int64()),
+    ("utilities", pa.int64()),
+    ("water_cost", pa.int64()),
+    ("heating_cost", pa.int64()),
+    ("landlord_name", pa.string()),
+    ("landlord_phone", pa.string()),
+    ("landlord_email", pa.string()),
 ]
 
 PARSE_SCHEMA = pa.schema(

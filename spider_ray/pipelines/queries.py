@@ -1067,6 +1067,22 @@ def q_ann_topk_lsh(sf_dir: str):
     return pa.Table.from_pandas(df[["query_id", "vec_id", "rank"]], preserve_index=False)
 
 
+def q_crawl_items(sf_dir: str):
+    """The crawl's item output — normalized + validated ListingItem rows
+    (items.py:8-56 shape; rows-only, full invariants in pytest)."""
+    from .crawl import run_crawl
+
+    crawler, _ = run_crawl(sf_dir, num_hosts=4, max_pages_per_host=2,
+                           details_per_page=3)
+    tbl = crawler.items_table()
+    return tbl.select(
+        ["external_link", "external_source", "external_id", "position",
+         "property_type", "rent", "currency", "square_meters", "room_count",
+         "city", "zipcode", "available_date", "energy_label",
+         "external_images_count"]
+    )
+
+
 def q_crawl_images(sf_dir: str):
     """The flagship crawl itself at small scale → the Lance-shape
     image+caption sink table (rows-only; full invariants in pytest)."""
@@ -1143,6 +1159,7 @@ QUERIES = {
     "langid": (q_langid, None),
     "fingerprint": (q_fingerprint, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "crawl_items": (q_crawl_items, None),
     "crawl_images": (q_crawl_images, None),
     "multimodal_decode": (q_multimodal_decode, None),
 }
