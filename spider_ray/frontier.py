@@ -241,6 +241,7 @@ def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
     admitted, blocked = admit_masks(
         t["host"].to_pylist(), t["canonical_url"].to_pylist(),
         admit.rules_for, round_window_ms, obey_robots,
+        priority=t["priority"].to_numpy(zero_copy_only=False),
     )
     return t.append_column("admitted", pa.array(admitted)).append_column(
         "blocked", pa.array(blocked)

@@ -128,16 +128,20 @@ class PolitenessAdmit:
 
 
 def admit_masks(hosts, urls, rules_for, window_ms: int,
-                obey: bool) -> tuple[np.ndarray, np.ndarray]:
+                obey: bool, priority=None) -> tuple[np.ndarray, np.ndarray]:
     """Core admission kernel over rows ALREADY sorted by (host_hash, seq)
     with each host fully contained: per contiguous host segment, mark
-    robots-disallowed rows blocked and admit the first-k eligible rows.
+    robots-disallowed rows blocked and admit the budgeted-k eligible
+    rows — highest ``priority`` first, FIFO by seq within a priority
+    level (the reference scheduler's priority-queue semantics, O1).
     Returns (admitted, blocked) bool arrays in input order."""
     from urllib.parse import urlsplit
 
     n = len(hosts)
     admitted = np.zeros(n, dtype=bool)
     blocked = np.zeros(n, dtype=bool)
+    prio = (np.zeros(n, dtype=np.int64) if priority is None
+            else np.asarray(priority, dtype=np.int64))
     start = 0
     for end in range(1, n + 1):
         if end < n and hosts[end] == hosts[start]:
@@ -153,7 +157,19 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
         delay = rules.crawl_delay_ms if obey else AUTOTHROTTLE_START_DELAY_MS
         k = host_budget(delay, window_ms)
         eligible = ~blk
-        admitted[start:end] = eligible & (np.cumsum(eligible) <= k)
+        seg_prio = prio[start:end]
+        if (seg_prio != seg_prio[0]).any():
+            # priority queue: admit in (-priority, seq) order; stable
+            # argsort keeps FIFO within a priority level
+            order = np.argsort(-seg_prio, kind="stable")
+            adm_in_order = eligible[order] & (
+                np.cumsum(eligible[order]) <= k
+            )
+            seg_adm = np.zeros(end - start, dtype=bool)
+            seg_adm[order] = adm_in_order
+            admitted[start:end] = seg_adm
+        else:
+            admitted[start:end] = eligible & (np.cumsum(eligible) <= k)
         blocked[start:end] = blk
         start = end
     return admitted, blocked
@@ -166,6 +182,7 @@ def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
     admitted, blocked = admit_masks(
         g["host"].to_numpy(), g["canonical_url"].to_numpy(),
         rules_for, window_ms, obey,
+        priority=g["priority"].to_numpy() if "priority" in g.columns else None,
     )
     g["admitted"] = admitted
     g["blocked"] = blocked

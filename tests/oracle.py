@@ -51,6 +51,7 @@ class _Cand:
     skip_dedup: bool = False
     form_body: bytes | None = None
     page: int = 1
+    priority: int = 0
     seq: int = -1
 
     @property
@@ -121,22 +122,28 @@ class OracleCrawler:
             # UNSEEN — they compete again next round
             admitted: list[_Cand] = []
             deferred: list[_Cand] = []
-            taken: dict[str, int] = {}
+            by_host: dict[str, list[_Cand]] = {}
             for c in unique:
-                if c.host not in robots_cache:
-                    robots_cache[c.host] = self._robots(c.host)
-                rules = robots_cache[c.host]
-                if self.obey and not rules.allows(urlsplit(c.canonical).path):
-                    res.seen.add(c.fingerprint)  # blocked
-                    continue
+                by_host.setdefault(c.host, []).append(c)
+            for host, cands in by_host.items():
+                if host not in robots_cache:
+                    robots_cache[host] = self._robots(host)
+                rules = robots_cache[host]
                 delay = rules.crawl_delay_ms if self.obey else AUTOTHROTTLE_START_DELAY_MS
                 k = host_budget(delay, self.window)
-                if taken.get(c.host, 0) < k:
-                    taken[c.host] = taken.get(c.host, 0) + 1
-                    admitted.append(c)
-                    res.seen.add(c.fingerprint)
-                else:
-                    deferred.append(c)
+                # priority queue: highest priority first, FIFO by seq
+                # within a level (scheduler semantics, O1)
+                taken = 0
+                for c in sorted(cands, key=lambda c: (-c.priority, c.seq)):
+                    if self.obey and not rules.allows(urlsplit(c.canonical).path):
+                        res.seen.add(c.fingerprint)  # blocked
+                        continue
+                    if taken < k:
+                        taken += 1
+                        admitted.append(c)
+                        res.seen.add(c.fingerprint)
+                    else:
+                        deferred.append(c)
             # fetch + parse in seq order
             nxt: list[_Cand] = list(deferred)
             for c in admitted:

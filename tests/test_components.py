@@ -196,3 +196,26 @@ def test_sink_write_read_roundtrip(ray_session, tmp_path):
     back = read_images(out).to_pandas()
     assert sorted(back["image_id"]) == ["a", "b"]
     assert set(back.columns) >= set(IMAGES_SCHEMA.names)
+
+
+def test_priority_queue_admission():
+    """O1 — higher-priority candidates win the budget; FIFO by seq
+    within a priority level."""
+    from spider_ray.politeness import admit_masks
+
+    hosts = ["h"] * 5
+    urls = [f"http://h/prop/{i}" for i in range(5)]
+    prio = [0, 0, 5, 0, 5]
+
+    class R:
+        crawl_delay_ms = 1000
+
+        @staticmethod
+        def allows(path):
+            return True
+
+    admitted, blocked = admit_masks(hosts, urls, lambda h: R, 3000, True,
+                                    priority=prio)
+    # budget k=3 → both prio-5 rows + the first prio-0 row
+    assert admitted.tolist() == [True, False, True, False, True]
+    assert not blocked.any()

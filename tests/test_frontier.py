@@ -155,3 +155,43 @@ def test_resume_no_duplicate_fetches(ray_session, tmp_path):
     assert dup.sum() == total_retries
     # and the resumed totals equal the uninterrupted totals
     assert _fetch_sets(resumed) == _fetch_sets(full_eng)
+
+
+def test_priority_seeds_admitted_first(ray_session):
+    """End-to-end priority-queue check: when the seed list exceeds a
+    host's round budget, high-priority seeds fetch in round 0 and
+    low-priority ones defer — identically in engine and oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from spider_ray.frontier import assign_seq, make_seed_frontier
+
+    cfg = WorldConfig(num_hosts=1, max_pages_per_host=1, details_per_page=2)
+    # one host, many seed URLs (same listing page with distinct query
+    # params so they dedup apart), tight window → budget < n
+    urls = [f"http://h0.test/list?page=1&v={i}" for i in range(12)]
+    seed_tbl = make_seed_frontier(urls)
+    prio = pa.array([(5 if i % 3 == 0 else 0) for i in range(12)], pa.int32())
+    seed_tbl = seed_tbl.set_column(
+        seed_tbl.schema.get_field_index("priority"), "priority", prio
+    )
+    c = Crawler(cfg, CAPTIONS, num_dedup_shards=2, obey_robots=True,
+                round_window_ms=3_000, max_rounds=1)
+    c.frontier = assign_seq(seed_tbl, 0)
+    c._to_register = c.frontier
+    c.crawl([])
+    rules_delay = None
+    from spider_ray.politeness import PolitenessAdmit, host_budget
+
+    admit = PolitenessAdmit(cfg, 3_000, True)
+    k = host_budget(admit.rules_for("h0.test").crawl_delay_ms, 3_000)
+    assert 0 < k < 12
+    fetched = set(int(h) for h in c.fetched_hashes[0])
+    # all priority-5 seeds (4 of them) must be among the admitted
+    from spider_ray.canon import canonicalize
+    from spider_ray.hashing import xxh64
+
+    high = {xxh64(canonicalize(u)) for i, u in enumerate(urls) if i % 3 == 0}
+    if k >= len(high):
+        assert high <= fetched
+    assert len(fetched) == k
