@@ -237,11 +237,12 @@ def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
     t = batch.filter(pa.array(keep))
     if not t.num_rows:
         return empty_extra.empty_table()
-    admit = PolitenessAdmit(cfg, round_window_ms, obey_robots)
+    admit = PolitenessAdmit(cfg, round_window_ms, obey_robots, round_no=round_no)
     admitted, blocked = admit_masks(
         t["host"].to_pylist(), t["canonical_url"].to_pylist(),
         admit.rules_for, round_window_ms, obey_robots,
         priority=t["priority"].to_numpy(zero_copy_only=False),
+        delay_for=admit.delay_for,
     )
     return t.append_column("admitted", pa.array(admitted)).append_column(
         "blocked", pa.array(blocked)
@@ -842,6 +843,7 @@ class Crawler:
                 self.cfg,
                 round_window_ms=self.round_window_ms,
                 obey_robots=self.obey_robots,
+                round_no=r,
             )
 
             def admit_group(g: pd.DataFrame) -> pd.DataFrame:

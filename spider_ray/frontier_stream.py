@@ -205,7 +205,8 @@ class StreamingCrawler:
             ),
             batch_format="pyarrow",
         )
-        admit = PolitenessAdmit(self.cfg, self.round_window_ms, self.obey_robots)
+        admit = PolitenessAdmit(self.cfg, self.round_window_ms,
+                                self.obey_robots, round_no=r)
 
         def admit_group(g: pd.DataFrame) -> pd.DataFrame:
             return admit(g)

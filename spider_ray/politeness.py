@@ -83,6 +83,27 @@ def parse_robots(body: bytes, default_delay_ms: int = AUTOTHROTTLE_START_DELAY_M
     return RobotsRules(delay, tuple(disallow))
 
 
+AUTOTHROTTLE_MAX_DELAY_MS = 2000  # settings.py:77 (2 s)
+
+
+def autothrottle_delay_ms(cfg: WorldConfig, host: str, round_no: int) -> int:
+    """ST3 — AutoThrottle's adaptive per-slot delay
+    (python_spiders/settings.py:74-78): after each response,
+    ``delay ← clamp((delay + latency) / 2, START, MAX)``. The synthetic
+    world's per-host latency is constant, so iterating the recurrence
+    ``round_no`` times from START is exactly what runtime adaptation
+    would produce — making the adapted delay a pure function of
+    (host, round) that both engine and oracle compute identically. A
+    real-HTTP deployment would feed observed latencies through the same
+    update rule via the lineage channel."""
+    lat = cfg.host_latency_ms(host)
+    d = float(AUTOTHROTTLE_START_DELAY_MS)
+    for _ in range(min(round_no, 32)):  # converges geometrically
+        d = (d + lat) / 2.0
+        d = min(max(d, AUTOTHROTTLE_START_DELAY_MS), AUTOTHROTTLE_MAX_DELAY_MS)
+    return int(d)
+
+
 def host_budget(delay_ms: int, round_window_ms: int) -> int:
     """URLs a host may fetch in one round window."""
     k = max(1, round_window_ms // max(delay_ms, 1))
@@ -102,10 +123,11 @@ class PolitenessAdmit:
     """
 
     def __init__(self, cfg: WorldConfig, round_window_ms: int = 60_000,
-                 obey_robots: bool = True):
+                 obey_robots: bool = True, round_no: int = 0):
         self.world = World(cfg)  # robots fetches only; captions irrelevant
         self.window = round_window_ms
         self.obey = obey_robots
+        self.round_no = round_no
         # robots cache is per worker PROCESS (keyed by world config), so
         # map_groups tasks across rounds reuse it — same amortization as
         # actor state without per-execution actor churn
@@ -123,12 +145,21 @@ class PolitenessAdmit:
             self.cache[host] = r
         return r
 
+    def delay_for(self, host: str) -> int:
+        """Robots crawl-delay when obeying; AutoThrottle-adapted delay in
+        reference-parity mode (ROBOTSTXT_OBEY=False still throttles)."""
+        if self.obey:
+            return self.rules_for(host).crawl_delay_ms
+        return autothrottle_delay_ms(self.world.cfg, host, self.round_no)
+
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        return admit_frame(group, self.rules_for, self.window, self.obey)
+        return admit_frame(group, self.rules_for, self.window, self.obey,
+                           delay_for=self.delay_for)
 
 
 def admit_masks(hosts, urls, rules_for, window_ms: int,
-                obey: bool, priority=None) -> tuple[np.ndarray, np.ndarray]:
+                obey: bool, priority=None,
+                delay_for=None) -> tuple[np.ndarray, np.ndarray]:
     """Core admission kernel over rows ALREADY sorted by (host_hash, seq)
     with each host fully contained: per contiguous host segment, mark
     robots-disallowed rows blocked and admit the budgeted-k eligible
@@ -154,7 +185,10 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
             )
         else:
             blk = np.zeros(end - start, dtype=bool)
-        delay = rules.crawl_delay_ms if obey else AUTOTHROTTLE_START_DELAY_MS
+        if delay_for is not None:
+            delay = delay_for(hosts[start])
+        else:
+            delay = rules.crawl_delay_ms if obey else AUTOTHROTTLE_START_DELAY_MS
         k = host_budget(delay, window_ms)
         eligible = ~blk
         seg_prio = prio[start:end]
@@ -176,13 +210,14 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
 
 
 def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
-                obey: bool) -> pd.DataFrame:
+                obey: bool, delay_for=None) -> pd.DataFrame:
     """pandas wrapper over :func:`admit_masks` (groupby/map_groups path)."""
     g = df.sort_values(["host_hash", "seq"], kind="mergesort").copy()
     admitted, blocked = admit_masks(
         g["host"].to_numpy(), g["canonical_url"].to_numpy(),
         rules_for, window_ms, obey,
         priority=g["priority"].to_numpy() if "priority" in g.columns else None,
+        delay_for=delay_for,
     )
     g["admitted"] = admitted
     g["blocked"] = blocked

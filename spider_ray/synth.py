@@ -133,6 +133,11 @@ class WorldConfig:
             xxh64(f"delay:{self.seed}:{host}")
         ) % max(span, 1)
 
+    def host_latency_ms(self, host: str) -> int:
+        """Deterministic per-host response latency (the value the
+        resolver reports and AutoThrottle adapts to — ST3)."""
+        return 20 + splitmix64(xxh64(f"{self.seed}:lat:{host}")) % 200
+
 
 @dataclass
 class Page:
@@ -325,7 +330,7 @@ class World:
         parts = urlsplit(url)
         host = parts.netloc.lower()
         i = self._host_index(host)
-        latency = 20 + _h(cfg, "lat", host) % 200
+        latency = cfg.host_latency_ms(host)
         if i < 0:
             return Page(url, 404, "missing", latency_ms=latency)
         path = parts.path

@@ -27,7 +27,7 @@ from spider_ray.extract import parse_detail_page, parse_listing_links
 from spider_ray.hashing import xxh64
 from spider_ray.imaging import decode, phash
 from spider_ray.politeness import (
-    AUTOTHROTTLE_START_DELAY_MS,
+    autothrottle_delay_ms,
     host_budget,
     parse_robots,
 )
@@ -129,7 +129,10 @@ class OracleCrawler:
                 if host not in robots_cache:
                     robots_cache[host] = self._robots(host)
                 rules = robots_cache[host]
-                delay = rules.crawl_delay_ms if self.obey else AUTOTHROTTLE_START_DELAY_MS
+                delay = (
+                    rules.crawl_delay_ms if self.obey
+                    else autothrottle_delay_ms(self.world.cfg, host, r)
+                )
                 k = host_budget(delay, self.window)
                 # priority queue: highest priority first, FIFO by seq
                 # within a level (scheduler semantics, O1)

@@ -219,3 +219,33 @@ def test_priority_queue_admission():
     # budget k=3 → both prio-5 rows + the first prio-0 row
     assert admitted.tolist() == [True, False, True, False, True]
     assert not blocked.any()
+
+
+def test_autothrottle_delay_adaptation():
+    """ST3 — AutoThrottle update rule: delay converges from START toward
+    the host's observed latency, clamped to [START, MAX]."""
+    from spider_ray.politeness import (
+        AUTOTHROTTLE_MAX_DELAY_MS,
+        AUTOTHROTTLE_START_DELAY_MS,
+        autothrottle_delay_ms,
+    )
+
+    cfg = WorldConfig(num_hosts=64)
+    host = next(
+        f"h{i}.test" for i in range(64)
+        if cfg.host_latency_ms(f"h{i}.test") > 150
+    )
+    lat = cfg.host_latency_ms(host)
+    d0 = autothrottle_delay_ms(cfg, host, 0)
+    d1 = autothrottle_delay_ms(cfg, host, 1)
+    d8 = autothrottle_delay_ms(cfg, host, 8)
+    assert d0 == AUTOTHROTTLE_START_DELAY_MS
+    assert d0 < d1 <= d8 <= lat  # converges up toward latency
+    assert abs(d8 - lat) <= 2
+    # low-latency host stays clamped at the start delay
+    slow = next(
+        f"h{i}.test" for i in range(64)
+        if cfg.host_latency_ms(f"h{i}.test") < AUTOTHROTTLE_START_DELAY_MS
+    )
+    assert autothrottle_delay_ms(cfg, slow, 10) == AUTOTHROTTLE_START_DELAY_MS
+    assert autothrottle_delay_ms(cfg, host, 99) <= AUTOTHROTTLE_MAX_DELAY_MS
