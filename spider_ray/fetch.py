@@ -128,21 +128,3 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
         pa.string(),
     )
     return pa.table(cols)
-
-
-def split_by_retry(batch: pa.Table, max_retries: int = MAX_RETRIES) -> tuple[pa.Table, pa.Table]:
-    """(ok_rows, retry_rows): retryable statuses under budget go back to
-    the frontier with retry_count+1; everything else flows on."""
-    import pyarrow.compute as pc
-
-    status = batch["status"]
-    retry_mask = pc.is_in(status, value_set=pa.array(sorted(RETRY_HTTP_CODES), pa.int32()))
-    under = pc.less(batch["retry_count"], pa.scalar(max_retries, pa.int32()))
-    do_retry = pc.and_(retry_mask, under)
-    retry_rows = batch.filter(do_retry)
-    ok_rows = batch.filter(pc.invert(do_retry))
-    if retry_rows.num_rows:
-        idx = retry_rows.schema.get_field_index("retry_count")
-        bumped = pc.add(retry_rows["retry_count"], pa.scalar(1, pa.int32()))
-        retry_rows = retry_rows.set_column(idx, "retry_count", bumped.cast(pa.int32()))
-    return ok_rows, retry_rows

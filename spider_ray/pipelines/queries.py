@@ -1093,6 +1093,37 @@ def q_crawl_images(sf_dir: str):
     return crawler.images_table()
 
 
+def q_verify_sink(sf_dir: str):
+    """S8 — the sink validation stage (the reference's remote validate
+    API analog): crawl, then run VerifyImages over the sink rows and
+    return the per-row verdicts (rows-only; hard asserts in pytest)."""
+    from ..synth import WorldConfig, load_captions_from_documents
+    from ..verify import VerifyImages
+    from .crawl import run_crawl
+
+    crawler, _ = run_crawl(sf_dir, num_hosts=3, max_pages_per_host=2,
+                           details_per_page=2)
+    captions = load_captions_from_documents(f"{sf_dir}/documents.parquet")
+    out = rd.from_arrow(crawler.images_table()).map_batches(
+        VerifyImages,
+        fn_constructor_kwargs={"cfg": crawler.cfg, "captions": captions},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": b["image_id"],
+                "pixels_ok": b["pixels_ok"],
+                "caption_ok": b["caption_ok"],
+                "phash_ok": b["phash_ok"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode/feature stage over crawled image bytes
     (actor pool; real PNG path, stubbed JPEG path)."""
@@ -1162,4 +1193,5 @@ QUERIES = {
     "crawl_items": (q_crawl_items, None),
     "crawl_images": (q_crawl_images, None),
     "multimodal_decode": (q_multimodal_decode, None),
+    "verify_sink": (q_verify_sink, None),
 }

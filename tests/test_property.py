@@ -28,7 +28,7 @@ def world_cfgs(draw):
     )
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(cfg=world_cfgs(), window=st.sampled_from([3_000, 60_000]))
 def test_engine_equals_oracle_on_random_worlds(ray_session, cfg, window):
