@@ -742,8 +742,10 @@ class Crawler:
             "rounds": r,
             "fetched": int(sum(len(f) for f in self.fetched_hashes)),
             "seen": self.dedup.total_seen(),
-            "items": int(sum(t.num_rows for t in self.items_tables)),
-            "images": int(sum(t.num_rows for t in self.images_tables)),
+            # lineage sums stay correct whether outputs are driver-held
+            # or streamed to partitioned sinks
+            "items": int(sum(row["items_emitted"] for row in self.lineage)),
+            "images": int(sum(row["images_written"] for row in self.lineage)),
         }
 
     def _nblocks(self, rows: int) -> int:

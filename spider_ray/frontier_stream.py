@@ -143,19 +143,60 @@ class StreamingCrawler:
     def _frontier_dir(self, r: int) -> str:
         return os.path.join(self.frontier_root, f"round_{r:04d}")
 
+    # ---------------- resume
+    def resume(self) -> int | None:
+        """Restore from the newest completed round's seen snapshot and
+        continue from its already-written next-frontier partition.
+        Returns the resume round number, or None when there is no state.
+        A round is complete iff its seen snapshot exists (written last);
+        a later, partially-written frontier partition is rewritten by
+        the deterministic per-block stamping on re-run."""
+        if not os.path.isdir(self.seen_dir):
+            return None
+        done = sorted(
+            d for d in os.listdir(self.seen_dir) if d.startswith("round_")
+        )
+        if not done:
+            return None
+        last = int(done[-1].split("_")[1])
+        snap_dir = os.path.join(self.seen_dir, done[-1])
+        snaps = [
+            np.load(os.path.join(snap_dir, f))
+            for f in sorted(os.listdir(snap_dir))
+        ]
+        self.dedup.restore(snaps)
+        for d in done:
+            lp = os.path.join(self.work_dir, "lineage", d + ".json")
+            if os.path.exists(lp):
+                with open(lp) as f:
+                    self.lineage.append(json.load(f))
+        return last + 1
+
     # ---------------- loop
     def crawl(self, seeds: list) -> dict:
         from .frontier import assign_seq
 
-        seed_dir = self._frontier_dir(0)
-        os.makedirs(seed_dir, exist_ok=True)
-        pq.write_table(
-            assign_seq(make_seed_frontier(seeds), 0),
-            os.path.join(seed_dir, "part-000000000000.parquet"),
-        )
-        r = 0
+        start = self.resume()
+        if start is None:
+            seed_dir = self._frontier_dir(0)
+            os.makedirs(seed_dir, exist_ok=True)
+            pq.write_table(
+                assign_seq(make_seed_frontier(seeds), 0),
+                os.path.join(seed_dir, "part-000000000000.parquet"),
+            )
+            start = 0
+        r = start
         total_fetched = total_items = total_images = 0
+        for row in self.lineage:  # restored rounds' contributions
+            total_fetched += row["rows_admitted"]
+            total_items += row["items_emitted"]
+            total_images += row["images_written"]
         while r < self.max_rounds:
+            fdir = self._frontier_dir(r)
+            if not os.path.isdir(fdir) or not any(
+                f.endswith(".parquet") for f in os.listdir(fdir)
+            ):
+                break  # exhausted frontier (resume of a finished crawl)
             stats = self._run_round(r)
             total_fetched += stats["rows_admitted"]
             total_items += stats["items_emitted"]
@@ -332,7 +373,11 @@ class StreamingCrawler:
             "checkpoint_path": self._frontier_dir(r + 1),
         }
         self.lineage.append(row)
-        self._checkpoint_seen(r)
+        os.makedirs(os.path.join(self.work_dir, "lineage"), exist_ok=True)
+        with open(os.path.join(self.work_dir, "lineage",
+                               f"round_{r:04d}.json"), "w") as f:
+            json.dump(row, f)
+        self._checkpoint_seen(r)  # written LAST = round-complete marker
         return row
 
     def _write_next_frontier(self, nxt: rd.Dataset, round_no: int) -> int:

@@ -79,3 +79,36 @@ def test_streaming_frontier_partitions_on_disk(ray_session, tmp_path):
     assert all(r.startswith("round_") for r in rounds)
     # seen snapshots checkpointed per round
     assert len(os.listdir(sc.seen_dir)) == res["rounds"]
+
+
+def test_streaming_resume(ray_session, tmp_path):
+    """Interrupt a streaming crawl, resume from the same work_dir:
+    totals equal an uninterrupted run and nothing refetches."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10)
+    work = str(tmp_path / "resume_work")
+
+    full = StreamingCrawler(cfg, CAPTIONS, work_dir=str(tmp_path / "full"),
+                            num_dedup_shards=4)
+    full_res = full.crawl(cfg.seeds())
+
+    part = StreamingCrawler(cfg, CAPTIONS, work_dir=work, num_dedup_shards=4,
+                            max_rounds=2)
+    part.crawl(cfg.seeds())
+    assert len(part.lineage) == 2
+
+    resumed = StreamingCrawler(cfg, CAPTIONS, work_dir=work, num_dedup_shards=4)
+    res = resumed.crawl([])  # seeds ignored: state restored
+    assert res["rounds"] == full_res["rounds"]
+    assert res["fetched"] == full_res["fetched"]
+    assert res["images"] == full_res["images"]
+    assert res["items"] == full_res["items"]
+    assert resumed.seen_set() == full.seen_set()
+    # sink identical to the uninterrupted run
+    a = sorted(full.images_dataset().to_pandas()["image_id"])
+    b = sorted(resumed.images_dataset().to_pandas()["image_id"])
+    assert a == b
+    # resuming a FINISHED crawl is a no-op
+    again = StreamingCrawler(cfg, CAPTIONS, work_dir=work, num_dedup_shards=4)
+    res2 = again.crawl([])
+    assert res2["fetched"] == full_res["fetched"]
