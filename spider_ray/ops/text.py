@@ -17,6 +17,10 @@ import pyarrow.compute as pc
 from ..hashing import xxh64
 
 _TOKEN_RE = r"\S+"
+# BPE-style pre-tokenization (the GPT-2 pattern family, lookahead-free
+# so it runs on RE2 — pyarrow and DuckDB both use RE2): contractions,
+# letter runs, digit runs, punctuation runs
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 # stopword lists for the langid heuristic (tiny, public-knowledge lists)
 LANG_STOPWORDS = {
@@ -29,9 +33,13 @@ LANG_STOPWORDS = {
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count, vectorized (pc.count_substring_regex)."""
+    """Token counts, vectorized (pc.count_substring_regex): whitespace
+    tokens plus a BPE-style pre-tokenizer count (the unit a GPT-2-family
+    tokenizer splits into before merges)."""
     n = pc.count_substring_regex(batch[text_col], _TOKEN_RE)
-    return batch.append_column("n_tokens", n.cast(pa.int64()))
+    nb = pc.count_substring_regex(batch[text_col], _BPE_RE)
+    out = batch.append_column("n_tokens", n.cast(pa.int64()))
+    return out.append_column("n_bpe_tokens", nb.cast(pa.int64()))
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -732,14 +732,22 @@ def q_token_count(sf_dir: str):
     out = ds.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
     return out.map_batches(
         lambda b: pa.table(
-            {"doc_id": b["doc_id"].cast(pa.int64()), "n_tokens": b["n_tokens"]}
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_tokens": b["n_tokens"],
+                "n_bpe_tokens": b["n_bpe_tokens"],
+            }
         ),
         batch_format="pyarrow",
     )
 
 
 SQL_TOKEN_COUNT = """
-SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_tokens
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+       )) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 
