@@ -687,6 +687,66 @@ FROM events
 """
 
 
+def q_join_native(sf_dir: str):
+    """Large-large join via native Dataset.join (hash-partitioned
+    shuffle): lineitem ⋈ orders on orderkey → per-priority totals."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_lines": b["n_lines"].cast(pa.int64()),
+                "sum_qty": pc.cast(pc.round(b["sum_qty"], 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_BIG = """
+SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(l.l_quantity), 0) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_join_bucketed(sf_dir: str):
+    """The same join through the explicit bucketed hash-join shape
+    (ops/joins.py) — the portable, skew-controllable pattern."""
+    from ..ops.joins import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, on="l_orderkey",
+                                right_on="o_orderkey", num_buckets=16)
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_lines": b["n_lines"].cast(pa.int64()),
+                "sum_qty": pc.cast(pc.round(b["sum_qty"], 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # =============================================================== training-data ops
 def q_exact_dedup_docs(sf_dir: str):
     """Exact text dedup over a corpus with injected duplicates (the
@@ -1178,6 +1238,8 @@ QUERIES = {
     # engine shapes
     "topk_hosts": (q_topk_hosts, SQL_TOPK_HOSTS),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
+    "join_native": (q_join_native, SQL_JOIN_BIG),
+    "join_bucketed": (q_join_bucketed, SQL_JOIN_BIG),
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_json": (q_events_json, SQL_EVENTS_JSON),

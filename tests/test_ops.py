@@ -224,3 +224,21 @@ def test_verify_images_stage(ray_session):
     assert out["caption_ok"].all()
     assert out["pixels_ok"].all()
     assert (out.loc[out["fmt"] != "png", "psnr_db"] >= 40.0).all()
+
+
+def test_bucketed_hash_join(ray_session):
+    from spider_ray.ops.joins import bucketed_hash_join
+
+    left = rd.from_items(
+        [{"k": i % 4, "lv": i} for i in range(12)]
+    )
+    right = rd.from_items(
+        [{"rk": 0, "rv": "a"}, {"rk": 1, "rv": "b"}, {"rk": 1, "rv": "b2"},
+         {"rk": 9, "rv": "none"}]
+    )
+    out = bucketed_hash_join(left, right, on="k", right_on="rk",
+                             num_buckets=4).to_pandas()
+    # inner join: k=0 rows × 1, k=1 rows × 2, k∈{2,3} dropped, rk=9 dropped
+    assert len(out) == 3 * 1 + 3 * 2
+    assert set(out.columns) >= {"k", "lv", "rv"}
+    assert (out[out["k"] == 1]["rv"].value_counts() == 3).all()
