@@ -747,6 +747,134 @@ def q_join_bucketed(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join — an operator Ray Data lacks natively, composed per the
+    ray_guide: bucket by key, sort by (key, ts) within buckets,
+    ``pd.merge_asof`` per group. Each event gets the most recent order
+    (by o_orderdate ≤ event ts) of customer ``user_id + 1``.
+    Partitioning assumption: all rows of one key land in one group
+    (guaranteed by the groupby shuffle)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def ev_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.add(b["user_id"].cast(pa.int64()), 1),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "ts": b["ts"],
+                "side": pa.array(["E"] * b.num_rows, pa.string()),
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def ord_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["o_custkey"].cast(pa.int64()),
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "ts": b["o_orderdate"],
+                "side": pa.array(["O"] * b.num_rows, pa.string()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    tagged = ev.map_batches(ev_key, batch_format="pyarrow").union(
+        orders.map_batches(ord_key, batch_format="pyarrow")
+    )
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "E"][["key", "event_id", "ts"]].sort_values("ts")
+        right = g[g["side"] == "O"][["key", "ts", "o_orderkey"]].sort_values("ts")
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "o_orderkey": pd.Series(dtype="float64")}
+            )
+        merged = pd.merge_asof(left, right, on="ts", by="key",
+                               direction="backward")
+        return merged[["event_id", "o_orderkey"]]
+
+    out = tagged.groupby("key").map_groups(asof_group, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min starts a new session) — the
+    streaming-shaped operator composed as groupby(key) + per-group
+    pandas windowing over the sorted event log (ray_guide
+    'Streaming-shaped workloads'). Output: per-session event counts."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        session_id = gap.cumsum().astype("int64")
+        out = (
+            g.assign(session_id=session_id)
+            .groupby("session_id")
+            .agg(user_id=("user_id", "first"), n_events=("ts", "size"),
+                 session_start=("ts", "min"))
+            .reset_index(drop=True)
+        )
+        return out
+
+    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "n_events": b["n_events"].cast(pa.int64()),
+                # cast to second precision first: Arrow's %S emits the
+                # fractional part for sub-second types, DuckDB's doesn't
+                "session_start": pc.strftime(
+                    pc.floor_temporal(b["session_start"], unit="second").cast(
+                        pa.timestamp("s")
+                    ),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), ids AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       COUNT(*) AS n_events,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM ids GROUP BY user_id, session_id
+"""
+
+
 # =============================================================== training-data ops
 def q_exact_dedup_docs(sf_dir: str):
     """Exact text dedup over a corpus with injected duplicates (the
@@ -1243,6 +1371,8 @@ QUERIES = {
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # training-data ops (SQL-checked)
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
