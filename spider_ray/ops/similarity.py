@@ -117,36 +117,54 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then the exact kernel. Recall measured in tests (vs
-    brute force); at 10^9 rows the bucket column becomes the partition
-    key so each query touches one partition."""
+    """Approximate top-k: the LSH bucket IS the partition key — vectors
+    are bucketed in a vectorized map_batches, pre-FILTERED to the
+    queries' buckets (a tiny broadcast set, so non-candidate rows never
+    enter the shuffle), then one ``groupby('lsh_bucket')`` ships each
+    candidate bucket whole to a task that runs the exact kernel against
+    the (tiny) query matrix. Group count ≤ number of distinct query
+    buckets ≤ nq — bounded. The driver only ever sees the ≤ nq×k result
+    rows (round-1 pulled ALL vectors to the driver; VERDICT.md
+    What's-wrong #3). Recall vs brute force measured in tests."""
     qm = _normalize(np.asarray(query_mat, dtype=np.float64))
     dim = qm.shape[1]
     planes = hyperplanes(dim, nbits)
-    bucketed = ds.map_batches(
-        lsh_bucket_batch, fn_kwargs={"planes": planes, "vec_col": vec_col},
-        batch_format="pyarrow",
-    )
     qbits = (qm @ planes.T) > 0
     weights = (1 << np.arange(nbits, dtype=np.int64))
     qbuckets = (qbits * weights).sum(axis=1)
-    out = []
-    all_df = bucketed.select_columns([id_col, vec_col, "lsh_bucket"]).to_pandas()
-    for qi, qb in enumerate(qbuckets):
-        cand = all_df[all_df["lsh_bucket"] == qb]
-        if len(cand) == 0:
-            continue
-        mat = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
-        sims = mat @ qm[qi]
-        order = np.lexsort((cand[id_col].to_numpy(), -np.round(sims, 6)))[:k]
-        for rank, j in enumerate(order, start=1):
-            out.append(
-                {
-                    "query_id": int(query_ids[qi]),
-                    "vec_id": int(cand[id_col].iloc[j]),
-                    "cosine": round(float(sims[j]), 6),
-                    "rank": rank,
-                }
-            )
-    return pd.DataFrame(out)
+    qids_arr = np.asarray(query_ids, dtype=np.int64)
+    wanted = frozenset(int(b) for b in qbuckets)
+
+    def bucket_and_filter(batch: pa.Table) -> pa.Table:
+        t = lsh_bucket_batch(batch, planes=planes, vec_col=vec_col)
+        mask = np.isin(
+            t["lsh_bucket"].to_numpy(zero_copy_only=False),
+            np.fromiter(wanted, dtype=np.int64, count=len(wanted)),
+        )
+        return t.filter(pa.array(mask))
+
+    cand = ds.map_batches(bucket_and_filter, batch_format="pyarrow")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qb = int(g["lsh_bucket"].iloc[0])
+        q_idx = np.nonzero(qbuckets == qb)[0]
+        mat = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        rows = []
+        for qi in q_idx:
+            sims = mat @ qm[qi]
+            order = np.lexsort((ids, -np.round(sims, 6)))[:k]
+            for rank, j in enumerate(order, start=1):
+                rows.append(
+                    (int(qids_arr[qi]), int(ids[j]), round(float(sims[j]), 6), rank)
+                )
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "cosine", "rank"]
+        ).astype({"query_id": np.int64, "vec_id": np.int64, "rank": np.int64})
+
+    out = cand.groupby("lsh_bucket").map_groups(
+        bucket_topk, batch_format="pandas"
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame(columns=["query_id", "vec_id", "cosine", "rank"])
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -25,7 +25,8 @@ BASE_DOCS = [
 
 def _docs_ds():
     return rd.from_items(
-        [{"doc_id": i, "text": t} for i, t in enumerate(BASE_DOCS)]
+        [{"doc_id": i, "text": t} for i, t in enumerate(BASE_DOCS)],
+        override_num_blocks=2,
     )
 
 
@@ -36,7 +37,9 @@ def test_exact_dedup(ray_session):
 
 
 def test_minhash_lsh_recall_vs_exact_jaccard(ray_session):
-    pairs = dedup_text.minhash_lsh_pairs(_docs_ds(), k=3, bands=32, threshold=0.5)
+    pairs = dedup_text.minhash_lsh_pairs(
+        _docs_ds(), k=3, bands=32, threshold=0.5
+    ).to_pandas()
     got = set(zip(pairs["a"], pairs["b"]))
     # brute-force exact jaccard ≥ 0.5 pairs
     sh = [dedup_text._shingle_hashes(t, 3) for t in BASE_DOCS]
@@ -49,11 +52,12 @@ def test_minhash_lsh_recall_vs_exact_jaccard(ray_session):
     # LSH verification step makes precision exact; recall must be total
     # at this scale (identical and 1-word-apart docs collide in bands)
     assert got == expected
-    # verified jaccard values are exact
+    # verified |∩|/|∪| counts are exact
     for _, row in pairs.iterrows():
-        assert row["jaccard"] == round(
-            dedup_text.jaccard(sh[int(row["a"])], sh[int(row["b"])]), 4
-        )
+        a, b = sh[int(row["a"])], sh[int(row["b"])]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        assert int(row["n_inter"]) == inter
+        assert int(row["n_union"]) == a.size + b.size - inter
 
 
 def test_minhash_signature_similarity():
@@ -77,9 +81,12 @@ def test_simhash(ray_session):
         return bin((a ^ b) & (1 << 64) - 1).count("1")
     assert sig[0] == sig[4]  # identical docs → identical simhash
     assert ham(sig[0], sig[2]) < ham(sig[0], sig[1])  # near-dup closer
-    pairs = dedup_text.simhash_near_pairs(_docs_ds(), max_hamming=10)
+    pairs = dedup_text.simhash_near_pairs(_docs_ds(), max_hamming=10).to_pandas()
     got = set(zip(pairs["a"], pairs["b"]))
     assert (0, 4) in got
+    # hamming values carried through the distinct aggregate are exact
+    for _, row in pairs.iterrows():
+        assert int(row["hamming"]) == ham(sig[int(row["a"])], sig[int(row["b"])])
 
 
 def test_embedding_dup_pairs(ray_session):
@@ -88,10 +95,20 @@ def test_embedding_dup_pairs(ray_session):
     base[3] = base[0] + rng.normal(scale=0.01, size=16)  # near-dup of 0
     ds = rd.from_items(
         [{"vec_id": i, "embedding": base[i].astype("float32").tolist()}
-         for i in range(6)]
+         for i in range(6)], override_num_blocks=2,
     )
-    pairs = dedup_text.embedding_dup_pairs(ds, threshold=0.95)
+    pairs = dedup_text.embedding_dup_pairs(ds, threshold=0.95).to_pandas()
     assert list(zip(pairs["a"], pairs["b"])) == [(0, 3)]
+    # LSH-bucketed scale path: exact duplicates always share a bucket
+    base[5] = base[1]
+    ds2 = rd.from_items(
+        [{"vec_id": i, "embedding": base[i].astype("float32").tolist()}
+         for i in range(6)], override_num_blocks=2,
+    )
+    lsh_pairs = dedup_text.embedding_dup_pairs_lsh(
+        ds2, threshold=0.95, nbits=6
+    ).to_pandas()
+    assert (1, 5) in set(zip(lsh_pairs["a"], lsh_pairs["b"]))
 
 
 def test_ann_bruteforce_and_lsh_recall(ray_session):
@@ -99,7 +116,7 @@ def test_ann_bruteforce_and_lsh_recall(ray_session):
     mat = rng.normal(size=(200, 32)).astype("float64")
     ds = rd.from_items(
         [{"vec_id": i, "embedding": mat[i].astype("float32").tolist()}
-         for i in range(200)]
+         for i in range(200)], override_num_blocks=4,
     )
     qids = [0, 1]
     exact = similarity.ann_topk_bruteforce(ds, qids, mat[:2], k=10)

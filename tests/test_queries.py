@@ -56,7 +56,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_return_rows(ray_session):
-    for name in ("simhash", "langid", "fingerprint", "minhash_lsh_dedup"):
+    for name in ("simhash", "langid", "fingerprint"):
         fn, sql = QUERIES[name]
         assert sql is None
         out = _to_df(fn(SF))

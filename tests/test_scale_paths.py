@@ -1,9 +1,13 @@
 """Exercise the at-scale code paths that the default test configs skip:
 the groupby(host_hash) politeness shuffle + skew prefilter (used when a
 round's frontier exceeds prefilter_threshold) must produce results
-identical to the shuffle-free host-aligned path and to the oracle."""
+identical to the shuffle-free host-aligned path and to the oracle; and
+the near-dup/ANN pair pipelines must stay off the driver (no payload
+column is ever collected driver-side) while scaling past toy corpora."""
 
 import numpy as np
+import pyarrow as pa
+import ray.data as rd
 
 from spider_ray.frontier import Crawler
 from spider_ray.synth import WorldConfig
@@ -70,3 +74,116 @@ def test_hot_host_skew_deferral(ray_session):
         rounds.setdefault(r, set()).add(fp)
     ora_sets = [frozenset(rounds.get(i, set())) for i in range(max(rounds) + 1)]
     assert _fetch_sets(eng) == ora_sets
+
+
+# ------------------------------------------------------------------ near-dup suite
+# payload columns that must never appear in a driver-side collection
+_PAYLOAD = {"text", "embedding", "shingles", "sh_a", "sh_b", "words", "minhash"}
+
+
+def _spy_collections(monkeypatch):
+    """Record the column set of every Dataset the driver collects."""
+    collected = []
+
+    orig_tp = rd.Dataset.to_pandas
+    orig_refs = rd.Dataset.to_arrow_refs
+    orig_iter = rd.Dataset.iter_batches
+
+    def spy_tp(self, *a, **k):
+        out = orig_tp(self, *a, **k)
+        collected.append(set(out.columns))
+        return out
+
+    def spy_refs(self, *a, **k):
+        out = orig_refs(self, *a, **k)
+        try:
+            collected.append(set(self.schema().names))
+        except Exception:
+            pass
+        return out
+
+    def spy_iter(self, *a, **k):
+        for b in orig_iter(self, *a, **k):
+            cols = set(
+                b.column_names if isinstance(b, pa.Table) else getattr(b, "columns", [])
+            )
+            collected.append(cols)
+            yield b
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", spy_tp)
+    monkeypatch.setattr(rd.Dataset, "to_arrow_refs", spy_refs)
+    monkeypatch.setattr(rd.Dataset, "iter_batches", spy_iter)
+    return collected
+
+
+def test_near_dup_suite_never_collects_payload(ray_session, monkeypatch):
+    """VERDICT r1 #1: the minhash/simhash/embedding/ANN pipelines must
+    not materialize corpus payloads on the driver — only pair/result
+    rows. Spies on every driver-collection API and asserts no collected
+    frame carries a payload column."""
+    from spider_ray.ops import dedup_text, similarity
+
+    collected = _spy_collections(monkeypatch)
+
+    docs = [
+        {"doc_id": i, "text": f"token{i} alpha{i % 97} beta gamma delta epsilon "
+                              f"zeta eta theta word{i % 89} tail{i}"}
+        for i in range(290)
+    ]
+    # plant 10 exact duplicates so the pair pipelines emit real output
+    docs += [{"doc_id": 290 + j, "text": docs[j]["text"]} for j in range(10)]
+    ds = rd.from_items(docs, override_num_blocks=4)
+    mh = dedup_text.minhash_lsh_pairs(ds, k=3, bands=32, threshold=0.5).to_pandas()
+    sh = dedup_text.simhash_near_pairs(ds, max_hamming=10).to_pandas()
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(400, 16))
+    mat[200:] = mat[:200]  # exact dup of every vector
+    eds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].astype("float32").tolist()}
+         for i in range(400)], override_num_blocks=4,
+    )
+    ep = dedup_text.embedding_dup_pairs(eds, threshold=0.95, num_blocks=4).to_pandas()
+    assert len(ep) >= 200  # injected dups all found
+    qm = mat[:3]
+    al = similarity.ann_topk_lsh(eds, [0, 1, 2], qm, k=5, nbits=6)
+    assert set(al["query_id"]) == {0, 1, 2}
+
+    for cols in collected:
+        assert not (cols & _PAYLOAD), f"driver collected payload columns: {cols}"
+
+
+def test_pair_pipelines_moderate_scale(ray_session):
+    """Beyond-toy corpus (the VERDICT r1 'done' bar): the distributed
+    pair shapes complete on a >10^4-row corpus with bounded group
+    counts and produce exactly the injected duplicates."""
+    from spider_ray.ops import dedup_text
+
+    n = 20_000
+    rng = np.random.default_rng(42)
+    words = np.array([f"w{i}" for i in range(50)])
+    texts = [
+        " ".join(words[rng.integers(0, 50, size=12)]) for _ in range(n // 2)
+    ]
+    texts = texts + texts  # second half = exact duplicates
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+        override_num_blocks=8,
+    )
+    pairs = dedup_text.simhash_near_pairs(ds, max_hamming=0).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    # every (i, i + n/2) exact-dup pair has hamming 0 and shares all chunks
+    expect = {(i, i + n // 2) for i in range(n // 2)}
+    assert expect <= got
+
+    m = 10_000
+    mat = rng.normal(size=(m, 16))
+    mat[m // 2 :] = mat[: m // 2]
+    eds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].astype("float32").tolist()}
+         for i in range(m)], override_num_blocks=8,
+    )
+    ep = dedup_text.embedding_dup_pairs(eds, threshold=0.9999, num_blocks=8).to_pandas()
+    egot = set(zip(ep["a"], ep["b"]))
+    eexpect = {(i, i + m // 2) for i in range(m // 2)}
+    assert eexpect <= egot
