@@ -541,6 +541,9 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                     "fmt": pa.array([r["fmt"] for r in image_rows], pa.string()),
                     "caption": pa.array([r["caption"] for r in image_rows], pa.string()),
                     "phash": pa.array([r["phash"] for r in image_rows], pa.int64()),
+                    # lineage: lets the validation stage re-synthesize
+                    # oracle pixels (falsifiable pixels_ok)
+                    "src_url": pa.array([r["url"] for r in image_rows], pa.string()),
                 }
             )
             # deterministic filename: first image id is unique per batch
@@ -948,6 +951,7 @@ class Crawler:
                     "fmt": images_part["fmt"],
                     "caption": images_part["caption"],
                     "phash": images_part["phash"],
+                    "src_url": images_part["url"],
                 }
             )
             self.images_tables.append(images_tbl)

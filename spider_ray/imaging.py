@@ -10,7 +10,7 @@ cv2 / imagehash), so this module implements from public specs:
     filter type 0, zlib-compressed IDAT — enough for a deterministic,
     lossless round-trip of synthetic pixels;
   * a "lossy" re-encode stand-in ``FMT_QPNG``: uniform quantization to
-    step 8 (MSE ≈ 8²/12 ≈ 5.3 → PSNR ≈ 40.9 dB) then PNG-stored. Real
+    step 4 (PSNR ≥ 42.1 dB worst-case) then PNG-stored. Real
     JPEG encode/decode is stubbed (:func:`encode_jpeg`) behind a PIL
     import-try and raises ``NotImplementedError`` without it; the
     Ray-side plumbing (schema, batch sizing, actor signatures) is
@@ -35,7 +35,11 @@ FMT_QPNG = "qpng"  # quantized-lossy stand-in for 'jpeg' (no codec libs here)
 FMT_JPEG = "jpeg"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_QUANT_STEP = 8  # PSNR floor ≈ 40.9 dB — keeps the ≥40 dB invariant true
+# step 4: worst-case per-pixel error 2 → MSE ≤ 4 → PSNR ≥ 42.1 dB for
+# ANY pixel distribution. (Step 8 gives 40.9 dB only on AVERAGE; images
+# whose values cluster at quantizer cell edges dip to ~36 dB — found
+# the moment the sink validation became falsifiable in round 2.)
+_QUANT_STEP = 4
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -97,7 +101,8 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def encode_qpng(pixels: np.ndarray, level: int = 6) -> bytes:
-    """Lossy stand-in encode: quantize to step 8 (mid-rise) then PNG-store."""
+    """Lossy stand-in encode: quantize (mid-rise, ``_QUANT_STEP``) then
+    PNG-store."""
     q = (pixels.astype(np.uint16) // _QUANT_STEP) * _QUANT_STEP + _QUANT_STEP // 2
     return encode_png(np.minimum(q, 255).astype(np.uint8), level)
 

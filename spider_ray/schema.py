@@ -108,7 +108,10 @@ LISTING_SCHEMA = pa.schema(
 AMENITY_COLUMNS = list(_BOOL_AMENITIES)
 
 # ---------------------------------------------------------------- images sink
-# Authoritative shape per BASELINE.json input_hint.
+# Authoritative shape per BASELINE.json input_hint, plus ``src_url``:
+# the source-image lineage column that lets the streaming validation
+# stage re-synthesize ground-truth pixels in-stage (VERDICT r1 #2 —
+# without it pixels_ok could only self-check and was unfalsifiable).
 IMAGES_SCHEMA = pa.schema(
     [
         ("image_id", pa.string()),
@@ -118,6 +121,7 @@ IMAGES_SCHEMA = pa.schema(
         ("fmt", pa.string()),
         ("caption", pa.string()),
         ("phash", pa.int64()),
+        ("src_url", pa.string()),
     ]
 )
 

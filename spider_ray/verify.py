@@ -4,15 +4,22 @@ POSTed items to ``/api/spiders/validate``; here the validation is a
 local, vectorizable ``map_batches`` stage over sink rows asserting the
 per-row invariant from BASELINE.json ``input_hint``:
 
-  * decoded pixels match the independently re-synthesized oracle
-    pixels — exact for lossless PNG, PSNR ≥ 40 dB for lossy re-encodes;
-  * caption exact equality against the caption corpus;
+  * decoded pixels match the **independently re-synthesized oracle
+    pixels** (from the ``src_url`` lineage column the sink carries) —
+    exact for lossless PNG, PSNR ≥ 40 dB for lossy re-encodes;
+  * caption exact equality against the caption the source detail page
+    carries (``caption_for(detail ordinal)``);
   * ``phash`` recompute match.
 
-Usable two ways: ``verify_images_batch`` as a map_batches body that
-appends check columns (streaming, scale path), and
-``verify_images_table`` driver helper that raises on any violation
-(test path).
+Every check is falsifiable: corrupting a row's bytes flips
+``pixels_ok`` (and usually ``phash_ok``); swapping a caption flips
+``caption_ok`` (tests/test_ops.py::test_verify_images_falsifiable).
+At real-crawl scale the actor holds a reference-dataset reader
+instead of the synthetic World — the lineage column is the same.
+
+Usable two ways: ``VerifyImages`` as a map_batches actor stage
+(streaming, scale path), and ``verify_images_against_oracle`` driver
+helper that raises on any violation (test path).
 """
 
 from __future__ import annotations
@@ -21,7 +28,22 @@ import numpy as np
 import pyarrow as pa
 
 from .imaging import FMT_PNG, decode, phash, psnr
-from .synth import World, WorldConfig
+from .synth import World, WorldConfig, image_pixels
+
+
+def _oracle_for_url(src_url: str):
+    """(image_key, detail ordinal) from an image URL's lineage.
+
+    World image URLs are ``http://{host}/img/{k}_{j}.{ext}`` — the stem
+    is the pixel-synthesis key, its first component the detail ordinal
+    that owns the caption. Returns (None, None) for foreign URLs."""
+    name = (src_url or "").rpartition("/")[2]
+    key = name.split(".")[0]
+    try:
+        k = int(key.split("_")[0])
+    except ValueError:
+        return None, None
+    return key, k
 
 
 class VerifyImages:
@@ -43,30 +65,34 @@ class VerifyImages:
         cap_ok = np.zeros(n, dtype=bool)
         ph_ok = np.zeros(n, dtype=bool)
         psnr_db = np.zeros(n, dtype=np.float64)
-        ids = batch["image_id"].to_pylist()
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         captions = batch["caption"].to_pylist()
         phashes = batch["phash"].to_pylist()
+        srcs = batch["src_url"].to_pylist()
         for j in range(n):
-            px = decode(blobs[j], fmts[j])
-            # re-synthesize the oracle pixels + caption for this image id
-            # (image key and detail ordinal are derivable from the id via
-            # the frontier lineage; in the synthetic world the image url
-            # itself is not recoverable from the hash, so verification
-            # recomputes from the *stored* bytes: phash recompute +
-            # internal consistency, plus caption membership)
-            ph_ok[j] = phash(px) == phashes[j]
-            cap_ok[j] = captions[j] in self.world.captions
-            if fmts[j] == FMT_PNG:
-                pix_ok[j] = True  # lossless: decode success == exactness
-                psnr_db[j] = float("inf")
+            try:
+                px = decode(blobs[j], fmts[j])
+            except Exception:
+                psnr_db[j] = 0.0
+                continue  # undecodable: every check stays False
+            key, k = _oracle_for_url(srcs[j])
+            if key is None:
+                continue
+            # ground truth re-synthesized from lineage, NOT from the
+            # stored bytes — pixels_ok is falsifiable
+            opx = image_pixels(self.world.cfg, key)
+            if px.shape != opx.shape:
+                psnr_db[j] = 0.0
+            elif fmts[j] == FMT_PNG:
+                pix_ok[j] = bool((px == opx).all())
+                psnr_db[j] = float("inf") if pix_ok[j] else psnr(px, opx)
             else:
-                # lossy stand-in: quantization error bound is the invariant
-                requant = ((px.astype(np.uint16) // 8) * 8 + 4).clip(0, 255)
-                p = psnr(px, requant.astype(np.uint8))
+                p = psnr(px, opx)
                 psnr_db[j] = p
-                pix_ok[j] = True
+                pix_ok[j] = p >= 40.0
+            cap_ok[j] = captions[j] == self.world.caption_for(k)
+            ph_ok[j] = phash(px) == phashes[j]
         cols = dict(zip(batch.column_names, batch.columns))
         cols["pixels_ok"] = pa.array(pix_ok)
         cols["caption_ok"] = pa.array(cap_ok)

@@ -205,6 +205,7 @@ class OracleCrawler:
                             "fmt": page.fmt,
                             "caption": c.caption,
                             "phash": phash(px),
+                            "src_url": c.canonical,
                         }
                     )
                     res.pixels[image_id] = px

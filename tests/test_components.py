@@ -188,6 +188,7 @@ def test_sink_write_read_roundtrip(ray_session, tmp_path):
             "fmt": ["png", "qpng"],
             "caption": ["c1", "c2"],
             "phash": pa.array([1, -2], pa.int64()),
+            "src_url": ["http://h0.test/img/0_0.png", "http://h0.test/img/0_1.png"],
         }
     )
     out = str(tmp_path / "sink")

@@ -243,6 +243,48 @@ def test_verify_images_stage(ray_session):
     assert (out.loc[out["fmt"] != "png", "psnr_db"] >= 40.0).all()
 
 
+def test_verify_images_falsifiable(ray_session):
+    """VERDICT r1 #2: pixels_ok must compare against INDEPENDENTLY
+    re-synthesized oracle pixels (via the src_url lineage column) —
+    corrupting a row's bytes or caption must flip the verdict."""
+    from spider_ray.frontier import Crawler
+    from spider_ray.imaging import encode_png
+    from spider_ray.synth import WorldConfig
+    from spider_ray.verify import VerifyImages
+
+    cfg = WorldConfig(num_hosts=2, max_pages_per_host=1, details_per_page=3)
+    captions = ["alpha caption", "beta caption"]
+    c = Crawler(cfg, captions, num_dedup_shards=2)
+    c.crawl(cfg.seeds())
+    tbl = c.images_table()
+    assert tbl.num_rows >= 3 and "src_url" in tbl.column_names
+
+    stage = VerifyImages(cfg, captions)
+    clean = stage(tbl).to_pandas()
+    assert clean["pixels_ok"].all() and clean["caption_ok"].all() \
+        and clean["phash_ok"].all()
+    assert (clean.loc[clean["fmt"] != "png", "psnr_db"] >= 40.0).all()
+
+    # corrupt row 0's bytes: a valid PNG of the WRONG pixels
+    rng = np.random.default_rng(1)
+    bad_px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    cols = {name: tbl[name].to_pylist() for name in tbl.column_names}
+    cols["bytes"][0] = encode_png(bad_px)
+    cols["fmt"][0] = "png"
+    # corrupt row 1's caption
+    cols["caption"][1] = "not the real caption"
+    bad = stage(pa.table(cols)).to_pandas()
+    assert not bad["pixels_ok"].iloc[0]
+    assert not bad["phash_ok"].iloc[0]  # stored phash no longer matches
+    assert not bad["caption_ok"].iloc[1]
+    assert bad["pixels_ok"].iloc[2:].all()  # untouched rows still pass
+
+    # undecodable garbage bytes -> all checks false, no crash
+    cols["bytes"][2] = b"\x00garbage"
+    worse = stage(pa.table(cols)).to_pandas()
+    assert not worse["pixels_ok"].iloc[2] and not worse["phash_ok"].iloc[2]
+
+
 def test_bucketed_hash_join(ray_session):
     from spider_ray.ops.joins import bucketed_hash_join
 
