@@ -341,118 +341,176 @@ _ITEM_COLS = ["rowtype"] + [f[0] for f in _ITEM_FIELDS]
 _RE_CAPTION = _re.compile(r"<p>(.*?)</p>", _re.DOTALL)
 
 
+def _as_parse_table(cols: dict, n: int) -> pa.Table:
+    """Partial column dict → full PARSE_SCHEMA table (typed nulls for
+    absent fields) — the columnar assembly primitive replacing the
+    round-1 per-row dict building (VERDICT r1 What's-wrong #7)."""
+    out = {}
+    for f in PARSE_SCHEMA:
+        a = cols.get(f.name)
+        if a is None:
+            out[f.name] = pa.nulls(n, f.type)
+        else:
+            if not isinstance(a, (pa.Array, pa.ChunkedArray)):
+                a = pa.array(a, f.type)
+            out[f.name] = a if a.type == f.type else a.cast(f.type)
+    return pa.table(out)
+
+
 def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
               round_no: int, dedup: ShardedDedup | None = None,
               items_out_dir: str | None = None) -> pa.Table:
     """M1 + M26/M27: one pass over fetched bodies → union rows.
 
-    Links are canonicalized + hashed here (in-task, distributed);
-    items are normalized + validity-filtered here; image rows are
-    decoded/phashed here and, when ``images_out_dir`` is set, written
-    straight to the round's parquet partition (bytes then stay out of
-    the driver entirely).
+    Columnar throughout: retry/fail rows are Arrow filters + column
+    ops on the carried batch (never row dicts); only the per-body
+    parse loop touches Python values, and it reads just the columns it
+    needs. Links are canonicalized + hashed here (in-task,
+    distributed); items are normalized + validity-filtered here; image
+    rows are decoded/phashed here and, when ``images_out_dir`` is set,
+    written straight to the round's parquet partition (bytes then stay
+    out of the driver entirely).
     """
-    out_rows: list[dict] = []
+    parts: list[pa.Table] = []
+    n = batch.num_rows
+    status = batch["status"].to_numpy(zero_copy_only=False)
+    retry_count = batch["retry_count"].to_numpy(zero_copy_only=False)
+    ok_mask = status == 200
+    retry_mask = (
+        ~ok_mask
+        & np.isin(status, np.array(sorted(RETRY_HTTP_CODES), dtype=status.dtype))
+        & (retry_count < MAX_RETRIES)
+    )
+    fail_mask = ~ok_mask & ~retry_mask
+
+    # --- retries: pure column carry + bump (ST4 — retry middleware);
+    # re-injected with dont_filter semantics (skip_dedup=True)
+    if retry_mask.any():
+        rt = batch.filter(pa.array(retry_mask))
+        m = rt.num_rows
+        parts.append(
+            _as_parse_table(
+                {
+                    "rowtype": pa.array(["retry"] * m),
+                    "status": rt["status"],
+                    "url": rt["url"],
+                    "canonical_url": rt["canonical_url"],
+                    "url_hash": rt["url_hash"],
+                    "host": rt["host"],
+                    "host_hash": rt["host_hash"],
+                    "depth": rt["depth"],
+                    "seq_parent": rt["seq_parent"],
+                    "seq_link": rt["seq_link"],
+                    "parent_url": rt["parent_url"],
+                    "callback": rt["callback"],
+                    "caption": rt["caption"],
+                    "form_body": rt["form_body"],
+                    "meta_page": rt["meta_page"],
+                    "meta_skip": rt["meta_skip"],
+                    "meta_take": rt["meta_take"],
+                    "priority": rt["priority"],
+                    "retry_count": pc.add(rt["retry_count"], 1),
+                    "skip_dedup": pa.array(np.ones(m, dtype=bool)),
+                },
+                m,
+            )
+        )
+    if fail_mask.any():
+        ft = batch.filter(pa.array(fail_mask))
+        parts.append(
+            _as_parse_table(
+                {
+                    "rowtype": pa.array(["fail"] * ft.num_rows),
+                    "url_hash": ft["url_hash"],
+                    "status": ft["status"],
+                },
+                ft.num_rows,
+            )
+        )
+
+    # --- successful fetches: per-body parse over ONLY the needed
+    # columns (body iteration is inherently per-row; the carry columns
+    # above never become Python objects)
     item_raws: list[dict] = []
-    link_raw: list[tuple] = []  # (url, base, depth, seq_parent, seq_link, callback, caption)
+    link_raw: list[tuple] = []  # (url, base, depth, seq_parent, seq_link,
+    #                              callback, caption, form_body, m_page, m_skip, m_take)
     image_rows: list[dict] = []
-    rows = batch.to_pylist()
-    for row in rows:
-        status = row["status"]
-        kind = row["kind"]
-        if status != 200:
-            if status in RETRY_HTTP_CODES and row["retry_count"] < MAX_RETRIES:
-                out_rows.append(
+    if ok_mask.any():
+        okt = batch.filter(pa.array(ok_mask))
+        z = {
+            c: okt[c].to_pylist()
+            for c in ("kind", "body", "canonical_url", "url", "host", "depth",
+                      "seq", "url_hash", "fmt", "caption", "meta_page")
+        }
+        for i in range(okt.num_rows):
+            kind = z["kind"][i]
+            base = z["canonical_url"][i]
+            sp = int(z["seq"][i])
+            depth = int(z["depth"][i])
+            if kind == "listing":
+                links, nxt = parse_listing_links(z["body"][i])
+                for j, href in enumerate(links):
+                    link_raw.append((href, base, depth + 1, sp, j,
+                                     "populate_item", None, None, None, None, None))
+                if nxt:
+                    # pagination stays level-1: the next-page link is a
+                    # sibling listing page (123wonen_nl.py:53-55)
+                    link_raw.append((nxt, base, depth, sp, len(links),
+                                     "parse", None, None, None, None, None))
+            elif kind == "api":
+                # form-POST JSON search response (S4): detail links + a
+                # next-page POST to the SAME url with bumped skip (ST10
+                # meta carry); has_more=False terminates the chain (O2)
+                data = json.loads(z["body"][i])
+                for j, href in enumerate(data["results"]):
+                    link_raw.append((href, base, depth + 1, sp, j,
+                                     "populate_item", None, None, None, None, None))
+                if data["has_more"]:
+                    nskip = data["skip"] + data["take"]
+                    page = (z["meta_page"][i] or 1) + 1
+                    link_raw.append(
+                        (z["url"][i], base, depth, sp,
+                         len(data["results"]), "parse", None,
+                         f"skip={nskip}&take={data['take']}".encode(),
+                         page, nskip, data["take"])
+                    )
+            elif kind == "detail":
+                raw = parse_detail_page(z["body"][i])
+                m = _RE_CAPTION.search(raw.get("description_raw") or "")
+                caption = m.group(1) if m else None
+                raw["url"] = base
+                raw["host"] = z["host"][i]
+                raw["seq"] = sp
+                item_raws.append(raw)
+                for j, href in enumerate(raw["images"]):
+                    link_raw.append((href, base, depth + 1, sp, j,
+                                     "image", caption, None, None, None, None))
+            elif kind == "image":
+                data = z["body"][i]
+                px = decode(data, z["fmt"][i])
+                image_rows.append(
                     {
-                        "rowtype": "retry",
-                        "status": status,
-                        "url": row["url"],
-                        "canonical_url": row["canonical_url"],
-                        "url_hash": row["url_hash"],
-                        "host": row["host"],
-                        "host_hash": row["host_hash"],
-                        "depth": int(row["depth"]),
-                        "seq_parent": row["seq_parent"],
-                        "seq_link": row["seq_link"],
-                        "parent_url": row["parent_url"],
-                        "callback": row["callback"],
-                        "caption": row["caption"],
-                        "form_body": row["form_body"],
-                        "meta_page": row.get("meta_page"),
-                        "meta_skip": row.get("meta_skip"),
-                        "meta_take": row.get("meta_take"),
-                        "priority": row["priority"],
-                        # bumped here; re-injected with dont_filter
-                        # semantics (ST4 — retry middleware)
-                        "retry_count": row["retry_count"] + 1,
-                        "skip_dedup": True,
+                        "image_id": f"{int(z['url_hash'][i]):016x}",
+                        "bytes": data,
+                        "w": px.shape[1],
+                        "h": px.shape[0],
+                        "fmt": z["fmt"][i],
+                        "caption": z["caption"][i],
+                        "phash": phash(px),
+                        "url": base,
                     }
                 )
             else:
-                out_rows.append(
-                    {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
+                parts.append(
+                    _as_parse_table(
+                        {
+                            "rowtype": pa.array(["fail"]),
+                            "url_hash": pa.array([z["url_hash"][i]], pa.uint64()),
+                            "status": pa.array([200], pa.int32()),
+                        },
+                        1,
+                    )
                 )
-            continue
-        base = row["canonical_url"]
-        sp = int(row["seq"])
-        if kind == "listing":
-            links, nxt = parse_listing_links(row["body"])
-            for j, href in enumerate(links):
-                link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
-                                 "populate_item", None, None, None, None, None))
-            if nxt:
-                # pagination stays level-1: the next-page link is a sibling
-                # listing page, not a deeper level (123wonen_nl.py:53-55)
-                link_raw.append((nxt, base, int(row["depth"]), sp, len(links),
-                                 "parse", None, None, None, None, None))
-        elif kind == "api":
-            # form-POST JSON search response (S4): detail links + a
-            # next-page POST to the SAME url with bumped skip (ST10 meta
-            # carry); has_more=False terminates the chain (O2)
-            data = json.loads(row["body"])
-            for j, href in enumerate(data["results"]):
-                link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
-                                 "populate_item", None, None, None, None, None))
-            if data["has_more"]:
-                nskip = data["skip"] + data["take"]
-                page = (row.get("meta_page") or 1) + 1
-                link_raw.append(
-                    (row["url"], base, int(row["depth"]), sp,
-                     len(data["results"]), "parse", None,
-                     f"skip={nskip}&take={data['take']}".encode(),
-                     page, nskip, data["take"])
-                )
-        elif kind == "detail":
-            raw = parse_detail_page(row["body"])
-            m = _RE_CAPTION.search(raw.get("description_raw") or "")
-            caption = m.group(1) if m else None
-            raw["url"] = base
-            raw["host"] = row["host"]
-            raw["seq"] = sp
-            item_raws.append(raw)
-            for j, href in enumerate(raw["images"]):
-                link_raw.append((href, base, int(row["depth"]) + 1, sp, j,
-                                 "image", caption, None, None, None, None))
-        elif kind == "image":
-            data = row["body"]
-            px = decode(data, row["fmt"])
-            image_rows.append(
-                {
-                    "rowtype": "image",
-                    "image_id": f"{int(row['url_hash']):016x}",
-                    "bytes": data,
-                    "w": px.shape[1],
-                    "h": px.shape[0],
-                    "fmt": row["fmt"],
-                    "caption": row["caption"],
-                    "phash": phash(px),
-                    "url": row["canonical_url"],
-                }
-            )
-        else:
-            out_rows.append(
-                {"rowtype": "fail", "url_hash": row["url_hash"], "status": status}
-            )
 
     # links: canonicalize + hash in one vectorized-ish pass; dedup
     # phase-1 registration for the NEXT round rides along here (the
@@ -474,27 +532,30 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 np.array([l[4] for l in link_raw], dtype=np.int32),
                 round_no + 1,
             )
-        for l, cu, h, u64, h64 in zip(link_raw, canon_urls, hosts, uh, hh):
-            out_rows.append(
+        m = len(link_raw)
+        parts.append(
+            _as_parse_table(
                 {
-                    "rowtype": "link",
-                    "url": l[0],
-                    "canonical_url": cu,
-                    "url_hash": int(u64),
-                    "host": h,
-                    "host_hash": int(h64),
-                    "depth": l[2],
-                    "seq_parent": l[3],
-                    "seq_link": l[4],
-                    "parent_url": l[1],
-                    "callback": l[5],
-                    "caption": l[6],
-                    "form_body": l[7],
-                    "meta_page": l[8],
-                    "meta_skip": l[9],
-                    "meta_take": l[10],
-                }
+                    "rowtype": pa.array(["link"] * m),
+                    "url": pa.array([l[0] for l in link_raw], pa.string()),
+                    "canonical_url": pa.array(canon_urls, pa.string()),
+                    "url_hash": pa.array(uh, pa.uint64()),
+                    "host": pa.array(hosts, pa.string()),
+                    "host_hash": pa.array(hh, pa.uint64()),
+                    "depth": pa.array([l[2] for l in link_raw], pa.int32()),
+                    "seq_parent": pa.array([l[3] for l in link_raw], pa.int64()),
+                    "seq_link": pa.array([l[4] for l in link_raw], pa.int32()),
+                    "parent_url": pa.array([l[1] for l in link_raw], pa.string()),
+                    "callback": pa.array([l[5] for l in link_raw], pa.string()),
+                    "caption": pa.array([l[6] for l in link_raw], pa.string()),
+                    "form_body": pa.array([l[7] for l in link_raw], pa.large_binary()),
+                    "meta_page": pa.array([l[8] for l in link_raw], pa.int32()),
+                    "meta_skip": pa.array([l[9] for l in link_raw], pa.int32()),
+                    "meta_take": pa.array([l[10] for l in link_raw], pa.int32()),
+                },
+                m,
             )
+        )
 
     # items: normalize (M26/M27) + validity filter (F1/F2) in-task
     if item_raws:
@@ -515,49 +576,67 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
             pq.write_table(
                 items_tbl, os.path.join(part_dir, f"part-{first_pos:012d}.parquet")
             )
-            for u in valid["external_link"]:
-                out_rows.append({"rowtype": "item", "url": u})
-        else:
-            for rec in valid.to_dict("records"):
-                rec = {
-                    k: (None if (not isinstance(v, (list, np.ndarray)) and pd.isna(v))
-                        else (list(v) if isinstance(v, np.ndarray) else v))
-                    for k, v in rec.items()
-                }
-                rec["rowtype"] = "item"
-                out_rows.append(rec)
+            parts.append(
+                _as_parse_table(
+                    {
+                        "rowtype": pa.array(["item"] * len(valid)),
+                        "url": pa.array(list(valid["external_link"]), pa.string()),
+                    },
+                    len(valid),
+                )
+            )
+        elif len(valid):
+            # columnar: pandas nullable dtypes → Arrow (NaN/NA → null),
+            # then slot into the parse schema
+            vt = pa.Table.from_pandas(valid, preserve_index=False)
+            cols = {c: vt[c] for c in vt.column_names if c in PARSE_SCHEMA.names}
+            cols["rowtype"] = pa.array(["item"] * len(valid))
+            parts.append(_as_parse_table(cols, len(valid)))
 
     # images: stream to the partitioned sink, or carry bytes inline
     if image_rows:
+        img_cols = {
+            "rowtype": pa.array(["image"] * len(image_rows)),
+            "image_id": pa.array([r["image_id"] for r in image_rows], pa.string()),
+            "w": pa.array([r["w"] for r in image_rows], pa.int32()),
+            "h": pa.array([r["h"] for r in image_rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in image_rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in image_rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in image_rows], pa.int64()),
+            "url": pa.array([r["url"] for r in image_rows], pa.string()),
+        }
         if images_out_dir is not None:
             part_dir = os.path.join(images_out_dir, f"round_{round_no:04d}")
             os.makedirs(part_dir, exist_ok=True)
             sink_tbl = pa.table(
                 {
-                    "image_id": pa.array([r["image_id"] for r in image_rows], pa.string()),
+                    "image_id": img_cols["image_id"],
                     "bytes": pa.array([r["bytes"] for r in image_rows], pa.binary()),
-                    "w": pa.array([r["w"] for r in image_rows], pa.int32()),
-                    "h": pa.array([r["h"] for r in image_rows], pa.int32()),
-                    "fmt": pa.array([r["fmt"] for r in image_rows], pa.string()),
-                    "caption": pa.array([r["caption"] for r in image_rows], pa.string()),
-                    "phash": pa.array([r["phash"] for r in image_rows], pa.int64()),
+                    "w": img_cols["w"],
+                    "h": img_cols["h"],
+                    "fmt": img_cols["fmt"],
+                    "caption": img_cols["caption"],
+                    "phash": img_cols["phash"],
                     # lineage: lets the validation stage re-synthesize
                     # oracle pixels (falsifiable pixels_ok)
-                    "src_url": pa.array([r["url"] for r in image_rows], pa.string()),
+                    "src_url": img_cols["url"],
                 }
             )
             # deterministic filename: first image id is unique per batch
             pq.write_table(
-                sink_tbl, os.path.join(part_dir, f"part-{image_rows[0]['image_id']}.parquet")
+                sink_tbl,
+                os.path.join(part_dir, f"part-{image_rows[0]['image_id']}.parquet"),
             )
-            for r in image_rows:
-                r = dict(r)
-                r.pop("bytes")  # bytes stay in the sink partition
-                out_rows.append(r)
+            # marker rows only — bytes stay in the sink partition
         else:
-            out_rows.extend(image_rows)
+            img_cols["bytes"] = pa.array(
+                [r["bytes"] for r in image_rows], pa.large_binary()
+            )
+        parts.append(_as_parse_table(img_cols, len(image_rows)))
 
-    return pa.Table.from_pylist(out_rows, schema=PARSE_SCHEMA)
+    if not parts:
+        return PARSE_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
 
 
 

@@ -210,6 +210,39 @@ def keyed_self_pairs(
     return routed.groupby("__part").map_groups(merge_part, batch_format="pandas")
 
 
+def first_per_key(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """First row per key, ordered by ``order_cols`` — the dedup-first
+    shape at scale: ONE hash-routed shuffle into ≤num_partitions
+    groups, then a vectorized sort + ``drop_duplicates`` inside each.
+    No per-key Python calls (the round-1 ``map_groups``-per-key shape)
+    and no second join pass (the aggregate-Min + join alternative).
+    The first key column must be numeric (it is the routing hash
+    input); all key columns participate in the exact dedup."""
+    route_on = key_cols[0]
+
+    def route(batch: pa.Table) -> pa.Table:
+        k = batch[route_on].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64(k) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+
+    def first_part(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(key_cols + order_cols, kind="mergesort")
+            .drop_duplicates(subset=key_cols, keep="first")
+            .drop(columns="__part")
+        )
+
+    return routed.groupby("__part").map_groups(first_part, batch_format="pandas")
+
+
 def distinct_pairs(ds: rd.Dataset, carry_cols: list[str] | None = None,
                    num_partitions: int = 64) -> rd.Dataset:
     """Dedup (a, b[, carries]) pair rows: route by ``hash(a, b)`` into a
