@@ -16,11 +16,15 @@ Graft design (north rule):
     inserts never fail and membership never yields a false negative;
   * false *positives* would wrongly drop URLs and break the exact
     seen-set match the north rule demands, so every cuckoo hit is
-    confirmed against a per-shard exact set. The cuckoo array is the
-    fast-path reject (the overwhelmingly common case at 10^10 scale:
-    most candidates are NEW, and a cuckoo miss proves novelty without
-    touching the exact structure). ``mode='exact'`` skips the filter
-    entirely for oracle-equality tests.
+    confirmed against a per-shard exact structure — ``SortedSet64``,
+    a sorted uint64 array probed by vectorized binary search with a
+    bounded recent-inserts set merged in periodically (8 B/key; a
+    Python ``set`` at 10^10 URLs would cost ~70 B/key fleet-wide).
+    The cuckoo array is the fast-path reject (the overwhelmingly
+    common case at 10^10 scale: most candidates are NEW, and a cuckoo
+    miss proves novelty without touching the exact structure).
+    ``mode='exact'`` skips the filter entirely for oracle-equality
+    tests.
 
 Within-round first-wins is resolved by a **two-phase protocol** (no
 shuffle): phase 1 registers every candidate's minimal
@@ -130,13 +134,81 @@ class CuckooFilter:
             self.count += 1
 
 
+class SortedSet64:
+    """Exact uint64 membership at 8 bytes/key: a sorted numpy base
+    array probed by binary search, plus a small recent-inserts Python
+    set that merges into the base once it crosses a threshold.
+
+    At the north rule's 10^10-URL scale a per-shard Python ``set``
+    costs ~70 B/key fleet-wide (VERDICT r1 What's-wrong #8); this
+    structure holds the same exact semantics at numpy array cost, with
+    O(log n) vectorized probes and amortized-linear inserts.
+    """
+
+    MERGE_THRESHOLD = 1 << 16
+
+    def __init__(self):
+        self.base = np.empty(0, dtype=np.uint64)
+        self.recent: set[int] = set()
+
+    def __len__(self) -> int:
+        return len(self.base) + len(self.recent)
+
+    def nbytes(self) -> int:
+        """Approximate resident bytes (base array + recent-set overhead)."""
+        return int(self.base.nbytes) + len(self.recent) * 90
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h), dtype=bool)
+        if len(h) == 0:
+            return out
+        if len(self.base):
+            idx = np.clip(np.searchsorted(self.base, h), 0, len(self.base) - 1)
+            out = self.base[idx] == h
+        if self.recent:
+            miss = np.nonzero(~out)[0]
+            rec = self.recent
+            for j in miss:
+                if int(h[j]) in rec:
+                    out[j] = True
+        return out
+
+    def add_many(self, h: np.ndarray) -> np.ndarray:
+        """Insert; returns the subset of ``h`` that was actually new
+        (unique, order unspecified)."""
+        if len(h) == 0:
+            return h
+        fresh = np.unique(h[~self.contains_many(h)])
+        self.recent.update(int(x) for x in fresh)
+        if len(self.recent) >= self.MERGE_THRESHOLD:
+            self._merge()
+        return fresh
+
+    def _merge(self) -> None:
+        if not self.recent:
+            return
+        rec = np.fromiter(self.recent, dtype=np.uint64, count=len(self.recent))
+        self.base = np.union1d(self.base, rec)
+        self.recent = set()
+
+    def to_array(self) -> np.ndarray:
+        self._merge()
+        return self.base.copy()
+
+    @classmethod
+    def from_array(cls, h: np.ndarray) -> "SortedSet64":
+        s = cls()
+        s.base = np.unique(np.asarray(h, dtype=np.uint64))
+        return s
+
+
 class _ShardState:
     """One shard's state — plain object, wrapped by the Ray actor below
     (kept separate so the oracle/tests can drive it without Ray)."""
 
     def __init__(self, capacity: int = 1 << 16, mode: str = "cuckoo"):
         self.mode = mode
-        self.exact: set[int] = set()
+        self.exact = SortedSet64()
         self.filter = CuckooFilter(capacity) if mode == "cuckoo" else None
         # round-keyed candidate registries: round -> {url_hash: min key}.
         # Keyed by round so round r's parse tasks can pre-register round
@@ -148,12 +220,14 @@ class _ShardState:
         if self.filter is not None:
             maybe = self.filter.contains_many(hashes)
             out = np.zeros(len(hashes), dtype=bool)
-            for j in np.nonzero(maybe)[0]:
-                out[j] = int(hashes[j]) in self.exact  # confirm: no false drops
+            idx = np.nonzero(maybe)[0]
+            if len(idx):
+                # confirm cuckoo hits against the exact structure: no
+                # false drops, and misses (the common case at scale)
+                # never touch it
+                out[idx] = self.exact.contains_many(hashes[idx])
             return out
-        return np.fromiter(
-            (int(x) in self.exact for x in hashes), dtype=bool, count=len(hashes)
-        )
+        return self.exact.contains_many(np.asarray(hashes, dtype=np.uint64))
 
     # ---- two-phase within-round first-wins
     def register(self, hashes: np.ndarray, seq_parent: np.ndarray,
@@ -170,11 +244,10 @@ class _ShardState:
         """Mark these URLs seen (admitted-for-fetch or robots-blocked).
         NOT every round candidate: deferred rows must stay unseen so they
         can compete again next round. Returns number newly seen."""
-        new_hashes = [int(x) for x in hashes if int(x) not in self.exact]
-        self.exact.update(new_hashes)
-        if self.filter is not None and new_hashes:
-            self.filter.insert_many(np.array(new_hashes, dtype=np.uint64))
-        return len(new_hashes)
+        fresh = self.exact.add_many(np.asarray(hashes, dtype=np.uint64))
+        if self.filter is not None and len(fresh):
+            self.filter.insert_many(fresh)
+        return len(fresh)
 
     def clear_pending(self, round_no: int) -> None:
         self.pending.pop(round_no, None)
@@ -196,10 +269,10 @@ class _ShardState:
         return out
 
     def snapshot(self) -> np.ndarray:
-        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        return self.exact.to_array()
 
     def restore(self, hashes: np.ndarray) -> None:
-        self.exact = set(int(x) for x in hashes)
+        self.exact = SortedSet64.from_array(hashes)
         if self.filter is not None and len(hashes):
             self.filter.insert_many(np.asarray(hashes, dtype=np.uint64))
 

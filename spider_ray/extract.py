@@ -60,8 +60,10 @@ def remove_white_spaces(s: str) -> str:
 
 
 def remove_unicode_char(s: str) -> str:
-    """M4 — helper.py:81-85."""
-    return _RE_NON_ASCII.sub("", s or "")
+    """M4 — helper.py:81-85: each non-ASCII char becomes a SPACE, then
+    strip ('naïve' → 'na ve', not 'nave' — adjacent words must not fuse;
+    ADVICE r1)."""
+    return _RE_NON_ASCII.sub(" ", s or "").strip()
 
 
 # ------------------------------------------------------------------ M5–M7

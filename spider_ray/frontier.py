@@ -915,7 +915,8 @@ class Crawler:
             pre_tbl = _collect(
                 winners.map_batches(
                     prefilter_topk_per_host,
-                    fn_kwargs={"max_k": max_k},
+                    fn_kwargs={"max_k": max_k, "cfg": self.cfg,
+                               "obey_robots": self.obey_robots},
                     batch_format="pandas",
                 )
             )

@@ -235,7 +235,9 @@ class StreamingCrawler:
                 batch_format="pyarrow",
             )
             .map_batches(
-                prefilter_topk_per_host, fn_kwargs={"max_k": max_k},
+                prefilter_topk_per_host,
+                fn_kwargs={"max_k": max_k, "cfg": self.cfg,
+                           "obey_robots": self.obey_robots},
                 batch_format="pandas",
             )
             .materialize()

@@ -785,7 +785,13 @@ def q_asof_join(sf_dir: str):
 
     def asof_group(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == "E"][["key", "event_id", "ts"]].sort_values("ts")
-        right = g[g["side"] == "O"][["key", "ts", "o_orderkey"]].sort_values("ts")
+        # tie-break pinned: among orders sharing the as-of date,
+        # merge_asof(backward) takes the LAST right row, so sorting by
+        # (ts, o_orderkey) selects the max o_orderkey deterministically
+        # at any shuffle/concat order (ADVICE r1)
+        right = g[g["side"] == "O"][["key", "ts", "o_orderkey"]].sort_values(
+            ["ts", "o_orderkey"]
+        )
         if len(left) == 0:
             return pd.DataFrame(
                 {"event_id": pd.Series(dtype="int64"),
@@ -807,12 +813,19 @@ def q_asof_join(sf_dir: str):
     )
 
 
+# deterministic window-function oracle (bare ASOF JOIN leaves the
+# equal-date tie choice unspecified — ADVICE r1): most recent order
+# date wins, max o_orderkey within that date
 SQL_ASOF_JOIN = """
 SELECT CAST(e.event_id AS BIGINT) AS event_id,
        CAST(o.o_orderkey AS BIGINT) AS o_orderkey
 FROM events e
-ASOF LEFT JOIN orders o
-  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+LEFT JOIN orders o
+  ON e.user_id + 1 = o.o_custkey AND o.o_orderdate <= e.ts
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY e.event_id
+  ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+) = 1
 """
 
 

@@ -224,13 +224,43 @@ def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
     return g
 
 
-def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int) -> pd.DataFrame:
+def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int,
+                            cfg: WorldConfig | None = None,
+                            obey_robots: bool = False) -> pd.DataFrame:
     """Skew guard (combiner): per batch, keep each host's ``max_k``
-    lowest-seq rows for the politeness shuffle; rows
-    beyond that are deferred in place (column ``prefiltered_defer``)."""
-    order = batch.sort_values(["host_hash", "seq"], kind="mergesort")
-    rank = order.groupby("host_hash", sort=False).cumcount()
-    defer = pd.Series(rank.to_numpy() >= max_k, index=order.index)
-    out = order.copy()
-    out["prefiltered_defer"] = defer.to_numpy()
+    top-ranked ADMISSIBLE rows for the politeness shuffle; rows beyond
+    that are deferred in place (column ``prefiltered_defer``).
+
+    Containment contract (ADVICE r1): admission takes the first-k
+    *eligible* rows by ``(-priority, seq)`` per host, so the prefilter
+    must (a) rank by the same key, not bare seq, and (b) not let
+    robots-blocked rows crowd eligible ones out of the kept top-k.
+    When ``cfg`` is provided and robots are obeyed, blocked rows are
+    detected here (same per-process rules cache as admission), always
+    kept (they must still reach admission to be recorded+committed as
+    blocked), and excluded from the budget count."""
+    from urllib.parse import urlsplit
+
+    negprio = -batch["priority"] if "priority" in batch.columns else 0
+    order = batch.assign(__negprio=negprio).sort_values(
+        ["host_hash", "__negprio", "seq"], kind="mergesort"
+    )
+    if cfg is not None and obey_robots:
+        admit = PolitenessAdmit(cfg, obey_robots=True)
+        rules = {h: admit.rules_for(h) for h in order["host"].unique()}
+        blocked = np.fromiter(
+            (not rules[h].allows(urlsplit(u).path)
+             for h, u in zip(order["host"], order["canonical_url"])),
+            dtype=bool, count=len(order),
+        )
+    else:
+        blocked = np.zeros(len(order), dtype=bool)
+    # rank only eligible rows toward the budget; blocked rows rank -1
+    elig = (~blocked).astype(np.int64)
+    csum = pd.Series(elig, index=order.index).groupby(
+        order["host_hash"].to_numpy(), sort=False
+    ).cumsum()
+    rank = csum.to_numpy() - 1  # 0-based among eligible rows of the host
+    out = order.drop(columns="__negprio").copy()
+    out["prefiltered_defer"] = (~blocked) & (rank >= max_k)
     return out

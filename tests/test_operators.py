@@ -58,7 +58,10 @@ def test_canonicalize_batch_hashes():
 def test_strip_and_whitespace():
     assert extract.strip_tags("<p>hi <b>there</b></p>") == "hi there"
     assert extract.remove_white_spaces("  a \n\t b  ") == "a b"
-    assert extract.remove_unicode_char("ab€cd") == "abcd"
+    # helper.py:85 substitutes ' ' per non-ASCII char and strips
+    assert extract.remove_unicode_char("ab€cd") == "ab cd"
+    assert extract.remove_unicode_char("naïve") == "na ve"
+    assert extract.remove_unicode_char("€abc€") == "abc"
 
 
 def test_extract_number_only():
