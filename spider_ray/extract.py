@@ -334,16 +334,39 @@ def property_type_lookup(raw: str) -> str | None:
 _WORD_NUM = {
     "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
     "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
-    "twelve": 12,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50, "sixty": 60,
+    "seventy": 70, "eighty": 80, "ninety": 90,
 }
+_WORD_SCALES = {"hundred": 100, "thousand": 1_000, "million": 1_000_000,
+                "billion": 1_000_000_000}
 
 
 def word_to_num(s: str) -> int | None:
-    """M24 — helper.py:567-575 fallback when a field has no digits."""
-    for w, n in _WORD_NUM.items():
-        if re.search(r"\b" + w + r"\b", (s or "").lower()):
-            return n
-    return None
+    """M24 — helper.py:567-575 fallback when a field has no digits.
+
+    Full compound parsing per the public ``word2number`` algorithm the
+    reference imports (w2n): units/teens/tens plus hundred/thousand/
+    million/billion scales, hyphen- or space-joined, 'and' ignored,
+    non-number words skipped ("twenty two" → 22, "two thousand one
+    hundred and five" → 2105). Returns None when the string contains
+    no number words (the reference wraps w2n in try/except-pass)."""
+    toks = re.split(r"[\s-]+", (s or "").lower())
+    total = 0
+    current = 0
+    seen_any = False
+    for t in toks:
+        if t in _WORD_NUM:
+            current += _WORD_NUM[t]
+            seen_any = True
+        elif t == "hundred" and seen_any:
+            current = max(current, 1) * 100
+        elif t in _WORD_SCALES and t != "hundred" and seen_any:
+            total += max(current, 1) * _WORD_SCALES[t]
+            current = 0
+        # everything else (incl. 'and' and non-number words) is skipped
+    return total + current if seen_any else None
 
 
 # ------------------------------------------------------------------ M26/D2

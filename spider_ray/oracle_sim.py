@@ -1,0 +1,227 @@
+"""Oracle crawler — single-process reference simulator.
+
+Lives in the package (not tests/) since round 2 so the driver-facing
+queries can dump its output as DuckDB-readable parquet oracles for the
+crawl/multimodal/verify queries (VERDICT r1 Next-round #5); the test
+suite imports it via tests/oracle.py.
+
+The reference repo has NO tests (SURVEY.md §5); its correctness oracle
+was a remote validation API. The graft's stand-in is this tiny
+sequential crawler: plain-Python dict seen-set, per-host FIFO +
+crawl-delay budget, deterministic ordering — "the reference crawler's
+output under the same seed list and politeness budget" that the north
+rule compares against. It deliberately shares NO coordination code
+with the engine (no Ray, no Arrow, no dedup/politeness modules): the
+engine's sharded two-phase dedup, groupby politeness shuffle, actor
+fetch pool and checkpointing must reproduce this loop's fetch log,
+seen-set and sink rows exactly.
+
+Shared with the engine on purpose: the synthetic World (the universe
+being crawled IS the common input) and the leaf parse/normalize
+functions (operator-level correctness is covered separately by unit
+tests + the DuckDB oracle in __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from spider_ray.canon import canonicalize, host_of, request_fingerprint
+from spider_ray.extract import parse_detail_page, parse_listing_links
+from spider_ray.hashing import xxh64
+from spider_ray.imaging import decode, phash
+from spider_ray.politeness import (
+    autothrottle_delay_ms,
+    host_budget,
+    parse_robots,
+)
+from spider_ray.synth import RETRY_HTTP_CODES, World, WorldConfig
+
+MAX_RETRIES = 3
+_RE_CAPTION = __import__("re").compile(r"<p>(.*?)</p>", __import__("re").DOTALL)
+
+
+@dataclass
+class _Cand:
+    url: str
+    canonical: str
+    host: str
+    depth: int
+    seq_parent: int
+    seq_link: int
+    callback: str
+    caption: str | None = None
+    retry_count: int = 0
+    skip_dedup: bool = False
+    form_body: bytes | None = None
+    page: int = 1
+    priority: int = 0
+    seq: int = -1
+
+    @property
+    def fingerprint(self) -> int:
+        return request_fingerprint(self.canonical, self.form_body)
+
+
+@dataclass
+class OracleResult:
+    fetch_log: list[tuple] = field(default_factory=list)  # (round, url, fingerprint)
+    seen: set[int] = field(default_factory=set)  # url_hash values
+    items: list[dict] = field(default_factory=list)
+    images: list[dict] = field(default_factory=list)
+    rounds: int = 0
+    pixels: dict[str, object] = field(default_factory=dict)  # image_id -> ndarray
+
+
+class OracleCrawler:
+    def __init__(self, cfg: WorldConfig, captions: list[str] | None = None,
+                 obey_robots: bool = True, round_window_ms: int = 60_000,
+                 max_rounds: int = 64):
+        self.world = World(cfg, captions)
+        self.obey = obey_robots
+        self.window = round_window_ms
+        self.max_rounds = max_rounds
+
+    def _robots(self, host: str):
+        page = self.world.resolve(f"http://{host}/robots.txt")
+        return parse_robots(page.body)
+
+    def crawl(self, seed_urls: list[str]) -> OracleResult:
+        res = OracleResult()
+        frontier = []
+        for i, seed in enumerate(seed_urls):
+            if isinstance(seed, str):
+                url, form, page = seed, None, 1
+            else:
+                url = seed["url"]
+                form = seed.get("form_body")
+                page = (seed.get("meta") or {}).get("page", 1)
+            cu = canonicalize(url)
+            frontier.append(
+                _Cand(url, cu, host_of(cu), 0, -1, i, "parse",
+                      form_body=form, page=page)
+            )
+        robots_cache: dict[str, object] = {}
+        r = 0
+        while frontier and r < self.max_rounds:
+            # deterministic order + dense seq
+            frontier.sort(key=lambda c: (c.seq_parent, c.seq_link, c.canonical))
+            for i, c in enumerate(frontier):
+                c.seq = i
+            # within-round first-wins + cross-round seen
+            # (skip_dedup = retry re-injection, bypasses both checks)
+            unique: list[_Cand] = []
+            in_round: set[int] = set()
+            for c in frontier:
+                h = c.fingerprint
+                if c.skip_dedup:
+                    unique.append(c)
+                    continue
+                if h in res.seen or h in in_round:
+                    continue
+                in_round.add(h)
+                unique.append(c)
+            # politeness: per-host budget, first-k by seq; robots disallow
+            # drops permanently (counts as seen); deferred rows stay
+            # UNSEEN — they compete again next round
+            admitted: list[_Cand] = []
+            deferred: list[_Cand] = []
+            by_host: dict[str, list[_Cand]] = {}
+            for c in unique:
+                by_host.setdefault(c.host, []).append(c)
+            for host, cands in by_host.items():
+                if host not in robots_cache:
+                    robots_cache[host] = self._robots(host)
+                rules = robots_cache[host]
+                delay = (
+                    rules.crawl_delay_ms if self.obey
+                    else autothrottle_delay_ms(self.world.cfg, host, r)
+                )
+                k = host_budget(delay, self.window)
+                # priority queue: highest priority first, FIFO by seq
+                # within a level (scheduler semantics, O1)
+                taken = 0
+                for c in sorted(cands, key=lambda c: (-c.priority, c.seq)):
+                    if self.obey and not rules.allows(urlsplit(c.canonical).path):
+                        res.seen.add(c.fingerprint)  # blocked
+                        continue
+                    if taken < k:
+                        taken += 1
+                        admitted.append(c)
+                        res.seen.add(c.fingerprint)
+                    else:
+                        deferred.append(c)
+            # fetch + parse in seq order
+            nxt: list[_Cand] = list(deferred)
+            for c in admitted:
+                res.fetch_log.append((r, c.canonical, c.fingerprint))
+                page = self.world.resolve(c.canonical, attempt=c.retry_count,
+                                          form_body=c.form_body)
+                if page.status != 200:
+                    if page.status in RETRY_HTTP_CODES and c.retry_count < MAX_RETRIES:
+                        c.retry_count += 1
+                        c.skip_dedup = True
+                        nxt.append(c)
+                    continue
+                if page.kind == "api":
+                    import json as _json
+
+                    data = _json.loads(page.body)
+                    for j, href in enumerate(data["results"]):
+                        nxt.append(self._child(c, href, "populate_item",
+                                               c.depth + 1, j))
+                    if data["has_more"]:
+                        nskip = data["skip"] + data["take"]
+                        child = self._child(c, c.canonical, "parse", c.depth,
+                                            len(data["results"]))
+                        child.form_body = (
+                            f"skip={nskip}&take={data['take']}".encode()
+                        )
+                        child.page = c.page + 1
+                        nxt.append(child)
+                elif page.kind == "listing":
+                    links, nxt_page = parse_listing_links(page.body)
+                    for j, href in enumerate(links):
+                        nxt.append(self._child(c, href, "populate_item", c.depth + 1, j))
+                    if nxt_page:
+                        nxt.append(
+                            self._child(c, nxt_page, "parse", c.depth, len(links))
+                        )
+                elif page.kind == "detail":
+                    raw = parse_detail_page(page.body)
+                    m = _RE_CAPTION.search(raw.get("description_raw") or "")
+                    caption = m.group(1) if m else None
+                    res.items.append(
+                        {"url": c.canonical, "host": c.host, **raw,
+                         "caption": caption, "seq": c.seq}
+                    )
+                    for j, href in enumerate(raw["images"]):
+                        nxt.append(
+                            self._child(c, href, "image", c.depth + 1, j, caption)
+                        )
+                elif page.kind == "image":
+                    px = decode(page.body, page.fmt)
+                    image_id = f"{xxh64(c.canonical):016x}"
+                    res.images.append(
+                        {
+                            "image_id": image_id,
+                            "w": px.shape[1],
+                            "h": px.shape[0],
+                            "fmt": page.fmt,
+                            "caption": c.caption,
+                            "phash": phash(px),
+                            "src_url": c.canonical,
+                        }
+                    )
+                    res.pixels[image_id] = px
+            frontier = nxt
+            r += 1
+        res.rounds = r
+        return res
+
+    def _child(self, parent: _Cand, href: str, callback: str, depth: int,
+               seq_link: int, caption: str | None = None) -> _Cand:
+        cu = canonicalize(href, parent.canonical)
+        return _Cand(href, cu, host_of(cu), depth, parent.seq, seq_link,
+                     callback, caption)

@@ -171,6 +171,14 @@ def test_word_to_num():
     assert extract.word_to_num("two bedrooms") == 2
     assert extract.word_to_num("twelve") == 12
     assert extract.word_to_num("none here") is None
+    # w2n-style compounds (helper.py:567-575 imports word2number)
+    assert extract.word_to_num("twenty two") == 22
+    assert extract.word_to_num("twenty-two") == 22
+    assert extract.word_to_num("one hundred forty five") == 145
+    assert extract.word_to_num("two thousand and five") == 2005
+    assert extract.word_to_num("hundred") is None  # bare scale, no digit word
+    assert extract.word_to_num("nineteen ninety") == 109  # w2n-additive
+    assert extract.word_to_num("three million two hundred thousand") == 3_200_000
 
 
 def test_dedup_list_keep_order():
