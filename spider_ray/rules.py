@@ -43,6 +43,10 @@ class FieldRule:
     field: str                    # output column name
     source: str                   # raw-field name, or the literal itself
     literal: bool = False         # True → ``source`` IS the value
+    # CSS-subset selector over raw HTML in ``source`` (the reference's
+    # input_type='xpath' analog for arbitrary markup; spider_ray.htmlsel)
+    selector: str | None = None
+    select_all: bool = False      # selector returns the full match list
     regex: str | None = None      # first group (or whole match) from source
     split: tuple = ()             # chain of (separator, index)
     replace: tuple = ()           # chain of (old, new)
@@ -119,14 +123,53 @@ class FieldRule:
         return src.map(self._scalar, na_action="ignore")
 
 
+_SELECTOR_CACHE: dict = {}  # per-process compiled-selector cache
+
+
+def _compiled(expr: str):
+    from .htmlsel import Selector
+
+    s = _SELECTOR_CACHE.get(expr)
+    if s is None:
+        s = _SELECTOR_CACHE[expr] = Selector(expr)
+    return s
+
+
 def compile_rules(rules: list[FieldRule]):
-    """Rules → one vectorized ``map_batches`` body (pyarrow in/out)."""
+    """Rules → one vectorized ``map_batches`` body (pyarrow in/out).
+
+    Selector rules share one DOM parse per (row, source column) — a
+    page referenced by twenty rules is parsed once, not twenty times.
+    """
+    from .htmlsel import parse_html
+
+    sel_sources = {r.source for r in rules if r.selector}
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         cols = dict(zip(batch.column_names, batch.columns))
+        trees = {
+            src: [parse_html(h) if h else None for h in df[src]]
+            for src in sel_sources
+            if src in df.columns
+        }
         for rule in rules:
-            vals = rule.apply(df)
+            if rule.selector:
+                comp = _compiled(rule.selector)
+                roots = trees.get(rule.source, [None] * len(df))
+                if rule.select_all:
+                    raw = [comp.select(t) if t is not None else None for t in roots]
+                    vals = pd.Series(raw, index=df.index)
+                else:
+                    raw = [
+                        comp.select_first(t) if t is not None else None
+                        for t in roots
+                    ]
+                    vals = pd.Series(raw, index=df.index).map(
+                        rule._scalar, na_action="ignore"
+                    )
+            else:
+                vals = rule.apply(df)
             cols[rule.field] = pa.array(vals.tolist(), from_pandas=True)
         return pa.table(cols)
 
