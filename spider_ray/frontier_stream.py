@@ -61,10 +61,14 @@ from .synth import WorldConfig
 
 @ray.remote
 def _stamp_and_write(block: pa.Table, base_seq: int, round_no: int,
-                     out_path: str) -> int:
+                     out_path: str, dedup: ShardedDedup | None = None) -> int:
     """Stamp dense seq (base + row offset) + round, write one frontier
-    parquet part. Deterministic: block order and contents come from the
-    deterministic distributed sort."""
+    parquet part, and pre-register the block with round ``round_no``'s
+    dedup registries (registration is min-merging and idempotent, so
+    overlapping with the parse tasks' link registration is safe).
+    Deterministic: block order and contents come from the deterministic
+    distributed sort. The ``ray.get`` barrier on these tasks is what
+    guarantees registration completes before the round runs."""
     n = block.num_rows
     t = block.set_column(
         block.schema.get_field_index("seq"),
@@ -76,7 +80,10 @@ def _stamp_and_write(block: pa.Table, base_seq: int, round_no: int,
         "round",
         pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
     )
-    pq.write_table(t.cast(FRONTIER_SCHEMA), out_path)
+    t = t.cast(FRONTIER_SCHEMA)
+    pq.write_table(t, out_path)
+    if dedup is not None:
+        _register_table(dedup, t, round_no)
     return n
 
 
@@ -86,15 +93,119 @@ def _register_stream_fn(batch: pa.Table, *, dedup: ShardedDedup,
     return batch.select(["url_hash"])
 
 
-def _commit_fn(batch: pa.Table, *, dedup: ShardedDedup) -> pa.Table:
-    """Push admitted|blocked hashes to the shards from inside tasks
-    (set-insert is order-independent; registry cleared by the driver
-    after the execution barrier)."""
-    mask = pc.or_(batch["admitted"], batch["blocked"])
-    hashes = batch.filter(mask)["url_hash"].to_numpy(zero_copy_only=False)
+@ray.remote(num_cpus=0)
+class _RoundStats:
+    """Order-independent per-round counter sink: pipeline tasks push
+    their batch counts here instead of the driver running an extra
+    count execution per round (the launch overheads were the streaming
+    mode's fixed-cost premium). Tasks ``ray.get`` their add() so the
+    execution barrier implies delivery."""
+
+    def __init__(self):
+        self.rounds: dict[int, dict[str, int]] = {}
+
+    def add(self, round_no: int, counts: dict) -> bool:
+        d = self.rounds.setdefault(int(round_no), {})
+        for k, v in counts.items():
+            d[k] = d.get(k, 0) + int(v)
+        return True
+
+    def get(self, round_no: int) -> dict:
+        return dict(self.rounds.get(int(round_no), {}))
+
+
+def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
+    """_parse_fn + rowtype tallies pushed to the stats actor (replaces
+    the driver's per-round counts execution)."""
+    out = _parse_fn(batch, round_no=round_no, **kw)
+    rt = out["rowtype"].to_pylist()
+    counts: dict[str, int] = {}
+    for v in rt:
+        counts[v] = counts.get(v, 0) + 1
+    ray.get(stats.add.remote(round_no, counts))
+    return out
+
+
+def _stash_deferred(tbl: pa.Table, stage_dir: str) -> None:
+    """Write deferred frontier rows to the round's staging partition
+    from inside a task (they rejoin the next frontier's union; content
+    determinism comes from the next round's sort, not file layout)."""
+    import uuid
+
+    os.makedirs(stage_dir, exist_ok=True)
+    pq.write_table(
+        tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+        os.path.join(stage_dir, f"part-{uuid.uuid4().hex}.parquet"),
+    )
+
+
+def _prefilter_stash_fn(batch: pd.DataFrame, *, max_k: int, cfg, obey_robots: bool,
+                        stats, round_no: int, stage_dir: str) -> pd.DataFrame:
+    """Skew prefilter with the deferred rows STASHED to disk in-task —
+    lets the whole round run as one pipelined execution instead of
+    materializing the pre-filter output just to split it later."""
+    out = prefilter_topk_per_host(batch, max_k, cfg=cfg, obey_robots=obey_robots)
+    defer = out[out["prefiltered_defer"]]
+    if len(defer):
+        _stash_deferred(
+            pa.Table.from_pandas(defer.drop(columns=["prefiltered_defer"]),
+                                 preserve_index=False),
+            stage_dir,
+        )
+    ray.get(stats.add.remote(round_no, {"winner_rows": len(out),
+                                        "deferred": len(defer)}))
+    return out[~out["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
+
+
+def _small_round_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg, stats,
+                    round_window_ms: int, obey_robots: bool, round_no: int,
+                    stage_dir: str) -> pa.Table:
+    """Shuffle-free small-round admission (single coalesced block):
+    sort host-aligned in-task, fused winner+admit (the driver-mode
+    kernel), then commit/stash/count — skips the groupby all-to-all
+    entirely when the round fits one task (the streaming mode's
+    biggest fixed cost at small rounds)."""
+    from .frontier import _winner_admit_fn
+
+    order = pc.sort_indices(
+        batch, sort_keys=[("host_hash", "ascending"), ("seq", "ascending")]
+    )
+    out = _winner_admit_fn(
+        batch.take(order), dedup=dedup, cfg=cfg,
+        round_window_ms=round_window_ms, obey_robots=obey_robots,
+        round_no=round_no,
+    )
+    ray.get(stats.add.remote(round_no, {"winner_rows": out.num_rows}))
+    return _commit_stash_fn(out, dedup=dedup, stats=stats, round_no=round_no,
+                            stage_dir=stage_dir)
+
+
+def _commit_stash_fn(batch: pa.Table, *, dedup: ShardedDedup, stats,
+                     round_no: int, stage_dir: str) -> pa.Table:
+    """Post-admission stage, fused in-pipeline: commit admitted|blocked
+    to the seen set, stash politeness-deferred rows to staging, push
+    tallies, and pass ONLY the admitted rows on to fetch+parse."""
+    adm = batch["admitted"]
+    blk = batch["blocked"]
+    hashes = batch.filter(pc.or_(adm, blk))["url_hash"].to_numpy(
+        zero_copy_only=False
+    )
     if len(hashes):
         dedup.push_commit(hashes)
-    return batch.select(["url_hash"])
+    deferred = batch.filter(pc.and_(pc.invert(adm), pc.invert(blk)))
+    if deferred.num_rows:
+        _stash_deferred(deferred.drop_columns(["admitted", "blocked"]), stage_dir)
+    ray.get(
+        stats.add.remote(
+            round_no,
+            {
+                "admitted": int(pc.sum(adm).as_py() or 0),
+                "blocked": int(pc.sum(blk).as_py() or 0),
+                "deferred": deferred.num_rows,
+            },
+        )
+    )
+    return batch.filter(adm).drop_columns(["admitted", "blocked"])
 
 
 def _filter_rowtype(batch: pa.Table, *, value: str) -> pa.Table:
@@ -122,6 +233,7 @@ class StreamingCrawler:
         round_window_ms: int = 60_000,
         fetch_batch_size: int = 512,
         max_rounds: int = 64,
+        small_round_threshold: int = 100_000,
     ):
         self.cfg = cfg
         self.captions = captions or ["synthetic caption"]
@@ -137,7 +249,15 @@ class StreamingCrawler:
         self.round_window_ms = round_window_ms
         self.fetch_batch_size = fetch_batch_size
         self.max_rounds = max_rounds
+        # below this many expected next-frontier rows, skip the
+        # distributed sort (driver Arrow sort, one part) — the
+        # streaming mode's small-round fast path
+        self.small_round_threshold = small_round_threshold
         self.lineage: list[dict] = []
+        # round whose frontier needs explicit dedup registration (fresh
+        # actors after resume; in-band registration covers all others)
+        self._register_round: int | None = None
+        self._stats = _RoundStats.remote()
 
     # ---------------- paths
     def _frontier_dir(self, r: int) -> str:
@@ -180,11 +300,16 @@ class StreamingCrawler:
         if start is None:
             seed_dir = self._frontier_dir(0)
             os.makedirs(seed_dir, exist_ok=True)
+            seed_tbl = assign_seq(make_seed_frontier(seeds), 0)
             pq.write_table(
-                assign_seq(make_seed_frontier(seeds), 0),
-                os.path.join(seed_dir, "part-000000000000.parquet"),
+                seed_tbl, os.path.join(seed_dir, "part-000000000000.parquet")
             )
+            _register_table(self.dedup, seed_tbl, 0)
             start = 0
+        else:
+            # fresh shard actors: the resumed round's frontier must
+            # re-register explicitly (everything after is in-band)
+            self._register_round = start
         r = start
         total_fetched = total_items = total_images = 0
         for row in self.lineage:  # restored rounds' contributions
@@ -216,84 +341,82 @@ class StreamingCrawler:
         ds = rd.read_parquet(self._frontier_dir(r))
         rows_in = ds.count()
 
-        # execution 1: dedup phase-1 registration (barrier; idempotent)
-        ds.map_batches(
-            _register_stream_fn,
-            fn_kwargs={"dedup": self.dedup, "round_no": r},
-            batch_format="pyarrow",
-        ).count()
+        # dedup phase-1 registration normally rode along in the PREVIOUS
+        # round's stamp/parse tasks (idempotent, barriered by ray.get);
+        # only a resumed round — fresh actors, empty registries — needs
+        # the explicit registration execution
+        if r == self._register_round:
+            ds.map_batches(
+                _register_stream_fn,
+                fn_kwargs={"dedup": self.dedup, "round_no": r},
+                batch_format="pyarrow",
+            ).count()
+            self._register_round = None
 
-        # execution 2: winner filter + skew prefilter (materialized in the
-        # object store, reused by the splits below without recompute)
+        # THE round execution: winner filter → skew prefilter (deferred
+        # rows stashed to staging in-task) → politeness shuffle +
+        # admission → seen-set commit + politeness-deferred stash →
+        # fetch → parse — ONE pipelined execution with one internal
+        # all-to-all, where round-1 ran four executions with three
+        # materialize barriers. All lineage counters ride to the stats
+        # actor from inside the tasks.
         max_k = host_budget(
             self.cfg.min_crawl_delay_ms if self.obey_robots else 100,
             self.round_window_ms,
         )
-        pre_mat = (
-            ds.map_batches(
-                _winner_fn, fn_kwargs={"dedup": self.dedup, "round_no": r},
-                batch_format="pyarrow",
-            )
-            .map_batches(
-                prefilter_topk_per_host,
-                fn_kwargs={"max_k": max_k, "cfg": self.cfg,
-                           "obey_robots": self.obey_robots},
-                batch_format="pandas",
-            )
-            .materialize()
-        )
-        contenders = pre_mat.map_batches(
-            lambda b: b.filter(pc.invert(b["prefiltered_defer"])).drop_columns(
-                ["prefiltered_defer"]
-            ),
-            batch_format="pyarrow",
-        )
-        admit = PolitenessAdmit(self.cfg, self.round_window_ms,
-                                self.obey_robots, round_no=r)
-
-        def admit_group(g: pd.DataFrame) -> pd.DataFrame:
-            return admit(g)
-
-        admit_mat = (
-            contenders.groupby("host_hash")
-            .map_groups(admit_group, batch_format="pandas")
-            .materialize()
-        )
-
-        # execution 3: commit admitted|blocked (from tasks), then clear
-        admit_mat.map_batches(
-            _commit_fn, fn_kwargs={"dedup": self.dedup}, batch_format="pyarrow"
-        ).count()
-        self.dedup.clear_round(r)
-
-        # counts for lineage (tiny aggregates)
-        stats_df = (
-            admit_mat.map_batches(
-                lambda b: pa.table(
-                    {
-                        "admitted": [int(pc.sum(b["admitted"]).as_py() or 0)],
-                        "blocked": [int(pc.sum(b["blocked"]).as_py() or 0)],
-                        "rows": [b.num_rows],
-                    }
-                ),
-                batch_format="pyarrow",
-            ).to_pandas()
-        )
-        rows_admitted = int(stats_df["admitted"].sum())
-        blocked_n = int(stats_df["blocked"].sum())
-        rows_unique = pre_mat.count()  # winner survivors (incl. deferred)
-        deferred_n = rows_unique - rows_admitted - blocked_n
-
-        # execution 4: fetch + parse over admitted rows; items/images
-        # stream to per-round partitions from inside the tasks
+        stage_dir = os.path.join(self.work_dir, "deferred", f"round_{r:04d}")
+        if os.path.exists(stage_dir):
+            shutil.rmtree(stage_dir)  # incomplete prior attempt
         for d in (self.images_out_dir, self.items_out_dir):
             part = os.path.join(d, f"round_{r:04d}")
             if os.path.exists(part):
-                shutil.rmtree(part)  # incomplete prior attempt
-        admitted_ds = admit_mat.map_batches(
-            lambda b: b.filter(b["admitted"]).drop_columns(["admitted", "blocked"]),
-            batch_format="pyarrow",
-        )
+                shutil.rmtree(part)
+        if rows_in <= self.small_round_threshold:
+            # shuffle-free: coalesce to one block, fused winner+admit+
+            # commit in a single task, then fan back out for fetch
+            admitted_ds = (
+                ds.repartition(1)
+                .map_batches(
+                    _small_round_fn,
+                    fn_kwargs={"dedup": self.dedup, "cfg": self.cfg,
+                               "stats": self._stats,
+                               "round_window_ms": self.round_window_ms,
+                               "obey_robots": self.obey_robots,
+                               "round_no": r, "stage_dir": stage_dir},
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+                .repartition(16)
+            )
+        else:
+            admit = PolitenessAdmit(self.cfg, self.round_window_ms,
+                                    self.obey_robots, round_no=r)
+
+            def admit_group(g: pd.DataFrame) -> pd.DataFrame:
+                return admit(g)
+
+            admitted_ds = (
+                ds.map_batches(
+                    _winner_fn, fn_kwargs={"dedup": self.dedup, "round_no": r},
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    _prefilter_stash_fn,
+                    fn_kwargs={"max_k": max_k, "cfg": self.cfg,
+                               "obey_robots": self.obey_robots,
+                               "stats": self._stats, "round_no": r,
+                               "stage_dir": stage_dir},
+                    batch_format="pandas",
+                )
+                .groupby("host_hash")
+                .map_groups(admit_group, batch_format="pandas")
+                .map_batches(
+                    _commit_stash_fn,
+                    fn_kwargs={"dedup": self.dedup, "stats": self._stats,
+                               "round_no": r, "stage_dir": stage_dir},
+                    batch_format="pyarrow",
+                )
+            )
         parse_mat = (
             admitted_ds.map_batches(
                 fetch_batch,
@@ -302,35 +425,26 @@ class StreamingCrawler:
                 batch_size=self.fetch_batch_size,
             )
             .map_batches(
-                _parse_fn,
+                _parse_count_fn,
                 fn_kwargs={
                     "cfg": self.cfg,
                     "images_out_dir": self.images_out_dir,
                     "items_out_dir": self.items_out_dir,
                     "round_no": r,
-                    "dedup": None,  # registration runs in execution 1
+                    "dedup": self.dedup,
+                    "stats": self._stats,
                 },
                 batch_format="pyarrow",
                 batch_size=self.fetch_batch_size,
             )
             .materialize()
         )
-        counts = (
-            parse_mat.map_batches(
-                lambda b: pa.Table.from_pandas(
-                    pd.DataFrame({"rowtype": b["rowtype"].to_pylist()})
-                    .value_counts()
-                    .rename("n")
-                    .reset_index(),
-                    preserve_index=False,
-                ),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-            .groupby("rowtype")["n"]
-            .sum()
-            .to_dict()
-        )
+        self.dedup.clear_round(r)
+        counts = ray.get(self._stats.get.remote(r))
+        rows_admitted = int(counts.get("admitted", 0))
+        blocked_n = int(counts.get("blocked", 0))
+        rows_unique = int(counts.get("winner_rows", 0))
+        deferred_n = int(counts.get("deferred", 0))
 
         # next frontier: links + retries + deferred → distributed sort +
         # per-block seq stamping → parquet partition
@@ -340,26 +454,19 @@ class StreamingCrawler:
         retry_ds = parse_mat.map_batches(
             _filter_rowtype, fn_kwargs={"value": "retry"}, batch_format="pyarrow"
         ).map_batches(_to_frontier_retries, batch_format="pyarrow")
-        defer_pre_ds = pre_mat.map_batches(
-            lambda b: b.filter(b["prefiltered_defer"])
-            .drop_columns(["prefiltered_defer"])
-            .select(FRONTIER_SCHEMA.names)
-            .cast(FRONTIER_SCHEMA),
-            batch_format="pyarrow",
+        nxt = links_ds.union(retry_ds)
+        if os.path.isdir(stage_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(stage_dir)
+        ):
+            # deferred rows stashed in-task by prefilter/admission
+            nxt = nxt.union(rd.read_parquet(stage_dir))
+        expected_next = (
+            int(counts.get("link", 0)) + int(counts.get("retry", 0)) + deferred_n
         )
-        defer_grp_ds = admit_mat.map_batches(
-            lambda b: b.filter(
-                pc.and_(pc.invert(b["admitted"]), pc.invert(b["blocked"]))
-            )
-            .drop_columns(["admitted", "blocked"])
-            .select(FRONTIER_SCHEMA.names)
-            .cast(FRONTIER_SCHEMA),
-            batch_format="pyarrow",
-        )
-        nxt = links_ds.union(retry_ds).union(defer_pre_ds).union(defer_grp_ds)
-        next_rows = self._write_next_frontier(nxt, r + 1)
-        # deferred rows re-register in round r+1's execution 1 (their
-        # round-r registry entries were cleared after commit)
+        next_rows = self._write_next_frontier(nxt, r + 1, expected_next)
+        # deferred/retry rows re-register for round r+1 inside the
+        # frontier write (stamp tasks / driver fast path); links were
+        # already registered by the parse tasks — both idempotent
 
         row = {
             "round": r,
@@ -382,13 +489,36 @@ class StreamingCrawler:
         self._checkpoint_seen(r)  # written LAST = round-complete marker
         return row
 
-    def _write_next_frontier(self, nxt: rd.Dataset, round_no: int) -> int:
-        """Distributed sort by the deterministic key, then per-block rank
-        offsets from block metadata + one stamping task per block."""
+    def _write_next_frontier(self, nxt: rd.Dataset, round_no: int,
+                             expected_rows: int | None = None) -> int:
+        """Next-frontier partition + dense seq + round-(r+1) dedup
+        registration, two paths:
+
+        * small round (≤ ``small_round_threshold`` expected rows): the
+          distributed sort's fixed barrier cost dwarfs the work —
+          collect the thin frontier, Arrow-sort on the driver
+          (identical key), write one part, register driver-side.
+          Bounded by the threshold, so driver memory stays capped.
+        * large round: distributed sort by the deterministic key, then
+          per-block rank offsets from block metadata + one stamping
+          task per block (each task also registers its rows)."""
         out_dir = self._frontier_dir(round_no)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
         os.makedirs(out_dir, exist_ok=True)
+        if expected_rows is not None and expected_rows <= self.small_round_threshold:
+            from .frontier import assign_seq
+
+            mat = nxt.materialize()
+            tbl = pa.concat_tables(
+                ray.get(mat.to_arrow_refs()), promote_options="default"
+            )
+            if tbl.num_rows == 0:
+                return 0
+            t = assign_seq(tbl.cast(FRONTIER_SCHEMA), round_no)
+            pq.write_table(t, os.path.join(out_dir, "part-000000000000.parquet"))
+            _register_table(self.dedup, t, round_no)
+            return t.num_rows
         sorted_mat = nxt.sort(["seq_parent", "seq_link", "canonical_url"]).materialize()
         bundles = list(sorted_mat.iter_internal_ref_bundles())
         blocks = [(ref, meta) for b in bundles for ref, meta in b.blocks]
@@ -402,6 +532,7 @@ class StreamingCrawler:
                 _stamp_and_write.remote(
                     block_ref, base, round_no,
                     os.path.join(out_dir, f"part-{i:06d}.parquet"),
+                    self.dedup,
                 )
             )
             base += n

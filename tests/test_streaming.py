@@ -22,21 +22,29 @@ def _driver_run(cfg, window=60_000):
     return c, res, seen
 
 
-def _stream_run(cfg, tmp_path, window=60_000):
+def _stream_run(cfg, tmp_path, window=60_000, **kw):
     s = StreamingCrawler(cfg, CAPTIONS, work_dir=str(tmp_path / "work"),
                          num_dedup_shards=4, obey_robots=True,
-                         round_window_ms=window)
+                         round_window_ms=window, **kw)
     res = s.crawl(cfg.seeds())
     return s, res, s.seen_set()
 
 
-@pytest.mark.parametrize("api_pct,window", [(0, 60_000), (100, 60_000), (0, 3_000)])
-def test_streaming_equals_driver_mode(ray_session, tmp_path, api_pct, window):
+# threshold 0 forces the distributed-sort + stamp-task path on every
+# round (the at-scale route); default exercises the small-round fast path
+@pytest.mark.parametrize(
+    "api_pct,window,thresh",
+    [(0, 60_000, 100_000), (100, 60_000, 100_000), (0, 3_000, 100_000),
+     (0, 60_000, 0), (0, 3_000, 0)],
+)
+def test_streaming_equals_driver_mode(ray_session, tmp_path, api_pct, window,
+                                      thresh):
     cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
                       fail_pct=10, notfound_pct=5, private_pct=15,
                       api_host_pct=api_pct)
     dc, dres, dseen = _driver_run(cfg, window)
-    sc, sres, sseen = _stream_run(cfg, tmp_path, window)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, window,
+                                  small_round_threshold=thresh)
 
     assert sseen == dseen
     assert sres["fetched"] == dres["fetched"]
