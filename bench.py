@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "min_price_dual",
     "ann_topk",
     "exact_dedup_docs",
+    # distributed near-dup suite (round 2: fully off-driver shapes)
+    "minhash_lsh_dedup",
+    "embedding_dup_pairs",
+    "geocode_enrich",
 ]
 
 

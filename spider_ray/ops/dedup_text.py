@@ -89,17 +89,37 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
 
 
 # ------------------------------------------------------------------ shingles
+# per-process token-hash cache: corpora have bounded vocabularies, so
+# hashing each DISTINCT token once and combining hashes vectorized is
+# ~5-10x cheaper than hashing every shingle string through pure-Python
+# xxh64 (the hash family only needs to be deterministic + collision-
+# sparse — shingle-set equality/Jaccard is what downstream consumes)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _tok_hash(t: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is None:
+        if len(_TOKEN_HASH_CACHE) > 1_000_000:
+            _TOKEN_HASH_CACHE.clear()
+        h = _TOKEN_HASH_CACHE[t] = xxh64(t)
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     toks = (text or "").split()
     if len(toks) < k:
         return np.array([xxh64(" ".join(toks))], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (xxh64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)),
-            dtype=np.uint64,
-            count=len(toks) - k + 1,
-        )
-    )
+    th = np.fromiter((_tok_hash(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    # order-sensitive k-gram combine (nested splitmix64 mixing)
+    n = len(toks) - k + 1
+    with np.errstate(over="ignore"):
+        acc = th[k - 1 : k - 1 + n]
+        for off in range(k - 2, -1, -1):
+            acc = th[off : off + n] ^ splitmix64(acc)
+        comb = splitmix64(acc)
+    return np.unique(comb)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

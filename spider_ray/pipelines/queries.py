@@ -1417,6 +1417,21 @@ def q_ann_topk_lsh(sf_dir: str):
     return pa.Table.from_pandas(df[["query_id", "vec_id", "rank"]], preserve_index=False)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF ANN (deterministic distributed k-means coarse quantizer +
+    nprobe cell scan; approximate → rows-only check, recall vs brute
+    force asserted in tests/test_ops.py)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = emb.slice(0, 5)
+    qids = qtbl["vec_id"].to_pylist()
+    qmat = np.stack(qtbl["embedding"].to_pylist())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = similarity.ann_topk_ivf(ds, qids, qmat, k=10, nlist=16, nprobe=4)
+    return pa.Table.from_pandas(df[["query_id", "vec_id", "rank"]], preserve_index=False)
+
+
 # --------------------------------------------------------------- crawl oracles
 # The crawl-family queries are oracled against the INDEPENDENT
 # sequential reference simulator (spider_ray/oracle_sim.py — no Ray, no
@@ -1678,4 +1693,5 @@ QUERIES = {
     "simhash": (q_simhash, None),
     "fingerprint": (q_fingerprint, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "ann_topk_ivf": (q_ann_topk_ivf, None),
 }

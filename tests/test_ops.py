@@ -137,6 +137,18 @@ def test_ann_bruteforce_and_lsh_recall(ray_session):
     approx = similarity.ann_topk_lsh(ds, qids, mat[:2], k=10, nbits=6)
     got1 = approx[approx["rank"] == 1]["vec_id"].tolist()
     assert got1 == [0, 1]
+    # IVF variant: the query's own vector lives in a probed cell
+    # (recall@1 = 1 when nprobe covers its cell), and recall@10 vs the
+    # exact result is substantial
+    ivf = similarity.ann_topk_ivf(ds, qids, mat[:2], k=10, nlist=8, nprobe=3)
+    assert ivf[ivf["rank"] == 1]["vec_id"].tolist() == [0, 1]
+    for qid in qids:
+        exact_ids = set(exact[exact["query_id"] == qid]["vec_id"])
+        ivf_ids = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        assert len(exact_ids & ivf_ids) >= 5  # recall@10 ≥ 0.5 at nprobe=3/8
+    # deterministic: same inputs → identical result
+    ivf2 = similarity.ann_topk_ivf(ds, qids, mat[:2], k=10, nlist=8, nprobe=3)
+    assert ivf.equals(ivf2)
 
 
 def test_text_ops(ray_session):

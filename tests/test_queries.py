@@ -56,7 +56,8 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_return_rows(ray_session):
-    for name in ("simhash", "fingerprint", "hll_distinct", "ann_topk_lsh"):
+    for name in ("simhash", "fingerprint", "hll_distinct", "ann_topk_lsh",
+                 "ann_topk_ivf"):
         fn, sql = QUERIES[name]
         assert sql is None
         out = _to_df(fn(SF))
