@@ -68,6 +68,8 @@ def bucketed_hash_join(
     num_buckets: int = 32,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    hot_keys: "list[int] | None" = None,
+    salt: int = 8,
 ) -> rd.Dataset:
     """Inner join via explicit hash bucketing (no Dataset.join).
 
@@ -78,10 +80,19 @@ def bucketed_hash_join(
     non-colliding columns (key appears once, under the left name).
     Pass ``left_schema``/``right_schema`` when the input is a lazy
     chain — see :func:`_schema_of`.
+
+    Skew handling (``hot_keys`` + ``salt``): a hot key would send its
+    entire row population to one bucket/task. Salting splits each hot
+    key's LEFT rows uniformly across ``salt`` sub-buckets (bucket =
+    hash(key, row_index % salt)), and REPLICATES the right side's rows
+    for that key into all ``salt`` sub-buckets — the standard
+    skew-join decomposition; output is identical to the unsalted join
+    (asserted in tests/test_ops.py).
     """
     right_on = right_on or on
     left_schema = _schema_of(left, left_schema)
     right_schema = _schema_of(right, right_schema)
+    hot = np.array(sorted(hot_keys or []), dtype=np.int64)
     left_cols = list(left_schema.names)
     right_cols = [
         c for c in right_schema.names if c != right_on and c not in left_cols
@@ -95,18 +106,64 @@ def bucketed_hash_join(
     def tag(side: str, key_col: str):
         def f(b: pa.Table) -> pa.Table:
             keys = b[key_col].to_numpy(zero_copy_only=False)
-            cols = {}
+            base = {}
             for c in left_cols + right_cols:
                 typ = lt.get(c) or rt.get(c)
                 if c in b.column_names:
-                    cols[c] = b[c].cast(typ)
+                    base[c] = b[c].cast(typ)
                 elif side == "R" and c == on:
-                    cols[c] = b[key_col].cast(typ)
+                    base[c] = b[key_col].cast(typ)
                 else:
-                    cols[c] = pa.nulls(b.num_rows, typ)
-            cols["__side"] = pa.array([side] * b.num_rows, pa.string())
-            cols["__bucket"] = pa.array(_bucket_of(keys, num_buckets), pa.int32())
-            return pa.table(cols)
+                    base[c] = pa.nulls(b.num_rows, typ)
+            bucket = _bucket_of(keys, num_buckets)
+            is_hot = (
+                np.isin(keys.astype(np.int64), hot)
+                if len(hot)
+                else np.zeros(len(keys), dtype=bool)
+            )
+            if not is_hot.any():
+                cols = dict(base)
+                cols["__side"] = pa.array([side] * b.num_rows, pa.string())
+                cols["__bucket"] = pa.array(bucket, pa.int32())
+                return pa.table(cols)
+            # salted sub-buckets live above the normal bucket range:
+            # sub-bucket id = num_buckets + hot_index*salt + s
+            hot_idx = np.searchsorted(hot, keys.astype(np.int64))
+            if side == "L":
+                s = np.arange(len(keys)) % salt  # uniform spread
+                salted = num_buckets + hot_idx * salt + s
+                cols = dict(base)
+                cols["__side"] = pa.array([side] * b.num_rows, pa.string())
+                cols["__bucket"] = pa.array(
+                    np.where(is_hot, salted, bucket).astype(np.int32), pa.int32()
+                )
+                return pa.table(cols)
+            # R side: non-hot rows keep their bucket; hot rows REPLICATE
+            # into every sub-bucket of their key
+            n_cold = int((~is_hot).sum())
+            cold = pa.table(
+                {**{c: a.filter(pa.array(~is_hot)) for c, a in base.items()},
+                 "__side": pa.array(["R"] * n_cold, pa.string()),
+                 "__bucket": pa.array(bucket[~is_hot], pa.int32())}
+            )
+            parts = [cold]
+            hot_tbl = pa.table(
+                {c: a.filter(pa.array(is_hot)) for c, a in base.items()}
+            )
+            h_idx = hot_idx[is_hot]
+            for s in range(salt):
+                parts.append(
+                    hot_tbl.append_column(
+                        "__side", pa.array(["R"] * hot_tbl.num_rows, pa.string())
+                    ).append_column(
+                        "__bucket",
+                        pa.array(
+                            (num_buckets + h_idx * salt + s).astype(np.int32),
+                            pa.int32(),
+                        ),
+                    )
+                )
+            return pa.concat_tables(parts)
 
         return f
 

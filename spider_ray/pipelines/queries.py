@@ -527,6 +527,72 @@ FROM c JOIN nation n ON n.n_nationkey = c.cell
 """
 
 
+def q_join_salted(sf_dir: str):
+    """Skew-salted bucketed hash join: ~75% of lineitem rows share one
+    join key (the hot-host shape); the hot key's left rows spread over
+    salt sub-buckets with the right side replicated into them —
+    result identical to a plain join, asserted by the SQL oracle."""
+    from ..ops.joins import bucketed_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def skew(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = np.where(k % 4 != 0, 1, k % 23)
+        return pa.table(
+            {
+                "skew_key": pa.array(sk, pa.int64()),
+                "l_orderkey": pa.array(k, pa.int64()),
+                "l_quantity": b["l_quantity"],
+            }
+        )
+
+    left = li.map_batches(skew, batch_format="pyarrow")
+    right = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda b: pa.table(
+            {
+                "skew_key": b["n_nationkey"].cast(pa.int64()),
+                "n_name": b["n_name"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucketed_hash_join(
+        left, right, on="skew_key", num_buckets=16,
+        hot_keys=[1], salt=8,
+        left_schema=pa.schema(
+            [("skew_key", pa.int64()), ("l_orderkey", pa.int64()),
+             ("l_quantity", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("skew_key", pa.int64()), ("n_name", pa.string())]
+        ),
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "skew_key": b["skew_key"].cast(pa.int64()),
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_quantity": b["l_quantity"],
+                "n_name": b["n_name"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_SALTED = """
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 4 != 0 THEN 1 ELSE l_orderkey % 23 END
+           AS skew_key,
+         CAST(l_orderkey AS BIGINT) AS l_orderkey, l_quantity
+  FROM lineitem
+)
+SELECT l.skew_key, l.l_orderkey, l.l_quantity, n.n_name
+FROM l JOIN nation n ON n.n_nationkey = l.skew_key
+"""
+
+
 # =============================================================== engine shapes
 def q_topk_hosts(sf_dir: str):
     """O1/A6 analog — top-10 keys by row count (groupby → sort → limit)."""
@@ -1662,6 +1728,7 @@ QUERIES = {
     "geocode_enrich": (q_geocode_enrich, SQL_GEOCODE_ENRICH),
     "join_native": (q_join_native, SQL_JOIN_BIG),
     "join_bucketed": (q_join_bucketed, SQL_JOIN_BIG),
+    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_json": (q_events_json, SQL_EVENTS_JSON),

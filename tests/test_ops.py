@@ -297,6 +297,31 @@ def test_verify_images_falsifiable(ray_session):
     assert not worse["pixels_ok"].iloc[2] and not worse["phash_ok"].iloc[2]
 
 
+def test_bucketed_hash_join_salted_skew(ray_session):
+    """Skew-join decomposition: hot-key LEFT rows spread across salt
+    sub-buckets, RIGHT rows replicated into them — output identical to
+    the unsalted join on a heavily skewed key distribution."""
+    from spider_ray.ops.joins import bucketed_hash_join
+
+    # key 7 owns 85% of the left side (the hot host / hot key shape)
+    left = rd.from_items(
+        [{"k": 7 if i % 20 < 17 else i % 5, "lv": i} for i in range(4000)],
+        override_num_blocks=8,
+    )
+    right = rd.from_items(
+        [{"k": j, "rv": f"r{j}"} for j in range(8)], override_num_blocks=2
+    )
+    plain = bucketed_hash_join(left, right, on="k", num_buckets=8).to_pandas()
+    salted = bucketed_hash_join(
+        left, right, on="k", num_buckets=8, hot_keys=[7], salt=4
+    ).to_pandas()
+    key = ["k", "lv", "rv"]
+    a = plain[key].sort_values(key).reset_index(drop=True)
+    b = salted[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["k"] == 7).sum() == 3400  # the hot key's rows all joined
+
+
 def test_bucketed_hash_join(ray_session):
     from spider_ray.ops.joins import bucketed_hash_join
 
