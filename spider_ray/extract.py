@@ -306,16 +306,35 @@ def extract_lat_long(s: str) -> tuple[str, str] | None:
     return None
 
 
+def extract_utilities(currency: str, description: str) -> str | None:
+    """M22 — helper.py:492-497 verbatim semantics: the 6 characters
+    after the LAST occurrence of the currency symbol (the reference
+    returns this raw window; callers numeric-parse it downstream)."""
+    if description and currency in description:
+        find = description.rindex(currency)
+        return description[find + 1 : find + 7]
+    return None
+
+
 # ------------------------------------------------------------------ M23
 PROPERTY_TYPE_MAP = {
-    # helper.py:273-304 (multilingual dictionary; ~32 keys)
+    # helper.py:273-304 — the FULL reference dictionary (substring
+    # match, first key wins; 'attico' must precede 'attic' because the
+    # reference maps them to different types and 'attic' ⊂ 'attico')
     "appartement": "apartment", "wohnung": "apartment", "apartment": "apartment",
     "flat": "apartment", "appartamento": "apartment", "daire": "apartment",
     "piso": "apartment", "lejlighed": "apartment",
+    "erdgeschosswohnung": "apartment", "etagenwohnung": "apartment",
+    "dachgeschosswohnung": "apartment", "loft": "apartment",
+    "attico": "room", "attic": "apartment",
     "huis": "house", "haus": "house", "house": "house", "villa": "house",
     "maison": "house", "casa": "house", "woning": "house", "hus": "house",
+    "porzione di casa": "house", "terratetto": "house", "colonica": "house",
+    "casa indipendente": "house", "einfamilienhaus": "house",
+    "doppelhaushälfte": "house",
     "kamer": "room", "zimmer": "room", "room": "room", "chambre": "room",
-    "stanza": "room", "oda": "room",
+    "stanza": "room", "oda": "room", "posto letto": "room", "camera": "room",
+    "box": "room",
     "studio": "studio", "stüdyo": "studio",
     "student": "student_apartment", "studentenwohnung": "student_apartment",
 }

@@ -217,3 +217,37 @@ def test_filter_valid_items():
     out = extract.filter_valid_items(df)
     # b: missing property_type; c: rent > 40000 (basic.tmpl:44-46); d: no link
     assert out["external_link"].tolist() == ["a"]
+
+
+def test_extract_utilities():
+    """M22 — helper.py:492-497: 6-char window after the LAST currency
+    symbol, None when absent."""
+    from spider_ray import extract
+
+    d = "Rent € 900 per month, utilities €120,50 extra"
+    assert extract.extract_utilities("€", d) == "120,50"
+    assert extract.extract_utilities("$", d) is None
+    assert extract.extract_utilities("€", "") is None
+
+
+def test_property_type_full_reference_map():
+    """M23 — the complete helper.py:273-304 dictionary, including the
+    'attico'(room) vs 'attic'(apartment) ordering trap."""
+    from spider_ray import extract
+
+    cases = {
+        "Dachgeschosswohnung in Mitte": "apartment",
+        "Schöne Etagenwohnung": "apartment",
+        "Einfamilienhaus am See": "house",
+        "Doppelhaushälfte": "house",
+        "Porzione di casa storica": "house",
+        "Terratetto ristrutturato": "house",
+        "Colonica in campagna": "house",
+        "Posto letto in centro": "room",
+        "Bel attico con terrazza": "room",
+        "Cozy attic conversion": "apartment",
+        "Camera singola": "room",
+        "Loft moderno": "apartment",
+    }
+    for raw, want in cases.items():
+        assert extract.property_type_lookup(raw) == want, raw
