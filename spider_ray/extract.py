@@ -427,6 +427,17 @@ def parse_listing_links(body: bytes) -> tuple[list[str], str | None]:
     return details, nxt
 
 
+_RE_SM_LOC = re.compile(rb"<loc>\s*(.*?)\s*</loc>", re.DOTALL)
+
+
+def parse_sitemap(body: bytes) -> tuple[str, list[str]]:
+    """S5 — sitemaps.org protocol documents (SitemapSpider analog):
+    returns ('index' | 'urlset', loc URLs). A sitemapindex's children
+    are further sitemaps; a urlset's children are content URLs."""
+    kind = "index" if b"<sitemapindex" in body else "urlset"
+    return kind, [m.decode("utf-8", "replace") for m in _RE_SM_LOC.findall(body)]
+
+
 def parse_detail_page(body: bytes) -> dict:
     """Detail page → raw field dict (strings; normalization is a later
     stage). JSON-LD lat/long via M21 (spiders/123wonen_nl.py:170-173)."""

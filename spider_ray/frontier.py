@@ -74,6 +74,7 @@ from .extract import (
     normalize_items,
     parse_detail_page,
     parse_listing_links,
+    parse_sitemap,
 )
 from .fetch import MAX_RETRIES, fetch_batch
 from .imaging import decode, phash
@@ -474,6 +475,15 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                          f"skip={nskip}&take={data['take']}".encode(),
                          page, nskip, data["take"])
                     )
+            elif kind == "sitemap":
+                # S5: sitemapindex children are sibling sitemaps (same
+                # depth, like pagination); urlset children are details
+                sm_kind, locs = parse_sitemap(z["body"][i])
+                cb = "parse" if sm_kind == "index" else "populate_item"
+                child_depth = depth if sm_kind == "index" else depth + 1
+                for j, href in enumerate(locs):
+                    link_raw.append((href, base, child_depth, sp, j, cb,
+                                     None, None, None, None, None))
             elif kind == "detail":
                 raw = parse_detail_page(z["body"][i])
                 m = _RE_CAPTION.search(raw.get("description_raw") or "")

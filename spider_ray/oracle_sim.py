@@ -180,6 +180,14 @@ class OracleCrawler:
                         )
                         child.page = c.page + 1
                         nxt.append(child)
+                elif page.kind == "sitemap":
+                    from spider_ray.extract import parse_sitemap
+
+                    sm_kind, locs = parse_sitemap(page.body)
+                    cb = "parse" if sm_kind == "index" else "populate_item"
+                    child_depth = c.depth if sm_kind == "index" else c.depth + 1
+                    for j, href in enumerate(locs):
+                        nxt.append(self._child(c, href, cb, child_depth, j))
                 elif page.kind == "listing":
                     links, nxt_page = parse_listing_links(page.body)
                     for j, href in enumerate(links):

@@ -33,12 +33,15 @@ semantics in both engine and oracle.
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from .hashing import splitmix64, xxh64
 from .imaging import FMT_PNG, FMT_QPNG, encode_png, encode_qpng
+
+_RE_SITEMAP_PAGE = _re.compile(r"^/sitemap-(\d+)\.xml$")
 
 RETRY_HTTP_CODES = frozenset(
     [500, 503, 504, 400, 401, 403, 404, 405, 407, 408, 416, 456, 502, 429]
@@ -99,6 +102,10 @@ class WorldConfig:
     # (FormRequest pagination with skip/take — 2,514 reference spiders,
     # spiders/31plusvastgoed_nl.py:19-24,36-40; S3/S4/O2/ST10)
     api_host_pct: int = 0
+    # % of (non-API) hosts discovered through an XML sitemap (S5 —
+    # SitemapSpider analog; sitemaps.org protocol: a /sitemap.xml index
+    # pointing at per-page urlsets of detail URLs)
+    sitemap_host_pct: int = 0
     seed: int = 42
 
     def host(self, i: int) -> str:
@@ -107,9 +114,17 @@ class WorldConfig:
     def is_api_host(self, i: int) -> bool:
         return splitmix64(xxh64(f"api:{self.seed}:{i}")) % 100 < self.api_host_pct
 
+    def is_sitemap_host(self, i: int) -> bool:
+        return (
+            not self.is_api_host(i)
+            and splitmix64(xxh64(f"sitemap:{self.seed}:{i}")) % 100
+            < self.sitemap_host_pct
+        )
+
     def seeds(self) -> list:
         """Seed list. Plain hosts seed a GET listing URL (str); API hosts
-        seed a POST search request (dict with form_body + paging meta)."""
+        seed a POST search request (dict with form_body + paging meta);
+        sitemap hosts seed their sitemap index."""
         out = []
         for i in range(self.num_hosts):
             if self.is_api_host(i):
@@ -120,6 +135,8 @@ class WorldConfig:
                         "meta": {"page": 1, "skip": 0, "take": self.details_per_page},
                     }
                 )
+            elif self.is_sitemap_host(i):
+                out.append(f"http://{self.host(i)}/sitemap.xml")
             else:
                 out.append(f"http://{self.host(i)}/list?page=1")
         return out
@@ -357,6 +374,41 @@ class World:
                  "has_more": skip + take < total}
             ).encode()
             return Page(url, 200, "api", body, "application/json", latency)
+
+        if path == "/sitemap.xml":
+            # sitemaps.org index: one child urlset per listing page
+            if not cfg.is_sitemap_host(i):
+                return Page(url, 404, "missing", latency_ms=latency)
+            subs = "\n".join(
+                f"  <sitemap><loc>http://{host}/sitemap-{p}.xml</loc></sitemap>"
+                for p in range(1, cfg.pages_for_host(i) + 1)
+            )
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                f"{subs}\n</sitemapindex>"
+            ).encode()
+            return Page(url, 200, "sitemap", body, "application/xml", latency)
+
+        m_sm = _RE_SITEMAP_PAGE.match(path)
+        if m_sm:
+            if not cfg.is_sitemap_host(i):
+                return Page(url, 404, "missing", latency_ms=latency)
+            page = int(m_sm.group(1))
+            if page < 1 or page > cfg.pages_for_host(i):
+                return Page(url, 404, "missing", latency_ms=latency)
+            urls = []
+            for slot in range(cfg.details_per_page):
+                k = detail_key(i, page, slot, cfg)
+                pfx = "/private" if _h(cfg, "priv", k) % 100 < cfg.private_pct else ""
+                urls.append(f"  <url><loc>http://{host}{pfx}/prop/{k}</loc></url>")
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                + "\n".join(urls)
+                + "\n</urlset>"
+            ).encode()
+            return Page(url, 200, "sitemap", body, "application/xml", latency)
 
         if path == "/robots.txt":
             delay = cfg.crawl_delay_ms(host)

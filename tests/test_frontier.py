@@ -195,3 +195,27 @@ def test_priority_seeds_admitted_first(ray_session):
     if k >= len(high):
         assert high <= fetched
     assert len(fetched) == k
+
+
+def test_sitemap_hosts_match_oracle(ray_session):
+    """S5 — XML sitemap discovery (sitemaps.org index → urlset →
+    details): engine and oracle must agree on fetch sets, seen-set and
+    sink rows when some hosts are seeded via /sitemap.xml."""
+    cfg = _cfg(num_hosts=5, sitemap_host_pct=70)
+    assert any(cfg.is_sitemap_host(i) for i in range(cfg.num_hosts))
+    assert any(
+        not cfg.is_sitemap_host(i) and not cfg.is_api_host(i)
+        for i in range(cfg.num_hosts)
+    )  # mixed world: sitemap + listing hosts
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    img = eng.images_table().to_pydict()
+    eng_rows = dict(zip(img["image_id"], img["phash"]))
+    ora_rows = {r["image_id"]: r["phash"] for r in ora.images}
+    assert eng_rows == ora_rows
+    assert res["images"] > 0 and res["items"] > 0
