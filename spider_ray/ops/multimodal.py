@@ -106,6 +106,50 @@ class ResizeImages:
         return pa.table(cols)
 
 
+class AudioFeatures:
+    """Actor-pool stage: audio binary column → integer feature columns
+    (n_samples, duration_ms, rms, peak, zero_crossings). REAL for PCM
+    WAV (spider_ray.audio implements the RIFF spec); compressed
+    formats (mp3/flac/ogg) are stubs behind an import-try, same
+    plumbing."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        try:  # pragma: no cover — not in this container
+            import soundfile  # noqa: F401
+
+            self.has_codecs = True
+        except ImportError:
+            self.has_codecs = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import FMT_WAV, audio_features, decode_wav
+
+        n = batch.num_rows
+        feats = {k: np.zeros(n, np.int64) for k in
+                 ("n_samples", "duration_ms", "rms", "peak", "zero_crossings")}
+        ok = np.zeros(n, bool)
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for j in range(n):
+            if fmts[j] == FMT_WAV:
+                samples, sr = decode_wav(blobs[j])
+                for k, v in audio_features(samples, sr).items():
+                    feats[k][j] = v
+                ok[j] = True
+            elif self.has_codecs:  # pragma: no cover
+                raise NotImplementedError("compressed-audio path not wired")
+            elif self.strict:
+                raise NotImplementedError(
+                    f"no decoder for fmt={fmts[j]!r} in this container (stub)"
+                )
+        cols = dict(zip(batch.column_names, batch.columns))
+        for k, v in feats.items():
+            cols[k] = pa.array(v, pa.int64())
+        cols["decode_ok"] = pa.array(ok)
+        return pa.table(cols)
+
+
 class FrameSample:
     """Video frame-sampling stage — PURE STUB: no video codec exists in
     this container. The contract (constructor knobs, batch signature,

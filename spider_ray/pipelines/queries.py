@@ -483,6 +483,70 @@ FROM orders
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal AUDIO path (real PCM WAV, spider_ray.audio): a
+    deterministic square-wave corpus derived from order keys is
+    round-tripped through the RIFF encoder and the AudioFeatures
+    actor-pool stage; integer features hash-match a closed-form SQL
+    oracle (square wave of amplitude A: rms = peak = A, alternating
+    sign → n-1 zero crossings)."""
+    from ..audio import FMT_WAV, encode_wav
+    from ..ops.multimodal import AudioFeatures
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def synth_wavs(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for k in keys:
+            n = 800 + int(k) % 50
+            amp = 1000 + int(k) % 100
+            t = np.arange(n)
+            samples = (amp * np.where(t % 2 == 0, 1, -1)).astype(np.int16)
+            blobs.append(encode_wav(samples, sample_rate=8000))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array([FMT_WAV] * len(keys), pa.string()),
+            }
+        )
+
+    feats = ds.map_batches(synth_wavs, batch_format="pyarrow").map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "n_samples": b["n_samples"],
+                "duration_ms": b["duration_ms"],
+                "rms": b["rms"],
+                "peak": b["peak"],
+                "zero_crossings": b["zero_crossings"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH a AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         800 + o_orderkey % 50 AS n,
+         1000 + o_orderkey % 100 AS amp
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(amp AS BIGINT) AS rms,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(n - 1 AS BIGINT) AS zero_crossings
+FROM a
+"""
+
+
 def q_geocode_enrich(sf_dir: str):
     """J3 — reverse-geocode broadcast lookup (helper.py:366-387):
     customers get deterministic coordinates, the geocode table (from
@@ -1726,6 +1790,7 @@ QUERIES = {
     "topk_hosts": (q_topk_hosts, SQL_TOPK_HOSTS),
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
     "geocode_enrich": (q_geocode_enrich, SQL_GEOCODE_ENRICH),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "join_native": (q_join_native, SQL_JOIN_BIG),
     "join_bucketed": (q_join_bucketed, SQL_JOIN_BIG),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),

@@ -338,3 +338,42 @@ def test_bucketed_hash_join(ray_session):
     assert len(out) == 3 * 1 + 3 * 2
     assert set(out.columns) >= {"k", "lv", "rv"}
     assert (out[out["k"] == 1]["rv"].value_counts() == 3).all()
+
+
+def test_wav_roundtrip_and_audio_features(ray_session):
+    """Real PCM WAV path: RIFF encode/decode round-trips exactly;
+    AudioFeatures actor stage produces the closed-form features; the
+    compressed-audio stub raises."""
+    from spider_ray.audio import audio_features, decode_wav, encode_wav
+    from spider_ray.ops.multimodal import AudioFeatures
+
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-30000, 30000, 1234, dtype=np.int16)
+    back, sr = decode_wav(encode_wav(samples, 16000))
+    assert sr == 16000 and (back == samples).all()
+
+    # closed-form: square wave of amplitude A
+    sq = (500 * np.where(np.arange(100) % 2 == 0, 1, -1)).astype(np.int16)
+    f = audio_features(sq, 8000)
+    assert f == {"n_samples": 100, "duration_ms": 12, "rms": 500,
+                 "peak": 500, "zero_crossings": 99}
+
+    tbl = pa.table(
+        {
+            "bytes": pa.array([encode_wav(samples, 8000), encode_wav(sq, 8000)],
+                              pa.binary()),
+            "fmt": ["wav", "wav"],
+        }
+    )
+    out = rd.from_arrow(tbl).map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=1
+    ).to_pandas().sort_values("n_samples", ascending=False).reset_index(drop=True)
+    assert out["decode_ok"].all()
+    assert out["n_samples"].tolist() == [1234, 100]
+    assert out["rms"].iloc[1] == 500
+
+    af = AudioFeatures(strict=True)
+    with pytest.raises(NotImplementedError):
+        af(pa.table({"bytes": [b"ID3..."], "fmt": ["mp3"]}))
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav")
