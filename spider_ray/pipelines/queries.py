@@ -1471,6 +1471,38 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.95
 """
 
 
+def q_embedding_dup_pairs_lsh(sf_dir: str):
+    """The linear-shuffle APPROXIMATE embedding-dedup scale path (LSH
+    bucket = partition key): same injected-duplicate corpus as the
+    exact query; recall on exact duplicates is 1 by construction
+    (identical sign patterns), so the true pairs are guaranteed
+    present. Rows-only (bucket recall for near-but-not-identical
+    vectors is approximate; measured in tests)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": b["vec_id"].cast(pa.int64()), "embedding": b["embedding"]}
+        )
+
+    def shifted(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.add(b["vec_id"].cast(pa.int64()), 100_000),
+                "embedding": b["embedding"],
+            }
+        )
+
+    corpus = ds.map_batches(base, batch_format="pyarrow").union(
+        ds.map_batches(shifted, batch_format="pyarrow")
+    )
+    out = dedup_text.embedding_dup_pairs_lsh(corpus, threshold=0.95, nbits=8)
+    return out.map_batches(
+        lambda b: pa.table({"a": b["a"].cast(pa.int64()), "b": b["b"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_langid(sf_dir: str):
     """Language-ID stopword vote (actor pool). SQL-checkable: the
     heuristic is a deterministic argmax over per-language stopword
@@ -1826,4 +1858,5 @@ QUERIES = {
     "fingerprint": (q_fingerprint, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
+    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, None),
 }
