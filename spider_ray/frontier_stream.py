@@ -99,12 +99,21 @@ class _RoundStats:
     their batch counts here instead of the driver running an extra
     count execution per round (the launch overheads were the streaming
     mode's fixed-cost premium). Tasks ``ray.get`` their add() so the
-    execution barrier implies delivery."""
+    execution barrier implies delivery. ``token`` makes adds
+    idempotent under Ray task retries (a re-executed batch pushes the
+    same token and is ignored) — without it a retried task would
+    double-count its batch."""
 
     def __init__(self):
         self.rounds: dict[int, dict[str, int]] = {}
+        self.seen: set = set()
 
-    def add(self, round_no: int, counts: dict) -> bool:
+    def add(self, round_no: int, counts: dict, token=None) -> bool:
+        if token is not None:
+            key = (int(round_no), token)
+            if key in self.seen:
+                return True
+            self.seen.add(key)
         d = self.rounds.setdefault(int(round_no), {})
         for k, v in counts.items():
             d[k] = d.get(k, 0) + int(v)
@@ -112,6 +121,21 @@ class _RoundStats:
 
     def get(self, round_no: int) -> dict:
         return dict(self.rounds.get(int(round_no), {}))
+
+
+def _batch_token(stage: str, batch) -> tuple | None:
+    """Retry-stable batch identity: stage + first key + row count
+    (batch contents are deterministic per pipeline position)."""
+    n = batch.num_rows if hasattr(batch, "num_rows") else len(batch)
+    if n == 0:
+        return None
+    if hasattr(batch, "column_names"):
+        first = batch["url_hash"][0].as_py() if "url_hash" in batch.column_names \
+            else batch[batch.column_names[0]][0].as_py()
+    else:
+        first = int(batch["url_hash"].iloc[0]) if "url_hash" in batch.columns \
+            else None
+    return (stage, int(first) if first is not None else -1, int(n))
 
 
 def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
@@ -122,21 +146,26 @@ def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
     counts: dict[str, int] = {}
     for v in rt:
         counts[v] = counts.get(v, 0) + 1
-    ray.get(stats.add.remote(round_no, counts))
+    tok = _batch_token("parse", batch)
+    if tok is not None and counts:
+        ray.get(stats.add.remote(round_no, counts, tok))
     return out
 
 
 def _stash_deferred(tbl: pa.Table, stage_dir: str) -> None:
     """Write deferred frontier rows to the round's staging partition
-    from inside a task (they rejoin the next frontier's union; content
-    determinism comes from the next round's sort, not file layout)."""
-    import uuid
+    from inside a task (they rejoin the next frontier's union). The
+    filename is derived from the batch's url_hash content, so a RETRIED
+    task overwrites its own part instead of duplicating rows (duplicate
+    frontier rows would share the dedup min-key and could double-admit)."""
+    from .hashing import xxh64
 
     os.makedirs(stage_dir, exist_ok=True)
-    pq.write_table(
-        tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
-        os.path.join(stage_dir, f"part-{uuid.uuid4().hex}.parquet"),
+    t = tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+    name = xxh64(
+        np.sort(t["url_hash"].to_numpy(zero_copy_only=False)).tobytes()
     )
+    pq.write_table(t, os.path.join(stage_dir, f"part-{name:016x}.parquet"))
 
 
 def _prefilter_stash_fn(batch: pd.DataFrame, *, max_k: int, cfg, obey_robots: bool,
@@ -152,8 +181,10 @@ def _prefilter_stash_fn(batch: pd.DataFrame, *, max_k: int, cfg, obey_robots: bo
                                  preserve_index=False),
             stage_dir,
         )
-    ray.get(stats.add.remote(round_no, {"winner_rows": len(out),
-                                        "deferred": len(defer)}))
+    tok = _batch_token("pre", batch)
+    if tok is not None:
+        ray.get(stats.add.remote(round_no, {"winner_rows": len(out),
+                                            "deferred": len(defer)}, tok))
     return out[~out["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
 
 
@@ -175,7 +206,9 @@ def _small_round_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg, stats,
         round_window_ms=round_window_ms, obey_robots=obey_robots,
         round_no=round_no,
     )
-    ray.get(stats.add.remote(round_no, {"winner_rows": out.num_rows}))
+    tok = _batch_token("win", batch)
+    if tok is not None:
+        ray.get(stats.add.remote(round_no, {"winner_rows": out.num_rows}, tok))
     return _commit_stash_fn(out, dedup=dedup, stats=stats, round_no=round_no,
                             stage_dir=stage_dir)
 
@@ -195,16 +228,19 @@ def _commit_stash_fn(batch: pa.Table, *, dedup: ShardedDedup, stats,
     deferred = batch.filter(pc.and_(pc.invert(adm), pc.invert(blk)))
     if deferred.num_rows:
         _stash_deferred(deferred.drop_columns(["admitted", "blocked"]), stage_dir)
-    ray.get(
-        stats.add.remote(
-            round_no,
-            {
-                "admitted": int(pc.sum(adm).as_py() or 0),
-                "blocked": int(pc.sum(blk).as_py() or 0),
-                "deferred": deferred.num_rows,
-            },
+    tok = _batch_token("commit", batch)
+    if tok is not None:
+        ray.get(
+            stats.add.remote(
+                round_no,
+                {
+                    "admitted": int(pc.sum(adm).as_py() or 0),
+                    "blocked": int(pc.sum(blk).as_py() or 0),
+                    "deferred": deferred.num_rows,
+                },
+                tok,
+            )
         )
-    )
     return batch.filter(adm).drop_columns(["admitted", "blocked"])
 
 
