@@ -321,6 +321,8 @@ PROPERTY_TYPE_MAP = {
     # helper.py:273-304 — the FULL reference dictionary (substring
     # match, first key wins; 'attico' must precede 'attic' because the
     # reference maps them to different types and 'attic' ⊂ 'attico')
+    # 'studentenwohnung' must precede 'wohnung' (substring, different type)
+    "studentenwohnung": "student_apartment",
     "appartement": "apartment", "wohnung": "apartment", "apartment": "apartment",
     "flat": "apartment", "appartamento": "apartment", "daire": "apartment",
     "piso": "apartment", "lejlighed": "apartment",
@@ -336,7 +338,7 @@ PROPERTY_TYPE_MAP = {
     "stanza": "room", "oda": "room", "posto letto": "room", "camera": "room",
     "box": "room",
     "studio": "studio", "stüdyo": "studio",
-    "student": "student_apartment", "studentenwohnung": "student_apartment",
+    "student": "student_apartment",
 }
 
 

@@ -122,6 +122,15 @@ class _RoundStats:
     def get(self, round_no: int) -> dict:
         return dict(self.rounds.get(int(round_no), {}))
 
+    def clear(self, round_no: int) -> bool:
+        """Drop a completed round's counters + tokens (bounds actor
+        memory over a long crawl — the stats analog of
+        ``dedup.clear_round``)."""
+        r = int(round_no)
+        self.rounds.pop(r, None)
+        self.seen = {k for k in self.seen if k[0] != r}
+        return True
+
 
 def _batch_token(stage: str, batch) -> tuple | None:
     """Retry-stable batch identity: stage + first key + row count
@@ -523,6 +532,7 @@ class StreamingCrawler:
                                f"round_{r:04d}.json"), "w") as f:
             json.dump(row, f)
         self._checkpoint_seen(r)  # written LAST = round-complete marker
+        ray.get(self._stats.clear.remote(r))  # bound actor memory
         return row
 
     def _write_next_frontier(self, nxt: rd.Dataset, round_no: int,

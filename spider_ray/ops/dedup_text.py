@@ -5,9 +5,10 @@ produces or verifies pairs runs inside a bounded-group shuffle
 (tests/test_scale_paths.py asserts the driver never sees a payload
 column):
 
-  exact     : content-hash map_batches → ``groupby(hash).aggregate(Min)``
-              (one combiner-backed shuffle, no per-key Python calls)
-              → distributed join back for full rows when needed.
+  exact     : content-hash map_batches → ``first_per_key`` (ONE
+              hash-routed shuffle into bounded partitions, vectorized
+              sort + drop_duplicates inside each — no per-key Python
+              calls, no join pass).
   minhash   : shingle→minhash per batch (numpy, vectorized over perms)
               → explode to (band, band_hash, doc_id) → keyed_self_pairs
               (partition-routed vectorized self-merge) → distinct →

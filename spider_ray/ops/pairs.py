@@ -132,11 +132,12 @@ def cosine_pair_cell(threshold: float, *, id_col: str, vec_col: str,
     return f
 
 
-def set_jaccard_pair_cell(min_double_inter: bool = True, *, id_col: str,
-                          set_col: str):
+def set_jaccard_pair_cell(*, id_col: str, set_col: str,
+                          t_num: int = 1, t_den: int = 2):
     """``cell_fn``: exact Jaccard over pre-hashed element sets (sorted
-    uint64 arrays); keeps pairs with ``2·|∩| ≥ |∪|`` (jaccard ≥ 0.5).
-    Emits integer |∩| / |∪| so a SQL oracle can hash-match exactly."""
+    uint64 arrays); keeps pairs with ``|∩|·t_den ≥ |∪|·t_num``
+    (jaccard ≥ t_num/t_den, default 0.5 — integer math so a SQL oracle
+    can hash-match exactly). Emits integer |∩| / |∪| columns."""
 
     def pair_rows(ids_a, sets_a, ids_b, sets_b, triangular):
         rows_a, rows_b, inter_l, union_l = [], [], [], []
@@ -147,7 +148,7 @@ def set_jaccard_pair_cell(min_double_inter: bool = True, *, id_col: str,
                 sb = sets_b[y]
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
-                if union and inter * 2 >= union:
+                if union and inter * t_den >= union * t_num:
                     a, b = int(ids_a[x]), int(ids_b[y])
                     rows_a.append(min(a, b))
                     rows_b.append(max(a, b))

@@ -1086,8 +1086,8 @@ def q_exact_dedup_docs(sf_dir: str):
         batch_format="pyarrow",
     )
     dup = ds.map_batches(shifted, batch_format="pyarrow")
-    # groupby(hash).aggregate(Min) — the combiner shape; the full-row
-    # variant (aggregate + join back) is dedup_text.exact_dedup,
+    # first_per_key (hash-routed shuffle + vectorized per-partition
+    # first); the full-row variant is dedup_text.exact_dedup,
     # exercised in tests/test_ops.py
     out = dedup_text.exact_dedup_keep_ids(base.union(dup))
     return out.map_batches(
@@ -1424,13 +1424,11 @@ def q_simhash(sf_dir: str):
     )
 
 
-def q_embedding_dup_pairs(sf_dir: str):
-    """EXACT cosine ≥ 0.95 near-dup pairs via blocked all-pairs (no
-    driver materialization, no whole-matrix broadcast — VERDICT r1
-    What's-wrong #1). The corpus is made non-vacuous by unioning an
-    exact duplicate of every vector at vec_id+100000, so the oracle
-    asserts ≥N true pairs instead of 0 = 0."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+def _dup_injected_corpus(ds: rd.Dataset) -> rd.Dataset:
+    """Embeddings unioned with an exact copy of every vector at
+    vec_id+100000 — the shared non-vacuous fixture for BOTH embedding
+    dedup queries (mirrors the SQL oracle's UNION ALL; keep all three
+    in sync)."""
 
     def base(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1445,9 +1443,20 @@ def q_embedding_dup_pairs(sf_dir: str):
             }
         )
 
-    corpus = ds.map_batches(base, batch_format="pyarrow").union(
+    return ds.map_batches(base, batch_format="pyarrow").union(
         ds.map_batches(shifted, batch_format="pyarrow")
     )
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """EXACT cosine ≥ 0.95 near-dup pairs via blocked all-pairs (no
+    driver materialization, no whole-matrix broadcast — VERDICT r1
+    What's-wrong #1). The corpus is made non-vacuous by unioning an
+    exact duplicate of every vector at vec_id+100000, so the oracle
+    asserts ≥N true pairs instead of 0 = 0."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    corpus = _dup_injected_corpus(ds)
     out = dedup_text.embedding_dup_pairs(corpus, threshold=0.95, num_blocks=8)
     return out.map_batches(
         lambda b: pa.table({"a": b["a"].cast(pa.int64()), "b": b["b"].cast(pa.int64())}),
@@ -1480,22 +1489,7 @@ def q_embedding_dup_pairs_lsh(sf_dir: str):
     vectors is approximate; measured in tests)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def base(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"vec_id": b["vec_id"].cast(pa.int64()), "embedding": b["embedding"]}
-        )
-
-    def shifted(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "vec_id": pc.add(b["vec_id"].cast(pa.int64()), 100_000),
-                "embedding": b["embedding"],
-            }
-        )
-
-    corpus = ds.map_batches(base, batch_format="pyarrow").union(
-        ds.map_batches(shifted, batch_format="pyarrow")
-    )
+    corpus = _dup_injected_corpus(ds)
     out = dedup_text.embedding_dup_pairs_lsh(corpus, threshold=0.95, nbits=8)
     return out.map_batches(
         lambda b: pa.table({"a": b["a"].cast(pa.int64()), "b": b["b"].cast(pa.int64())}),
