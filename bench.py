@@ -134,6 +134,65 @@ def run_bench() -> dict:
     return result
 
 
+def run_streaming() -> dict:
+    """Driver mode vs StreamingCrawler on the bench world in ONE session
+    (same-session A/B is the only noise-robust comparison on this VM).
+    Records the streaming mode's fixed-cost premium (round-2 target ≤2×)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spider_ray.frontier import Crawler
+    from spider_ray.frontier_stream import StreamingCrawler
+    from spider_ray.synth import WorldConfig, load_captions_from_documents
+
+    captions = load_captions_from_documents(f"{SF_DIR}/documents.parquet")
+    cfg = WorldConfig(
+        num_hosts=BENCH_WORLD["num_hosts"],
+        max_pages_per_host=BENCH_WORLD["max_pages_per_host"],
+        details_per_page=BENCH_WORLD["details_per_page"],
+        **BENCH_WORLD["world_overrides"],
+    )
+    wc = WorldConfig(num_hosts=4, max_pages_per_host=1, details_per_page=3)
+    Crawler(wc, captions[:10]).crawl(wc.seeds())  # warm both paths
+    StreamingCrawler(wc, captions[:10], work_dir=tempfile.mkdtemp()).crawl(wc.seeds())
+
+    t0 = time.perf_counter()
+    d = Crawler(cfg, captions, images_out_dir=tempfile.mkdtemp(prefix="bd_"),
+                round_window_ms=BENCH_WORLD["round_window_ms"])
+    dres = d.crawl(cfg.seeds())
+    d_sec = time.perf_counter() - t0
+
+    work = tempfile.mkdtemp(prefix="bs_")
+    t0 = time.perf_counter()
+    s = StreamingCrawler(cfg, captions, work_dir=work,
+                         round_window_ms=BENCH_WORLD["round_window_ms"])
+    sres = s.crawl(cfg.seeds())
+    s_sec = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    out = {
+        "metric": "streaming_mode_premium",
+        "value": round(s_sec / d_sec, 3),
+        "unit": "ratio",
+        "driver_sec": round(d_sec, 3),
+        "streaming_sec": round(s_sec, 3),
+        "outputs_identical": all(
+            dres[k] == sres[k] for k in ("fetched", "seen", "items", "images")
+        ),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -179,5 +238,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--streaming" in sys.argv:
+        print(json.dumps(run_streaming()))
     else:
         print(json.dumps(run_bench()))
