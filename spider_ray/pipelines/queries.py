@@ -1348,6 +1348,33 @@ FROM c
 """
 
 
+def q_token_quantiles(sf_dir: str):
+    """Corpus token-length quantiles via DDSketch (relative-error ≤1%,
+    mergeable, deterministic — the quantile analog of the HLL path):
+    per-batch sketches inside map_batches, tiny driver merge. One pass,
+    no shuffle, works unchanged at 10^10 docs. Rows-only (sketch output
+    is approximate by construction; accuracy vs exact quantiles is
+    asserted in tests/test_ops.py). Values milli-quantized for a stable
+    driver hash."""
+    from ..ops.sketches import quantiles_approx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table({"n_tokens": b["n_tokens"].cast(pa.float64())}),
+        batch_format="pyarrow",
+    )
+    qs = quantiles_approx(ds, "n_tokens", [0.5, 0.9, 0.99], alpha=0.01)
+    return pa.table(
+        {
+            "q": pa.array([500, 900, 990], pa.int64()),  # quantile in millis
+            "n_tokens_milli": pa.array(
+                [int(round(qs[x] * 1000)) for x in (0.5, 0.9, 0.99)], pa.int64()
+            ),
+        }
+    )
+
+
 def q_hll_distinct(sf_dir: str):
     """A4 scale path — approximate distinct count via mergeable per-batch
     HyperLogLog sketches (exact at shard level in the engine; the sketch
@@ -1848,6 +1875,7 @@ QUERIES = {
     # and LSH-ANN are approximate by construction; fingerprint/simhash
     # need xxh64, which SQL cannot express
     "hll_distinct": (q_hll_distinct, None),
+    "token_quantiles": (q_token_quantiles, None),
     "simhash": (q_simhash, None),
     "fingerprint": (q_fingerprint, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),

@@ -377,3 +377,42 @@ def test_wav_roundtrip_and_audio_features(ray_session):
         af(pa.table({"bytes": [b"ID3..."], "fmt": ["mp3"]}))
     with pytest.raises(ValueError):
         decode_wav(b"not a wav")
+
+
+def test_ddsketch_quantiles(ray_session):
+    """DDSketch (relative-error quantile sketch): accuracy within
+    alpha, merge associativity, serialize round-trip, and the
+    per-batch-combiner Dataset path."""
+    from spider_ray.ops.sketches import DDSketch, quantiles_approx
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 1.2, 40_000),
+        np.zeros(500),  # exact-zero handling
+    ])
+    s = DDSketch(alpha=0.01)
+    s.add_values(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        true = float(np.quantile(vals, q))
+        got = s.quantile(q)
+        if true == 0:
+            assert got == 0
+        else:
+            assert abs(got - true) / true <= 0.02  # alpha + interpolation slack
+    # merge associativity: split three ways, any merge order agrees
+    a, b, c = DDSketch(0.01), DDSketch(0.01), DDSketch(0.01)
+    a.add_values(vals[:10_000]); b.add_values(vals[10_000:25_000]); c.add_values(vals[25_000:])
+    m1 = a.merge(b).merge(c)
+    m2 = c.merge(a.merge(b))
+    assert m1.quantile(0.5) == m2.quantile(0.5) == s.quantile(0.5)
+    rt = DDSketch.deserialize(s.serialize())
+    assert rt.quantile(0.9) == s.quantile(0.9)
+    with pytest.raises(ValueError):
+        DDSketch().add_values(np.array([-1.0]))
+
+    # Dataset path: token-length p50/p99 over a corpus
+    ds = rd.from_items([{"n": float(x)} for x in vals[:5_000]],
+                       override_num_blocks=4)
+    qa = quantiles_approx(ds, "n", [0.5, 0.99], alpha=0.01)
+    true50 = float(np.quantile(vals[:5_000], 0.5))
+    assert abs(qa[0.5] - true50) / true50 <= 0.02
