@@ -1107,6 +1107,92 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER resolution — the step after pair detection that
+    actually deduplicates a corpus: documents ∪ an exact copy of each
+    (ids +1,000,000), near-dup edges from the distributed MinHash+LSH
+    pipeline, then distributed connected components (iterative
+    min-label propagation; ops/graph.py). cluster_id = min doc id in
+    the component — "keep cluster_id" is the cluster-level dedup-first.
+    Oracle: exact 3-shingle-Jaccard edges + a recursive-CTE transitive
+    closure in SQL (LSH recall is total on these corpora — the same
+    property the minhash_lsh_dedup oracle rests on)."""
+    from ..ops.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "text": b["text"]}
+        )
+
+    def shifted(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"].cast(pa.int64()), 1_000_000),
+                "text": b["text"],
+            }
+        )
+
+    corpus = ds.map_batches(base, batch_format="pyarrow").union(
+        ds.map_batches(shifted, batch_format="pyarrow")
+    ).materialize()  # consumed by both the pair pipeline and the node list
+    pairs = dedup_text.minhash_lsh_pairs(corpus, k=3, bands=32, threshold=0.6)
+    nodes = corpus.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}), batch_format="pyarrow"
+    )
+    cc = connected_components(
+        nodes,
+        pairs.map_batches(
+            lambda b: pa.table({"a": b["a"], "b": b["b"]}), batch_format="pyarrow"
+        ),
+        # bounded-group shuffles: partition count sized to the corpus
+        # (at 10^10 nodes this goes up with the cluster, not the code)
+        num_partitions=16,
+    )
+    return cc.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "cluster_id": b["cluster_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000 AS doc_id, text FROM documents
+), toks AS (
+  SELECT doc_id, REGEXP_EXTRACT_ALL(text, '\\S+') AS w FROM corpus
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+              ELSE LIST_DISTINCT(LIST_TRANSFORM(
+                     RANGE(1, LEN(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS shingles
+  FROM toks
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE LEN(LIST_INTERSECT(a.shingles, b.shingles)) * 10 >=
+        6 * (LEN(a.shingles) + LEN(b.shingles)
+             - LEN(LIST_INTERSECT(a.shingles, b.shingles)))
+), sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM corpus
+  UNION
+  SELECT s.dst AS id, reach.r FROM sym s JOIN reach ON reach.id = s.src
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
@@ -1854,6 +1940,7 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # training-data ops (SQL-checked)
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),

@@ -416,3 +416,29 @@ def test_ddsketch_quantiles(ray_session):
     qa = quantiles_approx(ds, "n", [0.5, 0.99], alpha=0.01)
     true50 = float(np.quantile(vals[:5_000], 0.5))
     assert abs(qa[0.5] - true50) / true50 <= 0.02
+
+
+def test_connected_components(ray_session):
+    """Near-dup cluster resolution: min-label propagation over the pair
+    graph — chains, separate components, singletons, and convergence."""
+    from spider_ray.ops.graph import connected_components
+
+    nodes = rd.from_items([{"doc_id": i} for i in [0, 1, 2, 3, 5, 6, 9]],
+                          override_num_blocks=2)
+    pairs = rd.from_items(
+        [{"a": 0, "b": 1}, {"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 5, "b": 6}],
+        override_num_blocks=2,
+    )
+    out = connected_components(nodes, pairs, num_partitions=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 5: 5, 6: 5, 9: 9}
+    # no pairs at all: every node is its own cluster
+    out2 = connected_components(
+        nodes, rd.from_items([], override_num_blocks=1).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ) if False else rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ),
+        num_partitions=4,
+    ).to_pandas()
+    assert (out2["doc_id"] == out2["cluster_id"]).all()
