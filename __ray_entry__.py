@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spider_ray.pipelines.queries import QUERIES
+    from spider_ray.pipelines.queries import QUERIES, ensure_crawl_oracle_dumps
 
+    # the crawl-family oracles are simulator parquet dumps; regenerate
+    # them here (pure Python, no Ray) so the SQL is valid regardless of
+    # whether the driver evaluates it before or after the queries run
+    ensure_crawl_oracle_dumps()
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

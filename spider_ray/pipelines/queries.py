@@ -1738,6 +1738,59 @@ def _oracle_crawl(sf_dir: str, **world_kw):
     return cfg, captions, OracleCrawler(cfg, captions).crawl(cfg.seeds())
 
 
+def ensure_crawl_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Regenerate all simulator parquet dumps for ``sf_dir`` (pure
+    Python — no Ray needed). Called from ``oracle_sql()`` so the dumps
+    are fresh even if the driver evaluates the SQL BEFORE running the
+    corresponding query (which would otherwise read a stale or missing
+    dump from an earlier run at a different scale)."""
+    from ..imaging import phash as _phash
+
+    world_a = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3)
+    _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world_a))
+    _cfg, _caps, ora = _oracle_crawl(sf_dir, **world_a)
+    _dump_oracle(
+        "crawl_images",
+        pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in ora.images], pa.string()),
+                "w": pa.array([r["w"] for r in ora.images], pa.int32()),
+                "h": pa.array([r["h"] for r in ora.images], pa.int32()),
+                "fmt": pa.array([r["fmt"] for r in ora.images], pa.string()),
+                "caption": pa.array([r["caption"] for r in ora.images], pa.string()),
+                "phash": pa.array([r["phash"] for r in ora.images], pa.int64()),
+                "src_url": pa.array([r["src_url"] for r in ora.images], pa.string()),
+            }
+        ),
+    )
+    world_b = dict(num_hosts=3, max_pages_per_host=2, details_per_page=2)
+    _cfg, _caps, orb = _oracle_crawl(sf_dir, **world_b)
+    ids = [r["image_id"] for r in orb.images]
+    _dump_oracle(
+        "verify_sink",
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "pixels_ok": pa.array([True] * len(ids)),
+                "caption_ok": pa.array([True] * len(ids)),
+                "phash_ok": pa.array([True] * len(ids)),
+            }
+        ),
+    )
+    pids = sorted(orb.pixels)
+    _dump_oracle(
+        "multimodal_decode",
+        pa.table(
+            {
+                "image_id": pa.array(pids, pa.string()),
+                "dec_w": pa.array([orb.pixels[i].shape[1] for i in pids], pa.int64()),
+                "dec_h": pa.array([orb.pixels[i].shape[0] for i in pids], pa.int64()),
+                "phash64": pa.array([_phash(orb.pixels[i]) for i in pids], pa.int64()),
+            }
+        ),
+    )
+
+
 def _oracle_items_table(sf_dir: str, **world_kw) -> pa.Table:
     """Simulator items → the same normalize+validate leaf functions the
     engine uses in-task (crawl ordering/fetch/dedup — the part under
