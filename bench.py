@@ -93,9 +93,13 @@ def run_bench() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # two measured passes, report the MIN: this shared VM's background
-    # noise swings single readings by ±50% (both passes recorded)
+    # noise swings single readings by ±50% (all passes recorded); when
+    # the two disagree badly (a load spike hit one of them), a third
+    # pass arbitrates
     passes = []
-    for _ in range(2):
+    while len(passes) < 2 or (
+        len(passes) == 2 and max(passes) / min(passes) > 1.5
+    ):
         images_dir = tempfile.mkdtemp(prefix="spider_bench_images_")
         t0 = time.perf_counter()
         crawler, stats = run_crawl(SF_DIR, images_out_dir=images_dir, **BENCH_WORLD)
