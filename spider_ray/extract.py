@@ -166,7 +166,9 @@ def format_date(s: str, fmt: str = "%d/%m/%Y") -> str:
 
 
 _MONTHS = {
-    # en + de + nl + fr month names → number (helper.py:206-266 dicts)
+    # en + de + nl + fr + es + tr month names → number (helper.py:206-266
+    # dicts; language set matches the reference's dateparser config
+    # languages=[en, es, fr, nl, tr], helper.py:596)
     "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
     "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
     "december": 12,
@@ -176,8 +178,17 @@ _MONTHS = {
     "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
     "juin": 6, "juillet": 7, "aout": 8, "août": 8, "septembre": 9,
     "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
+    # es
+    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5, "junio": 6,
+    "julio": 7, "agosto": 8, "septiembre": 9, "setiembre": 9, "octubre": 10,
+    "noviembre": 11, "diciembre": 12,
+    # tr (with ASCII-folded variants — crawled pages mix both)
+    "ocak": 1, "şubat": 2, "subat": 2, "mart": 3, "nisan": 4, "mayıs": 5,
+    "mayis": 5, "haziran": 6, "temmuz": 7, "ağustos": 8, "agustos": 8,
+    "eylül": 9, "eylul": 9, "ekim": 10, "kasım": 11, "kasim": 11,
+    "aralık": 12, "aralik": 12,
 }
-_RE_MONTH_DATE = re.compile(r"(\d{1,2})\.?\s*([A-Za-zäöüéûâ]+)\.?\s*(\d{4})")
+_RE_MONTH_DATE = re.compile(r"(\d{1,2})\.?\s*([A-Za-zäöüéûâşığçáíóúñÄÖÜŞİĞÇ]+)\.?\s*(\d{4})")
 
 
 def extract_date(s: str) -> str:

@@ -123,6 +123,38 @@ def xxh64_many(values, seed: int = 0) -> np.ndarray:
     return out
 
 
+def xxh64_u64_many(x: np.ndarray | list, seed: int = 0) -> np.ndarray:
+    """Vectorized XXH64 of many 8-byte little-endian values.
+
+    Bit-identical to ``xxh64(struct.pack('<Q', v), seed)`` for every
+    element (the spec's ``len == 8`` path: one tail round + avalanche),
+    but computed with numpy uint64 ops — the fast path for hashing
+    numeric columns (HLL sketches, key derivation) without per-row
+    ``str()``/``bytes()`` round-trips. Signed int64 inputs are hashed
+    as their two's-complement LE bytes (``.view(np.uint64)``).
+    """
+    v = np.asarray(x)
+    if v.dtype == np.int64:
+        v = v.view(np.uint64)
+    v = v.astype(np.uint64, copy=False)
+    P1 = np.uint64(_P1)
+    P2 = np.uint64(_P2)
+    P3 = np.uint64(_P3)
+    P4 = np.uint64(_P4)
+    with np.errstate(over="ignore"):
+        lane = v * P2
+        lane = ((lane << np.uint64(31)) | (lane >> np.uint64(33))) * P1
+        h = np.full_like(v, (seed + _P5 + 8) & _MASK)
+        h ^= lane
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
 def splitmix64(x: np.ndarray | int):
     """SplitMix64 finalizer — cheap vectorizable mixer for derived keys.
 

@@ -6,14 +6,20 @@ documents are near-duplicates; keeping one representative per
 Algorithm: iterative min-label propagation (the classic MapReduce /
 Pregel connected-components formulation): every node starts labeled
 with its own id; each round, every node takes the min of its own label
-and its neighbors' labels; converges in O(diameter) rounds (near-dup
-components are shallow — pairs of exact copies plus small near-dup
-cliques — so 3–5 rounds in practice). Each round is ONE bucketed hash
+and its neighbors' labels, then applies ``jumps`` pointer-jumping
+passes (label ← label-of-label — the path-halving device from
+union-find / the Stergiou-style short-circuiting CC formulations),
+compressing label chains geometrically so long paths converge in
+O(log diameter) rounds instead of O(diameter) (a 10^4-node chain
+resolves in ≤9 rounds; tests/test_ops.py). Near-dup components are
+shallow (exact-copy pairs plus small near-dup cliques), so typical
+corpora still finish in 2–3 rounds. Each round is ONE bucketed hash
 join (labels onto the symmetric edge list) + ONE hash-routed min
-reduction (`first_per_key`), both bounded-group shuffles. Convergence
-is detected with a monotone invariant: labels only ever decrease, so
-the fleet-wide label SUM strictly decreases until the fixed point —
-one cheap `Dataset.sum()` per round instead of an old-vs-new join.
+reduction (`first_per_key`) + ``jumps`` label-table self-joins, all
+bounded-group shuffles over thin (node, label) rows. Convergence is
+detected with a monotone invariant: labels only ever decrease, so the
+fleet-wide label SUM strictly decreases until the fixed point — one
+cheap `Dataset.sum()` per round instead of an old-vs-new join.
 """
 
 from __future__ import annotations
@@ -33,10 +39,16 @@ def connected_components(
     id_col: str = "doc_id",
     max_iters: int = 50,
     num_partitions: int = 64,
+    jumps: int = 2,
+    stats: dict | None = None,
 ) -> rd.Dataset:
     """(nodes with ``id_col``; pairs with columns a, b) →
     Dataset (id_col, cluster_id) where cluster_id = min node id in the
-    component. Singletons keep cluster_id = their own id."""
+    component. Singletons keep cluster_id = their own id.
+
+    ``jumps`` pointer-jumping passes run after each neighbor-min step
+    (see module docstring); ``stats['rounds']`` reports the number of
+    neighbor-min rounds executed when a dict is passed."""
     # symmetric edge list: (src, dst) ∪ (dst, src)
     def sym_simple(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -62,7 +74,29 @@ def connected_components(
     label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
+    jump_schema = pa.schema([("jnode", pa.int64()), ("jlabel", pa.int64())])
+
+    def pointer_jump(lbls: rd.Dataset) -> rd.Dataset:
+        """label ← label(label): every label value is itself a node id
+        (labels start as ids and only ever take min over ids), so one
+        self-join of the label table resolves each pointer one hop
+        further — chains compress geometrically across rounds."""
+        lookup = lbls.map_batches(
+            lambda b: pa.table({"jnode": b["node"], "jlabel": b["label"]}),
+            batch_format="pyarrow",
+        )
+        return bucketed_hash_join(
+            lbls, lookup, on="label", right_on="jnode",
+            num_buckets=num_partitions,
+            left_schema=label_schema,
+            right_schema=jump_schema,
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["jlabel"]}),
+            batch_format="pyarrow",
+        )
+
     prev_sum = None
+    rounds = 0
     for _ in range(max_iters):
         # neighbor messages: label(src) proposed to dst
         msgs = bucketed_hash_join(
@@ -81,11 +115,17 @@ def connected_components(
         labels = first_per_key(
             labels.union(msgs), key_cols=["node"], order_cols=["label"],
             num_partitions=num_partitions,
-        ).repartition(num_partitions).materialize()
+        )
+        for _j in range(jumps):
+            labels = pointer_jump(labels)
+        labels = labels.repartition(num_partitions).materialize()
+        rounds += 1
         cur = labels.sum("label")
         if cur == prev_sum:  # labels are monotone non-increasing
             break
         prev_sum = cur
+    if stats is not None:
+        stats["rounds"] = rounds
 
     return labels.map_batches(
         lambda b: pa.table({id_col: b["node"], "cluster_id": b["label"]}),

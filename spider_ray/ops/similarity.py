@@ -26,6 +26,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def vec_matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` column → (n, dim) float64 matrix via the
+    flattened value buffer (one reshape — no per-row ``to_pylist`` /
+    ``np.stack``). Falls back to stacking for ragged lists."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    lens = np.asarray(arr.value_lengths(), dtype=np.int64)
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        return np.stack(arr.to_pylist()).astype(np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return flat.reshape(n, dim)
+
+
 def ann_topk_bruteforce(
     ds: rd.Dataset,
     query_ids: list[int],
@@ -42,48 +60,63 @@ def ann_topk_bruteforce(
     (cosine rounded to ``round_dp`` desc, vec_id asc) — the rounding
     makes the ordering reproducible against a SQL oracle despite
     summation-order float jitter.
+
+    Shape: per-batch partial top-k (the combiner) → ONE distributed
+    per-query merge (``groupby('qi')``, ≤ nq bounded groups) → the
+    driver collects only the final nq×k rows. Without the merge stage
+    the driver would collect nq×k×num_blocks partials — a hot spot at
+    10^6 blocks (VERDICT r2 What's-wrong #4).
     """
     qm = _normalize(np.asarray(query_mat, dtype=np.float64))
     q_ref = ray.put(qm)
+    qids_arr = np.asarray(query_ids, dtype=np.int64)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(vec_matrix(batch[vec_col]))
         sims = q @ mat.T  # (nq, nb)
         nq, nb = sims.shape
         take = min(k, nb)
-        out_q, out_v, out_s = [], [], []
         # per-query partial top-k inside the batch — the combiner that
-        # keeps the driver merge tiny
+        # keeps every downstream stage tiny
         idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        for qi in range(nq):
-            for j in idx[qi]:
-                out_q.append(qi)
-                out_v.append(int(ids[j]))
-                out_s.append(round(float(sims[qi, j]), round_dp))
         return pa.table(
             {
-                "qi": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
+                "qi": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int32), take), pa.int32()
+                ),
+                "vec_id": pa.array(ids[idx].ravel(), pa.int64()),
+                "cosine": pa.array(
+                    np.round(sims[np.arange(nq)[:, None], idx], round_dp).ravel(),
+                    pa.float64(),
+                ),
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qi, g in partials.groupby("qi"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        for rank, (_, row) in enumerate(g.iterrows(), start=1):
-            out_rows.append(
-                {
-                    "query_id": int(query_ids[qi]),
-                    "vec_id": int(row["vec_id"]),
-                    "cosine": float(row["cosine"]),
-                    "rank": rank,
-                }
-            )
-    return pd.DataFrame(out_rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge_q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(
+                    len(g), int(qids_arr[int(g["qi"].iloc[0])]), np.int64
+                ),
+                "vec_id": g["vec_id"].to_numpy(dtype=np.int64),
+                "cosine": g["cosine"].to_numpy(dtype=np.float64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    out = partials.groupby("qi").map_groups(
+        merge_q, batch_format="pandas"
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame(columns=["query_id", "vec_id", "cosine", "rank"])
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ LSH
@@ -100,7 +133,7 @@ def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
 
 def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray,
                      vec_col: str = "embedding") -> pa.Table:
-    mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+    mat = _normalize(vec_matrix(batch[vec_col]))
     bits = (mat @ planes.T) > 0
     weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
     bucket = (bits * weights).sum(axis=1)
@@ -194,7 +227,7 @@ def train_ivf_centroids(
 
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
-            mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+            mat = _normalize(vec_matrix(batch[vec_col]))
             assign = np.argmax(mat @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, mat)
@@ -248,7 +281,7 @@ def ann_topk_ivf(
 
     def assign_and_filter(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        mat = _normalize(vec_matrix(batch[vec_col]))
         cell = np.argmax(mat @ c.T, axis=1).astype(np.int32)
         t = batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
         return t.filter(pa.array(np.isin(cell, wanted)))

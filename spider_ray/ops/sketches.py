@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..hashing import xxh64_many
+from ..hashing import xxh64_many, xxh64_u64_many
 
 
 class HyperLogLog:
@@ -47,7 +47,18 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, rank)
 
     def add_values(self, values) -> None:
-        self.add_hashes(xxh64_many([str(v) for v in values]))
+        """Add raw column values. Integer arrays hash natively as their
+        8-byte LE encoding (vectorized :func:`xxh64_u64_many` — no
+        per-row ``str()``); everything else goes through the string
+        path. The two encodings define distinct-value identity per
+        dtype, which is all a cardinality sketch needs."""
+        arr = np.asarray(values) if not isinstance(values, np.ndarray) else values
+        if arr.dtype.kind in "iu" and arr.dtype.itemsize == 8:
+            self.add_hashes(xxh64_u64_many(arr))
+        elif arr.dtype.kind in "iu":
+            self.add_hashes(xxh64_u64_many(arr.astype(np.int64)))
+        else:
+            self.add_hashes(xxh64_many([str(v) for v in values]))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p
@@ -80,7 +91,11 @@ def hll_sketch_batch(batch: pa.Table, column: str, p: int = 12) -> pa.Table:
     """map_batches body: one serialized HLL per batch — the per-batch
     combiner; merge downstream with :func:`merge_hll_tables`."""
     h = HyperLogLog(p)
-    h.add_values(batch[column].to_pylist())
+    col = batch[column]
+    if pa.types.is_integer(col.type):
+        h.add_values(col.to_numpy(zero_copy_only=False))
+    else:
+        h.add_values(col.to_pylist())
     return pa.table({"hll": pa.array([h.serialize()], pa.binary())})
 
 

@@ -28,6 +28,27 @@ def test_xxh64_many():
     assert [int(x) for x in out] == [xxh64(v) for v in vals]
 
 
+def test_xxh64_u64_many_matches_scalar():
+    import struct
+
+    from spider_ray.hashing import xxh64_u64_many
+
+    vals = np.array(
+        [0, 1, 2**63, 2**64 - 1, 0xDEADBEEFCAFEBABE, 12345678901234567],
+        dtype=np.uint64,
+    )
+    got = xxh64_u64_many(vals)
+    assert got.dtype == np.uint64
+    assert [int(x) for x in got] == [
+        xxh64(struct.pack("<Q", int(v))) for v in vals
+    ]
+    # signed view and seed both match the byte-level scalar path
+    got_s = xxh64_u64_many(vals.view(np.int64), seed=7)
+    assert [int(x) for x in got_s] == [
+        xxh64(struct.pack("<Q", int(v)), seed=7) for v in vals
+    ]
+
+
 def test_splitmix64_deterministic():
     assert splitmix64(42) == splitmix64(42)
     arr = splitmix64(np.array([1, 2, 3], dtype=np.uint64))
@@ -113,6 +134,13 @@ def test_dates():
     assert extract.format_date("garbage") == "garbage"  # pass-through
     assert extract.extract_date("verfügbar ab 3. März 2026") == "2026-03-03"
     assert extract.extract_date("from 12 October 2025") == "2025-10-12"
+    # es / tr (reference dateparser languages=[en,es,fr,nl,tr], helper.py:596)
+    assert extract.extract_date("disponible 5 enero 2026") == "2026-01-05"
+    assert extract.extract_date("1 septiembre 2025") == "2025-09-01"
+    assert extract.extract_date("15 Ağustos 2025 tarihinde") == "2025-08-15"
+    assert extract.extract_date("2 Şubat 2026") == "2026-02-02"
+    assert extract.extract_date("9 eylul 2025") == "2025-09-09"  # ASCII-folded
+    assert extract.extract_date("3 Mayıs 2026") == "2026-05-03"
     # year bump (helper.py:593-605): before REF_TODAY ⇒ +1 year
     assert extract.parse_date_with_year_bump("01/06/2025") == "2026-06-01"
     assert extract.parse_date_with_year_bump("01/06/2026") == "2026-06-01"
