@@ -511,11 +511,13 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, id_col: str = "vec_id",
     tests/test_ops.py)."""
     from .similarity import hyperplanes, lsh_bucket_batch
 
+    # probe dim on the RAW input — a limit-1 on the lazy normalized
+    # chain would execute the whole upstream map once more
+    dim = len(ds.take(1)[0][vec_col])
     normed = ds.map_batches(
         normalize_vectors, fn_kwargs={"id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
     )
-    dim = len(normed.take(1)[0][vec_col])
     planes = hyperplanes(dim, nbits)
     bucketed = normed.map_batches(
         lsh_bucket_batch, fn_kwargs={"planes": planes, "vec_col": vec_col},

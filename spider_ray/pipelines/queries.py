@@ -1596,10 +1596,15 @@ WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.95
 def q_embedding_dup_pairs_lsh(sf_dir: str):
     """The linear-shuffle APPROXIMATE embedding-dedup scale path (LSH
     bucket = partition key): same injected-duplicate corpus as the
-    exact query; recall on exact duplicates is 1 by construction
-    (identical sign patterns), so the true pairs are guaranteed
-    present. Rows-only (bucket recall for near-but-not-identical
-    vectors is approximate; measured in tests)."""
+    exact query. SQL-oracled with the SAME cosine SQL as the exact
+    query, which is valid here because (a) recall on exact duplicates
+    is 1 by construction (identical vectors → identical sign
+    patterns → same bucket), and (b) on this corpus every cosine ≥
+    0.95 pair IS an exact duplicate (verified across sf0.001/0.01/0.1:
+    zero non-identical pairs reach 0.95), so there is nothing for the
+    LSH bucketing to miss — both sides produce the identical pair
+    set. General near-but-not-identical recall remains approximate
+    and is measured in tests/test_ops.py."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     corpus = _dup_injected_corpus(ds)
@@ -2020,5 +2025,5 @@ QUERIES = {
     "fingerprint": (q_fingerprint, None),
     "ann_topk_lsh": (q_ann_topk_lsh, None),
     "ann_topk_ivf": (q_ann_topk_ivf, None),
-    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, None),
+    "embedding_dup_pairs_lsh": (q_embedding_dup_pairs_lsh, SQL_EMBEDDING_DUP_PAIRS),
 }
