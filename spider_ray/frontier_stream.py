@@ -5,9 +5,11 @@ driver: correct and fast up to ~10^7-10^8 rows/round, but at the north
 rule's 10^10-URL scale a round can exceed driver memory. This variant
 keeps EVERYTHING off the driver:
 
-  * the frontier lives as per-round parquet partition directories
-    (``work_dir/frontier/round_XXXX/``) — read with ``read_parquet``,
-    written back with per-block remote tasks;
+  * the frontier travels between rounds as materialized object-store
+    blocks (``self._carry``); the per-round parquet partition
+    directories (``work_dir/frontier/round_XXXX/``) are CHECKPOINTS,
+    written by async per-block tasks off the critical path and only
+    ever read back at resume;
   * working sets (winner/admit output, parse output) are
     ``materialize()``-d Datasets — blocks in the object store, spilled
     to disk under pressure, never concatenated on the driver;
@@ -60,15 +62,24 @@ from .synth import WorldConfig
 
 
 @ray.remote
-def _stamp_and_write(block: pa.Table, base_seq: int, round_no: int,
-                     out_path: str, dedup: ShardedDedup | None = None) -> int:
-    """Stamp dense seq (base + row offset) + round, write one frontier
-    parquet part, and pre-register the block with round ``round_no``'s
-    dedup registries (registration is min-merging and idempotent, so
-    overlapping with the parse tasks' link registration is safe).
-    Deterministic: block order and contents come from the deterministic
-    distributed sort. The ``ray.get`` barrier on these tasks is what
-    guarantees registration completes before the round runs."""
+def _stamp_block(base_seq: int, round_no: int,
+                 dedup: ShardedDedup | None, *blocks: pa.Table) -> pa.Table:
+    """Concat consecutive sort-output blocks (the caller coalesces the
+    sort's many small blocks into ~64k-row stamp groups — carrying
+    hundreds of micro-blocks into the next round turns every downstream
+    map stage into a micro-task storm), stamp dense seq (base + row
+    offset) + round, and pre-register the group with round
+    ``round_no``'s dedup registries (registration is min-merging and
+    idempotent, so overlapping with the parse tasks' link registration
+    is safe). Deterministic: block order and contents come from the
+    deterministic distributed sort. The ``ray.get`` barrier on these
+    tasks guarantees registration completes before the round runs; the
+    parquet CHECKPOINT write is a separate task (:func:`_write_part`)
+    kept OFF the round's critical path."""
+    block = (
+        pa.concat_tables(blocks, promote_options="default")
+        if len(blocks) > 1 else blocks[0]
+    )
     n = block.num_rows
     t = block.set_column(
         block.schema.get_field_index("seq"),
@@ -81,10 +92,36 @@ def _stamp_and_write(block: pa.Table, base_seq: int, round_no: int,
         pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
     )
     t = t.cast(FRONTIER_SCHEMA)
-    pq.write_table(t, out_path)
     if dedup is not None:
         _register_table(dedup, t, round_no)
-    return n
+    return t
+
+
+@ray.remote
+def _write_part(t: pa.Table, out_path: str) -> int:
+    pq.write_table(t, out_path)
+    return t.num_rows
+
+
+@ray.remote
+def _finalize_round(seen_snaps: list, seen_dir: str, lineage_path: str,
+                    lineage_row: dict, *write_results) -> bool:
+    """Durability tail of a round, off the critical path: runs only
+    after every next-frontier parquet part landed (``write_results``
+    are the :func:`_write_part` outputs — Ray resolves them before
+    scheduling this task), then writes the seen snapshot + lineage
+    json. The seen-snapshot directory is the round-complete marker, so
+    the resume invariant — marker present ⇒ next frontier durable — is
+    preserved exactly even though the crawl loop never blocks on
+    checkpoint IO."""
+    del write_results  # dependency barrier only
+    os.makedirs(os.path.dirname(lineage_path), exist_ok=True)
+    os.makedirs(seen_dir, exist_ok=True)
+    for s, snap in enumerate(seen_snaps):
+        np.save(os.path.join(seen_dir, f"shard_{s:03d}.npy"), snap)
+    with open(lineage_path, "w") as f:
+        json.dump(lineage_row, f)
+    return True
 
 
 def _register_stream_fn(batch: pa.Table, *, dedup: ShardedDedup,
@@ -253,16 +290,22 @@ def _commit_stash_fn(batch: pa.Table, *, dedup: ShardedDedup, stats,
     return batch.filter(adm).drop_columns(["admitted", "blocked"])
 
 
-def _filter_rowtype(batch: pa.Table, *, value: str) -> pa.Table:
-    return batch.filter(pc.equal(batch["rowtype"], value))
-
-
-def _to_frontier_links(batch: pa.Table) -> pa.Table:
-    return parse_rows_to_frontier(batch, is_retry=False)
-
-
-def _to_frontier_retries(batch: pa.Table) -> pa.Table:
-    return parse_rows_to_frontier(batch, is_retry=True)
+def _to_frontier_rows(batch: pa.Table) -> pa.Table:
+    """Parse-output batch → next-frontier rows: links and retries in
+    ONE pass over the block (round 2 ran two filter+map chains over the
+    materialized parse output and unioned them — twice the block
+    reads for the same rows)."""
+    links = parse_rows_to_frontier(
+        batch.filter(pc.equal(batch["rowtype"], "link")), is_retry=False
+    )
+    retries = parse_rows_to_frontier(
+        batch.filter(pc.equal(batch["rowtype"], "retry")), is_retry=True
+    )
+    if retries.num_rows == 0:
+        return links
+    if links.num_rows == 0:
+        return retries
+    return pa.concat_tables([links, retries])
 
 
 class StreamingCrawler:
@@ -303,6 +346,13 @@ class StreamingCrawler:
         # actors after resume; in-band registration covers all others)
         self._register_round: int | None = None
         self._stats = _RoundStats.remote()
+        # next round's frontier carried as materialized object-store
+        # blocks — the parquet partition is only the CHECKPOINT (written
+        # async by _write_part/_finalize_round), never re-read on the
+        # round's critical path except at resume
+        self._carry: rd.Dataset | None = None
+        self._carry_rows = 0
+        self._pending_finalize: list = []
 
     # ---------------- paths
     def _frontier_dir(self, r: int) -> str:
@@ -362,11 +412,12 @@ class StreamingCrawler:
             total_items += row["items_emitted"]
             total_images += row["images_written"]
         while r < self.max_rounds:
-            fdir = self._frontier_dir(r)
-            if not os.path.isdir(fdir) or not any(
-                f.endswith(".parquet") for f in os.listdir(fdir)
-            ):
-                break  # exhausted frontier (resume of a finished crawl)
+            if self._carry is None:
+                fdir = self._frontier_dir(r)
+                if not os.path.isdir(fdir) or not any(
+                    f.endswith(".parquet") for f in os.listdir(fdir)
+                ):
+                    break  # exhausted frontier (resume of a finished crawl)
             stats = self._run_round(r)
             total_fetched += stats["rows_admitted"]
             total_items += stats["items_emitted"]
@@ -374,6 +425,9 @@ class StreamingCrawler:
             r += 1
             if stats["next_rows"] == 0:
                 break
+        if self._pending_finalize:
+            ray.get(self._pending_finalize)  # checkpoints durable on return
+            self._pending_finalize = []
         return {
             "rounds": r,
             "fetched": total_fetched,
@@ -383,8 +437,14 @@ class StreamingCrawler:
         }
 
     def _run_round(self, r: int) -> dict:
-        ds = rd.read_parquet(self._frontier_dir(r))
-        rows_in = ds.count()
+        if self._carry is not None:
+            # frontier carried as materialized blocks from the previous
+            # round — no parquet round-trip, row count known exactly
+            ds, rows_in = self._carry, self._carry_rows
+            self._carry = None
+        else:  # round 0 or resume: the checkpoint partition is the source
+            ds = rd.read_parquet(self._frontier_dir(r))
+            rows_in = ds.count()
 
         # dedup phase-1 registration normally rode along in the PREVIOUS
         # round's stamp/parse tasks (idempotent, barriered by ray.get);
@@ -484,6 +544,8 @@ class StreamingCrawler:
             )
             .materialize()
         )
+        if os.environ.get("SPIDER_RAY_STATS") == "1":
+            print(parse_mat.stats())
         self.dedup.clear_round(r)
         counts = ray.get(self._stats.get.remote(r))
         rows_admitted = int(counts.get("admitted", 0))
@@ -491,15 +553,9 @@ class StreamingCrawler:
         rows_unique = int(counts.get("winner_rows", 0))
         deferred_n = int(counts.get("deferred", 0))
 
-        # next frontier: links + retries + deferred → distributed sort +
-        # per-block seq stamping → parquet partition
-        links_ds = parse_mat.map_batches(
-            _filter_rowtype, fn_kwargs={"value": "link"}, batch_format="pyarrow"
-        ).map_batches(_to_frontier_links, batch_format="pyarrow")
-        retry_ds = parse_mat.map_batches(
-            _filter_rowtype, fn_kwargs={"value": "retry"}, batch_format="pyarrow"
-        ).map_batches(_to_frontier_retries, batch_format="pyarrow")
-        nxt = links_ds.union(retry_ds)
+        # next frontier: links + retries (one fused pass) + deferred →
+        # seq stamping; the parquet partition is written asynchronously
+        nxt = parse_mat.map_batches(_to_frontier_rows, batch_format="pyarrow")
         if os.path.isdir(stage_dir) and any(
             f.endswith(".parquet") for f in os.listdir(stage_dir)
         ):
@@ -508,10 +564,10 @@ class StreamingCrawler:
         expected_next = (
             int(counts.get("link", 0)) + int(counts.get("retry", 0)) + deferred_n
         )
-        next_rows = self._write_next_frontier(nxt, r + 1, expected_next)
+        next_rows, write_refs = self._stamp_next_frontier(nxt, r + 1, expected_next)
         # deferred/retry rows re-register for round r+1 inside the
-        # frontier write (stamp tasks / driver fast path); links were
-        # already registered by the parse tasks — both idempotent
+        # stamping (stamp tasks / driver fast path); links were already
+        # registered by the parse tasks — both idempotent
 
         row = {
             "round": r,
@@ -527,31 +583,50 @@ class StreamingCrawler:
             "checkpoint_path": self._frontier_dir(r + 1),
         }
         self.lineage.append(row)
-        os.makedirs(os.path.join(self.work_dir, "lineage"), exist_ok=True)
-        with open(os.path.join(self.work_dir, "lineage",
-                               f"round_{r:04d}.json"), "w") as f:
-            json.dump(row, f)
-        self._checkpoint_seen(r)  # written LAST = round-complete marker
+        # durability tail runs async: parquet parts → seen snapshot
+        # (the round-complete marker) → lineage json, in that order,
+        # none of it on the next round's critical path. The snapshot
+        # CONTENT is taken now (end-of-round dedup state); only the
+        # file IO is deferred.
+        fin = _finalize_round.remote(
+            self.dedup.snapshot(),
+            os.path.join(self.seen_dir, f"round_{r:04d}"),
+            os.path.join(self.work_dir, "lineage", f"round_{r:04d}.json"),
+            row,
+            *write_refs,
+        )
+        self._pending_finalize.append(fin)
+        if len(self._pending_finalize) > 2:  # bound outstanding checkpoints
+            ray.get(self._pending_finalize.pop(0))
         ray.get(self._stats.clear.remote(r))  # bound actor memory
         return row
 
-    def _write_next_frontier(self, nxt: rd.Dataset, round_no: int,
-                             expected_rows: int | None = None) -> int:
-        """Next-frontier partition + dense seq + round-(r+1) dedup
-        registration, two paths:
+    def _stamp_next_frontier(
+        self, nxt: rd.Dataset, round_no: int,
+        expected_rows: int | None = None,
+    ) -> tuple[int, list]:
+        """Dense seq + round-(r+1) dedup registration over the next
+        frontier; the stamped blocks are CARRIED in the object store as
+        ``self._carry`` for the next round, and the parquet partition
+        write returns as pending refs (the caller chains them into the
+        async round finalizer — checkpoint IO never blocks the loop).
+        Two paths:
 
         * small round (≤ ``small_round_threshold`` expected rows): the
           distributed sort's fixed barrier cost dwarfs the work —
           collect the thin frontier, Arrow-sort on the driver
-          (identical key), write one part, register driver-side.
+          (identical key), register driver-side, carry one block.
           Bounded by the threshold, so driver memory stays capped.
         * large round: distributed sort by the deterministic key, then
           per-block rank offsets from block metadata + one stamping
-          task per block (each task also registers its rows)."""
+          task per block (each task also registers its rows; the
+          ``ray.get`` barrier is what orders registration before the
+          next round's winner filter)."""
         out_dir = self._frontier_dir(round_no)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
         os.makedirs(out_dir, exist_ok=True)
+        self._carry, self._carry_rows = None, 0
         if expected_rows is not None and expected_rows <= self.small_round_threshold:
             from .frontier import assign_seq
 
@@ -560,38 +635,66 @@ class StreamingCrawler:
                 ray.get(mat.to_arrow_refs()), promote_options="default"
             )
             if tbl.num_rows == 0:
-                return 0
+                return 0, []
             t = assign_seq(tbl.cast(FRONTIER_SCHEMA), round_no)
-            pq.write_table(t, os.path.join(out_dir, "part-000000000000.parquet"))
             _register_table(self.dedup, t, round_no)
-            return t.num_rows
+            self._carry = rd.from_arrow(t)
+            self._carry_rows = t.num_rows
+            wref = _write_part.remote(
+                t, os.path.join(out_dir, "part-000000000000.parquet")
+            )
+            return t.num_rows, [wref]
         sorted_mat = nxt.sort(["seq_parent", "seq_link", "canonical_url"]).materialize()
         bundles = list(sorted_mat.iter_internal_ref_bundles())
         blocks = [(ref, meta) for b in bundles for ref, meta in b.blocks]
-        refs = []
+        # coalesce consecutive sort blocks into ~TARGET-row stamp groups
+        # (order-preserving). Both bounds matter: too MANY groups and the
+        # stamp/write task count plus next round's per-block task fan-out
+        # become a micro-task storm; too FEW and the next round's
+        # groupby(host_hash) sort inherits the low block count and the
+        # whole admit→fetch→parse chain collapses into a handful of
+        # serial tasks (a 1-block carry ran the entire round in ONE
+        # task). Target ≈ 2 blocks per CPU, capped at 64k rows/block.
+        ncpu = int(ray.cluster_resources().get("CPU", 32))
+        total_est = expected_rows if expected_rows else sum(
+            m.num_rows for _, m in blocks if m.num_rows
+        )
+        TARGET = int(np.clip((total_est or 1) // (2 * ncpu) + 1, 256, 65_536))
+        stamped, write_refs = [], []
         base = 0
-        for i, (block_ref, meta) in enumerate(blocks):
+        group: list = []
+        group_rows = 0
+        part_idx = 0
+
+        def flush():
+            nonlocal group, group_rows, part_idx, base
+            if not group:
+                return
+            sref = _stamp_block.remote(base, round_no, self.dedup, *group)
+            stamped.append(sref)
+            write_refs.append(
+                _write_part.remote(
+                    sref, os.path.join(out_dir, f"part-{part_idx:06d}.parquet")
+                )
+            )
+            base += group_rows
+            part_idx += 1
+            group, group_rows = [], 0
+
+        for block_ref, meta in blocks:
             n = meta.num_rows
             if n == 0:
                 continue
-            refs.append(
-                _stamp_and_write.remote(
-                    block_ref, base, round_no,
-                    os.path.join(out_dir, f"part-{i:06d}.parquet"),
-                    self.dedup,
-                )
-            )
-            base += n
-        if refs:
-            ray.get(refs)
-        return base
-
-    # ---------------- state
-    def _checkpoint_seen(self, r: int) -> None:
-        d = os.path.join(self.seen_dir, f"round_{r:04d}")
-        os.makedirs(d, exist_ok=True)
-        for s, snap in enumerate(self.dedup.snapshot()):
-            np.save(os.path.join(d, f"shard_{s:03d}.npy"), snap)
+            group.append(block_ref)
+            group_rows += n
+            if group_rows >= TARGET:
+                flush()
+        flush()
+        if stamped:
+            ray.get(stamped)  # registration barrier for round_no
+            self._carry = rd.from_arrow_refs(stamped)
+            self._carry_rows = base
+        return base, write_refs
 
     # ---------------- outputs
     def images_dataset(self) -> rd.Dataset:

@@ -57,7 +57,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 def test_rows_only_queries_return_rows(ray_session):
     for name in ("simhash", "fingerprint", "hll_distinct", "ann_topk_lsh",
-                 "ann_topk_ivf", "embedding_dup_pairs_lsh", "token_quantiles"):
+                 "ann_topk_ivf", "token_quantiles"):
         fn, sql = QUERIES[name]
         assert sql is None
         out = _to_df(fn(SF))
