@@ -62,13 +62,13 @@ from .synth import WorldConfig
 
 
 @ray.remote
-def _stamp_block(base_seq: int, round_no: int,
-                 dedup: ShardedDedup | None, *blocks: pa.Table) -> pa.Table:
-    """Concat consecutive sort-output blocks (the caller coalesces the
-    sort's many small blocks into ~64k-row stamp groups — carrying
-    hundreds of micro-blocks into the next round turns every downstream
-    map stage into a micro-task storm), stamp dense seq (base + row
-    offset) + round, and pre-register the group with round
+def _stamp_block(base_seq: int, round_no: int, dedup: ShardedDedup | None,
+                 off: int, length: int, *blocks: pa.Table) -> pa.Table:
+    """One carry-block's worth of the sorted next frontier: concat
+    consecutive small sort-output blocks, or SLICE ``[off, off+length)``
+    out of one oversized block (the caller re-blocks the sort output to
+    ~2-blocks-per-CPU — both directions matter, see the caller), stamp
+    dense seq (base + row offset) + round, and pre-register with round
     ``round_no``'s dedup registries (registration is min-merging and
     idempotent, so overlapping with the parse tasks' link registration
     is safe). Deterministic: block order and contents come from the
@@ -80,6 +80,8 @@ def _stamp_block(base_seq: int, round_no: int,
         pa.concat_tables(blocks, promote_options="default")
         if len(blocks) > 1 else blocks[0]
     )
+    if off or length < block.num_rows:
+        block = block.slice(off, length).combine_chunks()
     n = block.num_rows
     t = block.set_column(
         block.schema.get_field_index("seq"),
@@ -638,7 +640,14 @@ class StreamingCrawler:
                 return 0, []
             t = assign_seq(tbl.cast(FRONTIER_SCHEMA), round_no)
             _register_table(self.dedup, t, round_no)
-            self._carry = rd.from_arrow(t)
+            # carry in TARGET-row slices, not one block: a small round
+            # feeding a big one (seeds → listing fan-out) must not hand
+            # the next round a 1-block frontier (see large path below)
+            ncpu = int(ray.cluster_resources().get("CPU", 32))
+            tgt = int(np.clip(t.num_rows // (2 * ncpu) + 1, 256, 65_536))
+            self._carry = rd.from_arrow(
+                [t.slice(o, tgt) for o in range(0, t.num_rows, tgt)]
+            )
             self._carry_rows = t.num_rows
             wref = _write_part.remote(
                 t, os.path.join(out_dir, "part-000000000000.parquet")
@@ -647,14 +656,16 @@ class StreamingCrawler:
         sorted_mat = nxt.sort(["seq_parent", "seq_link", "canonical_url"]).materialize()
         bundles = list(sorted_mat.iter_internal_ref_bundles())
         blocks = [(ref, meta) for b in bundles for ref, meta in b.blocks]
-        # coalesce consecutive sort blocks into ~TARGET-row stamp groups
-        # (order-preserving). Both bounds matter: too MANY groups and the
-        # stamp/write task count plus next round's per-block task fan-out
-        # become a micro-task storm; too FEW and the next round's
-        # groupby(host_hash) sort inherits the low block count and the
-        # whole admit→fetch→parse chain collapses into a handful of
-        # serial tasks (a 1-block carry ran the entire round in ONE
-        # task). Target ≈ 2 blocks per CPU, capped at 64k rows/block.
+        # re-block the sort output into ~TARGET-row stamp groups, order-
+        # preserving, in BOTH directions: coalesce consecutive small
+        # blocks (carrying hundreds of micro-blocks turns every
+        # downstream map stage into a micro-task storm) AND slice
+        # oversized blocks (the sort's output block count follows its
+        # input's, so a round whose parse output landed in one block
+        # would otherwise carry a 1-block frontier and run the next
+        # round's entire admit→fetch→parse chain as ONE serial task —
+        # and the collapse is self-perpetuating round over round).
+        # Target ≈ 2 blocks per CPU, capped at 64k rows/block.
         ncpu = int(ray.cluster_resources().get("CPU", 32))
         total_est = expected_rows if expected_rows else sum(
             m.num_rows for _, m in blocks if m.num_rows
@@ -666,24 +677,37 @@ class StreamingCrawler:
         group_rows = 0
         part_idx = 0
 
-        def flush():
-            nonlocal group, group_rows, part_idx, base
-            if not group:
-                return
-            sref = _stamp_block.remote(base, round_no, self.dedup, *group)
+        def emit(refs, off, length):
+            nonlocal part_idx, base
+            sref = _stamp_block.remote(base, round_no, self.dedup,
+                                       off, length, *refs)
             stamped.append(sref)
             write_refs.append(
                 _write_part.remote(
                     sref, os.path.join(out_dir, f"part-{part_idx:06d}.parquet")
                 )
             )
-            base += group_rows
+            base += length
             part_idx += 1
+
+        def flush():
+            nonlocal group, group_rows
+            if not group:
+                return
+            emit(group, 0, group_rows)
             group, group_rows = [], 0
 
         for block_ref, meta in blocks:
             n = meta.num_rows
             if n == 0:
+                continue
+            if n > TARGET:
+                flush()  # keep sort order: pending small group first
+                off = 0
+                while off < n:
+                    ln = min(TARGET, n - off)
+                    emit([block_ref], off, ln)
+                    off += ln
                 continue
             group.append(block_ref)
             group_rows += n
