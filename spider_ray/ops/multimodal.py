@@ -22,22 +22,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..imaging import FMT_PNG, FMT_QPNG, _resize_mean, decode_png, phash
+from ..imaging import FMT_JPEG, FMT_PNG, FMT_QPNG, _resize_mean, decode, phash
+
+_DECODABLE = (FMT_PNG, FMT_QPNG, FMT_JPEG)
 
 
 class DecodeStats:
     """Actor-pool stage: decode image bytes → (w, h, mean_r, mean_g,
-    mean_b, phash64). Real for png/qpng; 'jpeg' rows raise unless a
-    codec is importable (stub contract)."""
+    mean_b, phash64). Real for png/qpng (imaging.py) AND baseline jpeg
+    (spider_ray.jpeg, T.81 from the public spec — round 3); unknown
+    formats raise (strict) or skip."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict
-        try:  # pragma: no cover — PIL absent in this container
-            from PIL import Image  # noqa: F401
-
-            self.has_jpeg = True
-        except ImportError:
-            self.has_jpeg = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -50,10 +47,8 @@ class DecodeStats:
         fmts = batch["fmt"].to_pylist()
         for j in range(n):
             fmt = fmts[j]
-            if fmt in (FMT_PNG, FMT_QPNG):
-                px = decode_png(blobs[j])
-            elif self.has_jpeg:  # pragma: no cover
-                raise NotImplementedError("jpeg path not wired for PIL yet")
+            if fmt in _DECODABLE:
+                px = decode(blobs[j], fmt)
             elif self.strict:
                 raise NotImplementedError(
                     f"no decoder for fmt={fmt!r} in this container (stub)"
@@ -87,9 +82,9 @@ class ResizeImages:
 
         out_bytes, out_w, out_h = [], [], []
         for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
-            if fmt not in (FMT_PNG, FMT_QPNG):
+            if fmt not in _DECODABLE:
                 raise NotImplementedError(f"no decoder for fmt={fmt!r} (stub)")
-            px = decode_png(data)
+            px = decode(data, fmt)
             small = np.stack(
                 [_resize_mean(px[..., c].astype(np.float64), self.size) for c in range(3)],
                 axis=-1,

@@ -39,7 +39,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .hashing import splitmix64, xxh64
-from .imaging import FMT_PNG, FMT_QPNG, encode_png, encode_qpng
+from .imaging import (
+    FMT_JPEG,
+    FMT_PNG,
+    FMT_QPNG,
+    encode_jpeg,
+    encode_png,
+    encode_qpng,
+)
 
 _RE_SITEMAP_PAGE = _re.compile(r"^/sitemap-(\d+)\.xml$")
 
@@ -90,7 +97,8 @@ class WorldConfig:
     max_pages_per_host: int = 4  # listing pages per host in [1, max]
     details_per_page: int = 8
     images_per_detail: int = 2
-    lossy_pct: int = 50  # % of images encoded with the lossy stand-in
+    lossy_pct: int = 50  # % of images lossy-encoded (jpeg or qpng)
+    jpeg_pct: int = 34  # % OF THE LOSSY images that are real baseline JPEG
     fail_pct: int = 5  # % of detail pages 503-ing on first attempt
     notfound_pct: int = 2  # % of detail pages permanently 404
     private_pct: int = 10  # % of detail pages under the robots-disallowed path
@@ -192,7 +200,13 @@ def image_pixels(cfg: WorldConfig, image_key: str) -> np.ndarray:
 
 
 def image_fmt(cfg: WorldConfig, image_key: str) -> str:
-    return FMT_QPNG if _h(cfg, "imgfmt", image_key) % 100 < cfg.lossy_pct else FMT_PNG
+    if _h(cfg, "imgfmt", image_key) % 100 >= cfg.lossy_pct:
+        return FMT_PNG
+    return (
+        FMT_JPEG
+        if _h(cfg, "imgjpeg", image_key) % 100 < cfg.jpeg_pct
+        else FMT_QPNG
+    )
 
 
 def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]:
@@ -200,8 +214,15 @@ def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]
     fmt = image_fmt(cfg, image_key)
     # level 2: the encode simulates the remote web SERVER producing the
     # bytes — deterministic at any level, and the engine-side work
-    # (decode/phash/verify) is unaffected
-    data = encode_qpng(px, level=2) if fmt == FMT_QPNG else encode_png(px, level=2)
+    # (decode/phash/verify) is unaffected. JPEG quality 98: worst-case
+    # quantization error keeps round-trip PSNR ≥ 43 dB on ANY content
+    # (the sink invariant requires ≥ 40).
+    if fmt == FMT_JPEG:
+        data = encode_jpeg(px, quality=98)
+    elif fmt == FMT_QPNG:
+        data = encode_qpng(px, level=2)
+    else:
+        data = encode_png(px, level=2)
     return data, fmt, px.shape[1], px.shape[0]
 
 

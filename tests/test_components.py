@@ -47,11 +47,15 @@ def test_phash_properties():
     assert -(1 << 63) <= imaging.phash(a) < (1 << 63)
 
 
-def test_jpeg_stub_raises():
-    with pytest.raises(NotImplementedError):
-        imaging.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
-    with pytest.raises(NotImplementedError):
-        imaging.decode(b"xx", "jpeg")
+def test_jpeg_is_real_now():
+    # round 3: imaging.encode_jpeg/decode delegate to the T.81 codec
+    # (spider_ray.jpeg) instead of raising — full coverage in
+    # tests/test_jpeg.py; here just the imaging-surface round-trip
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = imaging.decode(imaging.encode_jpeg(px, quality=98), "jpeg")
+    assert out.shape == px.shape
+    with pytest.raises(ValueError):
+        imaging.decode(b"xx", "jpeg")  # garbage still rejected
 
 
 # ---------------------------------------------------------------- cuckoo

@@ -202,7 +202,10 @@ def test_multimodal_stubs_raise(ray_session):
     with pytest.raises(NotImplementedError):
         fs(pa.table({"video_id": ["v1"], "bytes": [b"xx"]}))
     dec = DecodeStats(strict=True)
+    # jpeg decodes for real since round 3; truly unknown formats still raise
     with pytest.raises(NotImplementedError):
+        dec(pa.table({"bytes": [b"xx"], "fmt": ["webp"]}))
+    with pytest.raises(ValueError):  # jpeg path is live → garbage = ValueError
         dec(pa.table({"bytes": [b"xx"], "fmt": ["jpeg"]}))
 
 
