@@ -232,13 +232,269 @@ class Selector:
         return out[0] if out else None
 
 
+# ------------------------------------------------------------------ xpath
+# The reference's 3,788 spiders overwhelmingly write XPath
+# (``response.xpath("//div[@class='price']/text()")``, e.g.
+# spiders/123wonen_nl.py:62-205). This compiles the dominant subset
+# onto the same tolerant DOM:
+#
+#   //tag /tag  *  @attr  text()  ..       (axes + node tests)
+#   following-sibling:: preceding-sibling:: parent:: self:: descendant::
+#   [@a] [@a='v'] [N] [last()]             (predicates)
+#   [contains(@a,'v')] [starts-with(@a,'v')]
+#   [contains(text(),'v')] [text()='v'] [contains(.,'v')] [.='v']
+#   a | b                                  (top-level union)
+#
+# Out of scope (raises ValueError at compile time): nested path
+# predicates, functions beyond contains/starts-with/last. Position
+# predicates are evaluated per context node over the step's candidate
+# list — exact for child/sibling axes, the practical reading for
+# ``//``; preceding-sibling candidates come in proximity (reverse
+# document) order, matching XPath's [1]-is-nearest semantics.
+
+_XP_STEP_RE = re.compile(
+    r"^(?:(?P<axis>following-sibling|preceding-sibling|parent|self|descendant)::)?"
+    r"(?P<test>\*|\.\.|@[\w:-]+|text\(\)|[\w-]+)(?P<preds>(?:\[[^\]]*\])*)$"
+)
+_XP_PRED_RES = [
+    ("pos_last", re.compile(r"^last\(\)$")),
+    ("pos", re.compile(r"^(\d+)$")),
+    ("attr_eq", re.compile(r"^@([\w:-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
+    ("attr_has", re.compile(r"^@([\w:-]+)$")),
+    ("attr_contains",
+     re.compile(r"^contains\(\s*@([\w:-]+)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
+    ("attr_starts",
+     re.compile(r"^starts-with\(\s*@([\w:-]+)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
+    ("text_contains",
+     re.compile(r"^contains\(\s*(?:text\(\)|\.)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
+    ("text_eq",
+     re.compile(r"^(?:text\(\)|\.)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
+]
+
+
+def _xp_parse_pred(p: str):
+    p = p.strip()
+    for kind, rx in _XP_PRED_RES:
+        m = rx.match(p)
+        if m:
+            groups = [g for g in m.groups() if g is not None]
+            return (kind, *groups)
+    raise ValueError(f"unsupported xpath predicate: [{p}]")
+
+
+def _xp_pred_matches(kind_args, n: Node) -> bool:
+    kind = kind_args[0]
+    if kind == "attr_eq":
+        return n.attrs.get(kind_args[1]) == kind_args[2]
+    if kind == "attr_has":
+        return kind_args[1] in n.attrs
+    if kind == "attr_contains":
+        return kind_args[2] in (n.attrs.get(kind_args[1]) or "")
+    if kind == "attr_starts":
+        return (n.attrs.get(kind_args[1]) or "").startswith(kind_args[2])
+    if kind == "text_contains":
+        return kind_args[1] in n.text()
+    if kind == "text_eq":
+        return n.text() == kind_args[1]
+    raise AssertionError(kind)
+
+
+def _xp_split_steps(path: str) -> list[tuple[bool, str]]:
+    """'//a/b//c' → [(True,'a'), (False,'b'), (True,'c')] — bool is
+    the descendant axis flag."""
+    path = path.strip()
+    if path.startswith("."):
+        path = path[1:]
+    steps: list[tuple[bool, str]] = []
+    i = 0
+    while i < len(path):
+        if path.startswith("//", i):
+            deep, i = True, i + 2
+        elif path.startswith("/", i):
+            deep, i = False, i + 1
+        elif not steps:  # bare relative step, e.g. "span/text()"
+            deep = False
+        else:
+            raise ValueError(f"unsupported xpath: {path!r}")
+        j, depth = i, 0
+        while j < len(path) and (depth > 0 or path[j] != "/"):
+            depth += path[j] == "["
+            depth -= path[j] == "]"
+            j += 1
+        if j == i:
+            raise ValueError(f"empty xpath step in {path!r}")
+        steps.append((deep, path[i:j]))
+        i = j
+    if not steps:
+        raise ValueError(f"empty xpath: {path!r}")
+    return steps
+
+
+class XPathSelector:
+    """Compiled XPath-subset expression; same .select/.select_first
+    surface as :class:`Selector`, usable anywhere the rules DSL takes
+    a selector."""
+
+    def __init__(self, expr: str):
+        self.expr = expr
+        self.paths = []
+        for branch in self._split_union(expr):
+            steps = []
+            for deep, raw in _xp_split_steps(branch):
+                m = _XP_STEP_RE.match(raw.strip())
+                if not m:
+                    raise ValueError(f"unsupported xpath step: {raw!r}")
+                axis = m.group("axis")
+                test = m.group("test")
+                if test == "..":
+                    axis, test = "parent", "*"
+                elif axis is None:
+                    axis = "descendant" if deep else "child"
+                preds = [
+                    _xp_parse_pred(p)
+                    for p in re.findall(r"\[([^\]]*)\]", m.group("preds") or "")
+                ]
+                if test.startswith("@") or test == "text()":
+                    if preds:
+                        raise ValueError(
+                            f"predicates not supported on {test}: {raw!r}"
+                        )
+                steps.append((axis, test.lower(), preds, deep))
+            for axis, test, _, _ in steps[:-1]:
+                if test.startswith("@") or test == "text()":
+                    raise ValueError(
+                        f"{test} must be the final step: {expr!r}"
+                    )
+            self.paths.append(steps)
+
+    @staticmethod
+    def _split_union(expr: str) -> list[str]:
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(expr):
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == "|" and depth == 0:
+                parts.append(expr[start:i])
+                start = i + 1
+        parts.append(expr[start:])
+        return [p.strip() for p in parts if p.strip()]
+
+    @staticmethod
+    def _texts(n: Node, deep: bool) -> list[str]:
+        if not deep:
+            return [c for c in n.children if isinstance(c, str)]
+        out: list[str] = []
+
+        def walk(x: Node) -> None:
+            for c in x.children:
+                if isinstance(c, str):
+                    out.append(c)
+                else:
+                    walk(c)
+
+        walk(n)
+        return out
+
+    @staticmethod
+    def _axis_candidates(base: Node, axis: str) -> list:
+        if axis == "child":
+            return [c for c in base.children if isinstance(c, Node)]
+        if axis == "descendant":
+            return [n for n in base.iter_nodes() if n is not base]
+        if axis == "self":
+            return [base]
+        if axis == "parent":
+            return [base.parent] if base.parent is not None else []
+        sibs = (
+            [c for c in base.parent.children if isinstance(c, Node)]
+            if base.parent is not None
+            else []
+        )
+        i = next((k for k, s in enumerate(sibs) if s is base), None)
+        if i is None:
+            return []
+        if axis == "following-sibling":
+            return sibs[i + 1:]
+        if axis == "preceding-sibling":
+            return sibs[:i][::-1]  # proximity order: [1] = nearest
+        raise AssertionError(axis)
+
+    def _eval_path(self, root: Node, steps) -> list:
+        current = [root]
+        for axis, test, preds, deep in steps:
+            if test.startswith("@"):
+                name = test[1:]
+                nodes = current
+                if deep:  # //@a: the attribute on self or any descendant
+                    nodes = []
+                    for n in current:
+                        nodes.extend(n.iter_nodes())
+                return [n.attrs[name] for n in nodes if name in n.attrs]
+            if test == "text()":
+                out: list[str] = []
+                for n in current:
+                    out.extend(self._texts(n, deep))
+                return out
+            nxt: list[Node] = []
+            seen: set[int] = set()
+            for base in current:
+                cand = self._axis_candidates(base, axis)
+                if test != "*":
+                    cand = [n for n in cand if n.tag == test]
+                for kp in preds:  # sequential filtering, XPath-style
+                    if kp[0] == "pos":
+                        k = int(kp[1]) - 1
+                        cand = [cand[k]] if 0 <= k < len(cand) else []
+                    elif kp[0] == "pos_last":
+                        cand = cand[-1:]
+                    else:
+                        cand = [n for n in cand if _xp_pred_matches(kp, n)]
+                for n in cand:
+                    if id(n) not in seen:
+                        seen.add(id(n))
+                        nxt.append(n)
+            current = nxt
+        return current
+
+    def select(self, root: Node) -> list:
+        out: list = []
+        seen: set[int] = set()
+        for steps in self.paths:
+            for v in self._eval_path(root, steps):
+                key = id(v) if isinstance(v, Node) else ("s", len(out), v)
+                if isinstance(v, Node):
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                out.append(v)
+        return out
+
+    def select_first(self, root: Node):
+        out = self.select(root)
+        return out[0] if out else None
+
+
+def is_xpath(expr: str) -> bool:
+    e = expr.strip()
+    return e.startswith(("/", "./", ".//")) or bool(re.match(r"^\(*//", e))
+
+
+def compile_selector(expr: str):
+    """Front door for the rules DSL: XPath-looking expressions compile
+    to :class:`XPathSelector`, everything else to the CSS-subset
+    :class:`Selector`."""
+    return XPathSelector(expr) if is_xpath(expr) else Selector(expr)
+
+
 def select(root_or_html, expr: str) -> list:
     root = (
         root_or_html
         if isinstance(root_or_html, Node)
         else parse_html(root_or_html)
     )
-    return Selector(expr).select(root)
+    return compile_selector(expr).select(root)
 
 
 def select_first(root_or_html, expr: str):

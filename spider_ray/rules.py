@@ -127,11 +127,14 @@ _SELECTOR_CACHE: dict = {}  # per-process compiled-selector cache
 
 
 def _compiled(expr: str):
-    from .htmlsel import Selector
+    from .htmlsel import compile_selector
 
     s = _SELECTOR_CACHE.get(expr)
     if s is None:
-        s = _SELECTOR_CACHE[expr] = Selector(expr)
+        # XPath-looking expressions (the reference spiders' dominant
+        # dialect, e.g. //div[@class='price']/text()) compile to the
+        # XPath-subset engine, the rest to the CSS subset
+        s = _SELECTOR_CACHE[expr] = compile_selector(expr)
     return s
 
 

@@ -1,0 +1,137 @@
+"""XPath-subset selector engine (htmlsel.XPathSelector) — pure tests.
+
+The port test mirrors the selector set of a real reference spider
+(pyspiders-master spiders/123wonen_nl.py:62-205) against a
+hand-written fixture page shaped like that site's detail markup.
+"""
+
+import pytest
+
+from spider_ray.htmlsel import (
+    XPathSelector,
+    compile_selector,
+    is_xpath,
+    parse_html,
+    select,
+)
+
+PAGE = """
+<html><head>
+  <meta property="og:url" content="https://example.test/woning/8841-kerkstraat-12">
+  <title>123Wonen</title>
+</head><body>
+  <div><h1 class="panddetail-address-large">Kerkstraat 12, Utrecht</h1></div>
+  <span class="hidden-xs"><div class="panddetail-price">&euro; 1.250,- p/m</div></span>
+  <div class="pand-specs">
+    <ul>
+      <li><span>Woonoppervlakte</span><span>85 m2</span></li>
+      <li><span>Slaapkamers</span><span>2 (3 kamers)</span></li>
+      <li><span>Beschikbaarheid</span><span>vanaf 01-09-2026</span></li>
+    </ul>
+  </div>
+  <div class="contentLayout panddetail-desc">
+    Ruim appartement <b>met balkon</b> in het centrum.
+  </div>
+  <div class="gallery">
+    <img class="photo" src="/img/1.jpg"><img class="photo" src="/img/2.jpg">
+  </div>
+</body></html>
+"""
+
+
+def test_port_123wonen_selector_set():
+    root = parse_html(PAGE)
+    # title: add_xpath("title", "//div/h1/text()")
+    assert select(root, "//div/h1/text()")[0].strip().startswith("Kerkstraat")
+    # external_id: //meta[@property='og:url']//@content
+    (url,) = select(root, "//meta[@property='og:url']//@content")
+    assert url.endswith("8841-kerkstraat-12")
+    # address: //h1[@class='panddetail-address-large']/text()
+    (addr,) = select(root, "//h1[@class='panddetail-address-large']/text()")
+    assert addr.strip() == "Kerkstraat 12, Utrecht"
+    # square_meters: //span[.='Woonoppervlakte']/following-sibling::span/text()
+    (sqm,) = select(
+        root, "//span[.='Woonoppervlakte']/following-sibling::span/text()"
+    )
+    assert sqm.split("m")[0].strip() == "85"
+    # room_count: //div[@class='pand-specs']//span[.='Slaapkamers']
+    #             /following-sibling::span/text()
+    (rooms,) = select(
+        root,
+        "//div[@class='pand-specs']//span[.='Slaapkamers']"
+        "/following-sibling::span/text()",
+    )
+    assert rooms.split("(")[0].strip() == "2"
+    # rent: //span[@class='hidden-xs']/div[@class='panddetail-price']/text()
+    (rent,) = select(
+        root, "//span[@class='hidden-xs']/div[@class='panddetail-price']/text()"
+    )
+    assert rent.split(",")[0].strip() == "€ 1.250"
+    # description: //div[@class='contentLayout panddetail-desc']//text() .getall()
+    parts = select(root, "//div[@class='contentLayout panddetail-desc']//text()")
+    joined = " ".join(p.strip() for p in parts if p.strip())
+    assert joined == "Ruim appartement met balkon in het centrum."
+    # availability label lookup
+    (avail,) = select(
+        root, "//span[.='Beschikbaarheid']/following-sibling::span/text()"
+    )
+    assert avail.split("vanaf")[-1].strip() == "01-09-2026"
+
+
+def test_predicates_and_axes():
+    root = parse_html(PAGE)
+    assert select(root, "//img[contains(@src,'2.jpg')]/@src") == ["/img/2.jpg"]
+    assert select(root, "//img[starts-with(@src,'/img/')][2]/@src") == ["/img/2.jpg"]
+    assert select(root, "//li[last()]/span[1]/text()") == ["Beschikbaarheid"]
+    assert select(root, "//li[contains(.,'Slaapkamers')]/span[2]/text()") == [
+        "2 (3 kamers)"
+    ]
+    # parent axis
+    (cls,) = select(root, "//img[1]/../@class")
+    assert cls == "gallery"
+    # preceding-sibling proximity order: [1] is the nearest
+    assert select(
+        root, "//span[.='85 m2']/preceding-sibling::span[1]/text()"
+    ) == ["Woonoppervlakte"]
+    # union
+    out = select(root, "//h1/text() | //div[@class='panddetail-price']/text()")
+    assert len(out) == 2
+    # attribute existence predicate
+    assert len(select(root, "//meta[@property]")) == 1
+    # wildcard + child combinator
+    assert select(root, "//div[@class='gallery']/*[1]/@src") == ["/img/1.jpg"]
+
+
+def test_dispatch_and_compile_errors():
+    assert is_xpath("//div/text()") and is_xpath("./span") and is_xpath("(//a)")
+    assert not is_xpath("div.price::text") and not is_xpath("[data-x]")
+    assert type(compile_selector("//div")).__name__ == "XPathSelector"
+    assert type(compile_selector("div.price")).__name__ == "Selector"
+    for bad in (
+        "//div[count(a)=2]",          # unsupported function
+        "//div[a/b='x']",             # nested path predicate
+        "//text()/div",               # text() not final
+        "//@href/div",                # @ not final
+    ):
+        with pytest.raises(ValueError):
+            XPathSelector(bad)
+
+
+def test_rules_dsl_takes_xpath():
+    from spider_ray.rules import FieldRule, compile_rules
+    import pyarrow as pa
+
+    rules = [
+        FieldRule(field="rent", source="body",
+                  selector="//div[@class='panddetail-price']/text()",
+                  get_num=True, thousand_separator=".", scale_separator=","),
+        FieldRule(field="title", source="body", selector="//div/h1/text()"),
+        FieldRule(field="photos", source="body",
+                  selector="//img[@class='photo']/@src", select_all=True),
+    ]
+    fn = compile_rules(rules)
+    out = fn(pa.table({"body": [PAGE, None]}))
+    assert out["rent"][0].as_py() == 1250
+    assert out["title"][0].as_py().strip().startswith("Kerkstraat")
+    assert out["photos"][0].as_py() == ["/img/1.jpg", "/img/2.jpg"]
+    assert out["rent"][1].as_py() is None
