@@ -417,6 +417,27 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     return b"".join(out)
 
 
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF header alone — no entropy decode
+    (frame samplers need dimensions without paying for pixels)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w = struct.unpack_from(">BHH", data, pos + 4)
+            return w, h
+        pos += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
 # ---------------------------------------------------------------------
 # decoder
 

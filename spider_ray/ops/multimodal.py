@@ -3,12 +3,14 @@ columns with typed metadata (the sink-table shape of BASELINE.json
 ``input_hint``).
 
 Everything that CAN be real in this container (no PIL/cv2/ffmpeg) is
-real: PNG/QPNG decode, block-mean resize, channel statistics, phash —
-all through spider_ray.imaging's numpy/zlib kernels. Codec-dependent
-paths (JPEG decode, audio resample, video frame-sample) are STUBS
-behind import-tries that raise ``NotImplementedError`` with the
-Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) fully wired and tested.
+real: PNG/QPNG decode, baseline JPEG (spider_ray.jpeg, ITU-T T.81),
+PCM WAV (spider_ray.audio), AVI/MJPEG frame-sampling
+(spider_ray.video), block-mean resize, channel statistics, phash —
+all numpy/zlib kernels built from the public specs. The remaining
+codec-dependent paths (compressed audio mp3/flac/ogg, inter-coded
+video mp4/h264) are STUBS behind import-tries that raise
+``NotImplementedError`` with the Ray-side plumbing (schema, batch
+sizing, actor signature, output layout) fully wired and tested.
 
 Batch sizing note (wide binary rows): these stages should run with a
 small ``batch_size`` (64–256) and ``batch_format='pyarrow'`` so a
@@ -146,9 +148,14 @@ class AudioFeatures:
 
 
 class FrameSample:
-    """Video frame-sampling stage — PURE STUB: no video codec exists in
-    this container. The contract (constructor knobs, batch signature,
-    output schema) is what a real ffmpeg-backed actor would implement.
+    """Video frame-sampling stage (flat_map shape: one video row →
+    many frame rows). REAL for AVI/MJPEG since round 3
+    (:mod:`spider_ray.video` parses the RIFF container from the public
+    AVI spec; each sampled ``00dc`` chunk is emitted as its baseline
+    JPEG bytes WITHOUT transcoding — dimensions come from the avih
+    header, cross-checked against the frame's own SOF). Inter-coded
+    formats (mp4/h264/vp9) stay honestly stubbed behind a cv2
+    import-try: temporal decoding from scratch is out of scope.
     """
 
     OUTPUT_SCHEMA = pa.schema(
@@ -172,9 +179,46 @@ class FrameSample:
             self.backend = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend is None:
-            raise NotImplementedError(
-                "video decode unavailable (no cv2/ffmpeg in container); "
-                "stage contract: binary video column → OUTPUT_SCHEMA rows"
-            )
-        raise NotImplementedError  # pragma: no cover
+        from ..jpeg import jpeg_dims
+        from ..video import FMT_AVI_MJPEG, avi_info, sample_mjpeg_frames
+
+        fmts = (
+            batch["fmt"].to_pylist()
+            if "fmt" in batch.column_names
+            else [FMT_AVI_MJPEG] * batch.num_rows
+        )
+        vids = batch["video_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out: dict = {k: [] for k in ("video_id", "frame_idx", "bytes", "w", "h", "fmt")}
+        for vid, data, fmt in zip(vids, blobs, fmts):
+            if fmt != FMT_AVI_MJPEG:
+                if self.backend is None:
+                    raise NotImplementedError(
+                        f"no decoder for video fmt={fmt!r} (no cv2/ffmpeg in "
+                        "container); avi-mjpeg is the real path"
+                    )
+                raise NotImplementedError  # pragma: no cover
+            info = avi_info(data)
+            for idx, jpg in sample_mjpeg_frames(data, self.every):
+                w, h = jpeg_dims(jpg)
+                if (w, h) != (info.width, info.height):
+                    raise ValueError(
+                        f"frame {idx} dims {w}x{h} disagree with avih "
+                        f"{info.width}x{info.height}"
+                    )
+                out["video_id"].append(vid)
+                out["frame_idx"].append(idx)
+                out["bytes"].append(jpg)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append("jpeg")
+        return pa.table(
+            {
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+            }
+        )

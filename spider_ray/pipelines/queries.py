@@ -547,6 +547,110 @@ FROM a
 """
 
 
+def q_video_frames(sf_dir: str):
+    """Multimodal VIDEO path (real AVI/MJPEG, spider_ray.video +
+    spider_ray.jpeg): each supplier key synthesises a deterministic
+    solid-color MJPEG clip (frame i of video k is the color
+    ((37k+11i)%256, (53k+7i)%256, (29k+13i)%256)), packed into a RIFF
+    AVI container; the FrameSample actor stage walks the chunk index
+    and emits every 4th frame's JPEG bytes; a verify stage then REALLY
+    decodes each sampled frame (ITU-T T.81 path) and checks the pixels
+    against the color the (video_id, frame_idx) lineage implies —
+    ``px_ok`` is falsifiable, not asserted. Structure (which frames,
+    dims) is closed-form → SQL oracle."""
+    from ..jpeg import decode_jpeg, encode_jpeg
+    from ..ops.multimodal import FrameSample
+    from ..video import FMT_AVI_MJPEG, encode_avi_mjpeg
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey"])
+
+    def synth_videos(b: pa.Table) -> pa.Table:
+        keys = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids, blobs = [], []
+        for k in keys:
+            k = int(k)
+            nf = 8 + k % 9
+            w, h = 16 * (1 + k % 2), 16 * (1 + k % 3)
+            frames = []
+            for i in range(nf):
+                col = np.array(
+                    [(37 * k + 11 * i) % 256, (53 * k + 7 * i) % 256,
+                     (29 * k + 13 * i) % 256],
+                    np.uint8,
+                )
+                frames.append(
+                    encode_jpeg(np.broadcast_to(col, (h, w, 3)).copy(), quality=90)
+                )
+            vids.append(f"vid_{k}")
+            blobs.append(encode_avi_mjpeg(frames, w, h, fps=10))
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array([FMT_AVI_MJPEG] * len(vids), pa.string()),
+            }
+        )
+
+    def verify_frames(b: pa.Table) -> pa.Table:
+        ok = []
+        for vid, idx, jpg in zip(
+            b["video_id"].to_pylist(),
+            b["frame_idx"].to_pylist(),
+            b["bytes"].to_pylist(),
+        ):
+            k = int(vid.removeprefix("vid_"))
+            col = np.array(
+                [(37 * k + 11 * idx) % 256, (53 * k + 7 * idx) % 256,
+                 (29 * k + 13 * idx) % 256],
+                np.int64,
+            )
+            px = decode_jpeg(jpg).astype(np.int64)
+            ok.append(bool(np.abs(px - col).max() <= 2))
+        return pa.table(
+            {
+                "video_id": b["video_id"],
+                "frame_idx": b["frame_idx"].cast(pa.int64()),
+                "w": b["w"].cast(pa.int64()),
+                "h": b["h"].cast(pa.int64()),
+                "fmt": b["fmt"],
+                "px_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth_videos, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            FrameSample,
+            fn_constructor_kwargs={"every_n_frames": 4},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        )
+        .map_batches(verify_frames, batch_format="pyarrow", batch_size=256)
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH v AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k,
+         8 + s_suppkey % 9 AS nf,
+         16 * (1 + s_suppkey % 2) AS w,
+         16 * (1 + s_suppkey % 3) AS h
+  FROM supplier
+),
+f AS (
+  SELECT k, w, h, UNNEST(generate_series(0, nf - 1, 4)) AS fi FROM v
+)
+SELECT 'vid_' || k AS video_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h,
+       'jpeg' AS fmt,
+       TRUE AS px_ok
+FROM f
+"""
+
+
 def q_geocode_enrich(sf_dir: str):
     """J3 — reverse-geocode broadcast lookup (helper.py:366-387):
     customers get deterministic coordinates, the geocode table (from
@@ -1988,6 +2092,7 @@ QUERIES = {
     "join_enrich": (q_join_enrich, SQL_JOIN_ENRICH),
     "geocode_enrich": (q_geocode_enrich, SQL_GEOCODE_ENRICH),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "join_native": (q_join_native, SQL_JOIN_BIG),
     "join_bucketed": (q_join_bucketed, SQL_JOIN_BIG),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),

@@ -199,8 +199,12 @@ def test_multimodal_decode_and_resize(ray_session):
 
 def test_multimodal_stubs_raise(ray_session):
     fs = FrameSample()
-    with pytest.raises(NotImplementedError):
+    # avi-mjpeg decodes for real since round 3: garbage bytes are a
+    # codec error, not a stub; inter-coded formats stay honest stubs
+    with pytest.raises(ValueError):
         fs(pa.table({"video_id": ["v1"], "bytes": [b"xx"]}))
+    with pytest.raises(NotImplementedError):
+        fs(pa.table({"video_id": ["v1"], "bytes": [b"xx"], "fmt": ["mp4"]}))
     dec = DecodeStats(strict=True)
     # jpeg decodes for real since round 3; truly unknown formats still raise
     with pytest.raises(NotImplementedError):
