@@ -125,6 +125,10 @@ def run_bench() -> dict:
         "queries": {},
     }
 
+    if os.environ.get("GRAFT_CRAWL_ONLY") == "1":
+        ray.shutdown()
+        return result
+
     for name in BENCH_QUERIES:
         fn, _sql = QUERIES[name]
         tq = time.perf_counter()
@@ -199,7 +203,10 @@ def run_streaming() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # crawl-only legs: the scaling criterion is the headline crawl's
+        # throughput at N vs 4N; running the query suite per leg just
+        # stretches the measurement window for the noise to land in
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CRAWL_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
