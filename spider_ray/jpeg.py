@@ -157,31 +157,31 @@ _ENC_AC_C = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 _LUT_CACHE: dict = {}
 
 
-def _build_decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
-    """16-bit-peek decode LUT: LUT[next16bits] → (symbol, code length).
-    Python lists (scalar indexing is faster than numpy's here). Cached
-    by table content — building 65536 entries costs ~10 ms, which would
-    otherwise dominate small-image decodes."""
+def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-peek decode LUT: LUT[next16bits] → (symbol << 5) | length,
+    −1 for unassigned codes. ONE packed Python list — a single list
+    index per symbol is measurably cheaper in the scan hot loop than
+    separate (symbol, length) lookups. Cached by table content —
+    building 65536 entries costs ~10 ms, which would otherwise dominate
+    small-image decodes."""
     ck = (tuple(bits), tuple(vals))
     hit = _LUT_CACHE.get(ck)
     if hit is not None:
         return hit
-    sym_lut = [-1] * 65536
-    len_lut = [0] * 65536
+    lut = [-1] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             base = code << (16 - length)
-            sym = vals[k]
+            packed = (vals[k] << 5) | length
             for x in range(1 << (16 - length)):
-                sym_lut[base + x] = sym
-                len_lut[base + x] = length
+                lut[base + x] = packed
             code += 1
             k += 1
         code <<= 1
-    _LUT_CACHE[ck] = (sym_lut, len_lut)
-    return sym_lut, len_lut
+    _LUT_CACHE[ck] = lut
+    return lut
 
 
 _DEC_DC_L = _build_decode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS)
@@ -371,7 +371,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     all_keys, all_bits, all_lens = [], [], []
     for comp in range(3):
         blocks = _to_blocks(ycc[comp])
-        coef = np.einsum("ij,njk,lk->nil", _D8, blocks, _D8, optimize=True)
+        # D8 @ block @ D8.T per block — chained matmul beats einsum here
+        # (einsum re-runs its path search per call on small operands)
+        coef = np.matmul(np.matmul(_D8, blocks), _D8.T)
         q = (ql if comp == 0 else qc).reshape(8, 8)
         qcoef = np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
         k, b, ln = _component_symbols(qcoef, comp)
@@ -536,70 +538,87 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         except KeyError as exc:
             raise ValueError("missing Huffman table") from exc
 
-    # sequential Huffman scan: one 16-bit-peek table lookup per symbol
+    # sequential Huffman scan — the one inherently serial stage.
+    # Hot-loop shape (this is ~60% of a small-image decode wall):
+    #   * one ≤58-bit window refilled 32 bits per gulp (a Huffman code
+    #     ≤16 bits plus its magnitude bits ≤11 is ≤27, so a window
+    #     holding ≥27 bits always covers a full symbol — no inner
+    #     refill loops between code and magnitude reads);
+    #   * magnitude bits are pulled from the SAME window position as
+    #     the code (one shift+mask instead of a second refill cycle);
+    #   * coefficients buffer into flat Python lists and scatter into
+    #     the numpy arrays once per image (a numpy scalar store per
+    #     coefficient is ~10× a list append).
+    # 0xFF padding mirrors the previous bi>=blen → 0xFF fill; any walk
+    # into padding hits an all-ones peek, which no JPEG Huffman table
+    # assigns, and raises "invalid Huffman code".
+    byts += b"\xff" * 64
+    preds = [0, 0, 0]
+    idx_out: list[list[int]] = [[], [], []]
+    val_out: list[list[int]] = [[], [], []]
+    from_bytes = int.from_bytes
     buf = 0
     nbits = 0
     bi = 0
-    blen = len(byts)
-    preds = [0, 0, 0]
-    zz = ZIGZAG  # noqa: F841  (coef arrays stay in zigzag order; de-zigzag below)
     for b in range(nb):
+        base = b << 6
         for c in range(3):
-            (dc_sym, dc_len), (ac_sym, ac_len) = luts[c]
-            cb = coefs[c]
-            while nbits < 16:
-                buf = (buf << 8) | (byts[bi] if bi < blen else 0xFF)
-                bi += 1
-                nbits += 8
-            peek = (buf >> (nbits - 16)) & 0xFFFF
-            s = dc_sym[peek]
-            if s < 0:
+            dc_tab, ac_tab = luts[c]
+            oi = idx_out[c]
+            ov = val_out[c]
+            if nbits < 27:
+                buf = ((buf & ((1 << nbits) - 1)) << 32) | from_bytes(
+                    byts[bi : bi + 4], "big"
+                )
+                bi += 4
+                nbits += 32
+            e = dc_tab[(buf >> (nbits - 16)) & 0xFFFF]
+            if e < 0:
                 raise ValueError("invalid Huffman code")
-            nbits -= dc_len[peek]
+            s = e >> 5
             if s:
-                while nbits < s:
-                    buf = (buf << 8) | (byts[bi] if bi < blen else 0xFF)
-                    bi += 1
-                    nbits += 8
-                bits = (buf >> (nbits - s)) & ((1 << s) - 1)
-                nbits -= s
-                diff = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                ln = (e & 31) + s
+                bits = (buf >> (nbits - ln)) & ((1 << s) - 1)
+                nbits -= ln
+                preds[c] += bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
             else:
-                diff = 0
-            preds[c] += diff
-            cb[b, 0] = preds[c]
+                nbits -= e & 31
+            oi.append(base)
+            ov.append(preds[c])
             k = 1
             while k < 64:
-                buf &= (1 << nbits) - 1  # keep the int buffer small
-                while nbits < 16:
-                    buf = (buf << 8) | (byts[bi] if bi < blen else 0xFF)
-                    bi += 1
-                    nbits += 8
-                peek = (buf >> (nbits - 16)) & 0xFFFF
-                rs = ac_sym[peek]
-                if rs < 0:
-                    raise ValueError("invalid Huffman code")
-                nbits -= ac_len[peek]
-                if rs == 0x00:  # EOB
+                if nbits < 27:
+                    buf = ((buf & ((1 << nbits) - 1)) << 32) | from_bytes(
+                        byts[bi : bi + 4], "big"
+                    )
+                    bi += 4
+                    nbits += 32
+                e = ac_tab[(buf >> (nbits - 16)) & 0xFFFF]
+                if e < 32:  # packed (rs=0)<<5|len is EOB; −1 is invalid
+                    if e < 0:
+                        raise ValueError("invalid Huffman code")
+                    nbits -= e & 31  # EOB
                     break
-                r, s = rs >> 4, rs & 15
-                k += r
+                rs = e >> 5
+                s = rs & 15
+                k += rs >> 4
                 if s == 0:
-                    if r != 15:
+                    if rs != 0xF0:
                         raise ValueError("bad AC symbol")
+                    nbits -= e & 31
                     k += 1  # ZRL = 16 zeros
                     continue
                 if k > 63:
                     raise ValueError("AC index overflow")
-                while nbits < s:
-                    buf = (buf << 8) | (byts[bi] if bi < blen else 0xFF)
-                    bi += 1
-                    nbits += 8
-                bits = (buf >> (nbits - s)) & ((1 << s) - 1)
-                nbits -= s
-                cb[b, k] = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                ln = (e & 31) + s
+                bits = (buf >> (nbits - ln)) & ((1 << s) - 1)
+                nbits -= ln
+                oi.append(base + k)
+                ov.append(bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1)
                 k += 1
-            buf &= (1 << nbits) - 1  # keep the int buffer small
+    for c in range(3):
+        if idx_out[c]:
+            coefs[c].ravel()[np.asarray(idx_out[c], dtype=np.int64)] = val_out[c]
 
     # vectorized reconstruction
     chans = []
@@ -612,7 +631,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         nat = np.zeros_like(deq)
         nat[:, ZIGZAG] = deq  # zigzag order → natural order
         blocks = nat.reshape(-1, 8, 8)
-        spat = np.einsum("ji,njk,kl->nil", _D8, blocks, _D8, optimize=True)
+        spat = np.matmul(np.matmul(_D8.T, blocks), _D8)
         chans.append(_from_blocks(spat, h8, w8)[:h, :w] + 128.0)
     y, cb_, cr = chans
     r = y + 1.402 * (cr - 128.0)
