@@ -5,9 +5,9 @@ with typed metadata. This container has no audio libraries (no
 soundfile/librosa/pydub), but PCM WAV needs none: the RIFF/WAVE
 format (Microsoft/IBM spec, public) is a chunked header around raw
 PCM samples. This module implements 16-bit mono PCM encode/decode
-from the spec — the real path — while compressed codecs (mp3, flac,
-ogg) remain stubs behind import-tries (see ops.multimodal
-``AudioFeatures``).
+from the spec — the real path. FLAC is also real since round 3
+(:mod:`spider_ray.flac`, RFC 9639); mp3/ogg remain stubs behind
+import-tries (see ops.multimodal ``AudioFeatures``).
 
 All functions are pure and deterministic.
 """

@@ -6,8 +6,9 @@ Everything that CAN be real in this container (no PIL/cv2/ffmpeg) is
 real: PNG/QPNG decode, baseline JPEG (spider_ray.jpeg, ITU-T T.81),
 PCM WAV (spider_ray.audio), AVI/MJPEG frame-sampling
 (spider_ray.video), block-mean resize, channel statistics, phash —
-all numpy/zlib kernels built from the public specs. The remaining
-codec-dependent paths (compressed audio mp3/flac/ogg, inter-coded
+all numpy/zlib kernels built from the public specs; FLAC audio is
+real since round 3 (spider_ray.flac, RFC 9639). The remaining
+codec-dependent paths (compressed audio mp3/ogg, inter-coded
 video mp4/h264) are STUBS behind import-tries that raise
 ``NotImplementedError`` with the Ray-side plumbing (schema, batch
 sizing, actor signature, output layout) fully wired and tested.
@@ -106,9 +107,9 @@ class ResizeImages:
 class AudioFeatures:
     """Actor-pool stage: audio binary column → integer feature columns
     (n_samples, duration_ms, rms, peak, zero_crossings). REAL for PCM
-    WAV (spider_ray.audio implements the RIFF spec); compressed
-    formats (mp3/flac/ogg) are stubs behind an import-try, same
-    plumbing."""
+    WAV (spider_ray.audio, RIFF spec) and for FLAC (spider_ray.flac,
+    RFC 9639 — r3); remaining compressed formats (mp3/ogg) are stubs
+    behind an import-try, same plumbing."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict
@@ -121,6 +122,7 @@ class AudioFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..audio import FMT_WAV, audio_features, decode_wav
+        from ..flac import FMT_FLAC, decode_flac
 
         n = batch.num_rows
         feats = {k: np.zeros(n, np.int64) for k in
@@ -129,8 +131,9 @@ class AudioFeatures:
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         for j in range(n):
-            if fmts[j] == FMT_WAV:
-                samples, sr = decode_wav(blobs[j])
+            if fmts[j] in (FMT_WAV, FMT_FLAC):
+                samples, sr = (decode_wav if fmts[j] == FMT_WAV
+                               else decode_flac)(blobs[j])
                 for k, v in audio_features(samples, sr).items():
                     feats[k][j] = v
                 ok[j] = True

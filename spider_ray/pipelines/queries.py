@@ -484,13 +484,16 @@ FROM orders
 
 
 def q_audio_features(sf_dir: str):
-    """Multimodal AUDIO path (real PCM WAV, spider_ray.audio): a
-    deterministic square-wave corpus derived from order keys is
-    round-tripped through the RIFF encoder and the AudioFeatures
+    """Multimodal AUDIO path (real codecs: PCM WAV via spider_ray.audio,
+    FLAC via spider_ray.flac — r3): a deterministic square-wave corpus
+    derived from order keys is round-tripped through the container
+    encoder (every third key FLAC, the rest WAV) and the AudioFeatures
     actor-pool stage; integer features hash-match a closed-form SQL
     oracle (square wave of amplitude A: rms = peak = A, alternating
-    sign → n-1 zero crossings)."""
+    sign → n-1 zero crossings — container-independent, so the SAME
+    oracle covers both codecs and a FLAC mis-decode breaks the hash)."""
     from ..audio import FMT_WAV, encode_wav
+    from ..flac import FMT_FLAC, encode_flac
     from ..ops.multimodal import AudioFeatures
 
     ds = _read(sf_dir, "orders", ["o_orderkey"])
@@ -498,17 +501,23 @@ def q_audio_features(sf_dir: str):
     def synth_wavs(b: pa.Table) -> pa.Table:
         keys = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         blobs = []
+        fmts = []
         for k in keys:
             n = 800 + int(k) % 50
             amp = 1000 + int(k) % 100
             t = np.arange(n)
             samples = (amp * np.where(t % 2 == 0, 1, -1)).astype(np.int16)
-            blobs.append(encode_wav(samples, sample_rate=8000))
+            if int(k) % 3 == 0:
+                blobs.append(encode_flac(samples, sample_rate=8000))
+                fmts.append(FMT_FLAC)
+            else:
+                blobs.append(encode_wav(samples, sample_rate=8000))
+                fmts.append(FMT_WAV)
         return pa.table(
             {
                 "o_orderkey": pa.array(keys, pa.int64()),
                 "bytes": pa.array(blobs, pa.binary()),
-                "fmt": pa.array([FMT_WAV] * len(keys), pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
             }
         )
 
