@@ -89,7 +89,9 @@ def run_bench() -> dict:
     # caches (measured pass reflects steady-state throughput, not
     # interpreter spawn)
     warm_dir = tempfile.mkdtemp(prefix="spider_bench_warm_")
-    run_crawl(SF_DIR, images_out_dir=warm_dir, **BENCH_WORLD)
+    warm_crawler, _ = run_crawl(SF_DIR, images_out_dir=warm_dir, **BENCH_WORLD)
+    warm_crawler.close()  # release shard actors between passes — leaked
+    # 0-CPU actors are harmless to scheduling but pile up processes
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # two measured passes, report the MIN: this shared VM's background
@@ -104,6 +106,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         crawler, stats = run_crawl(SF_DIR, images_out_dir=images_dir, **BENCH_WORLD)
         passes.append(time.perf_counter() - t0)
+        crawler.close()  # lineage/stats stay readable after close
         shutil.rmtree(images_dir, ignore_errors=True)
     crawl_sec = min(passes)
     frontier_rows = int(sum(r["rows_in"] for r in crawler.lineage))
@@ -169,14 +172,19 @@ def run_streaming() -> dict:
         **BENCH_WORLD["world_overrides"],
     )
     wc = WorldConfig(num_hosts=4, max_pages_per_host=1, details_per_page=3)
-    Crawler(wc, captions[:10]).crawl(wc.seeds())  # warm both paths
-    StreamingCrawler(wc, captions[:10], work_dir=tempfile.mkdtemp()).crawl(wc.seeds())
+    wd = Crawler(wc, captions[:10])  # warm both paths
+    wd.crawl(wc.seeds())
+    wd.close()
+    ws = StreamingCrawler(wc, captions[:10], work_dir=tempfile.mkdtemp())
+    ws.crawl(wc.seeds())
+    ws.close()
 
     t0 = time.perf_counter()
     d = Crawler(cfg, captions, images_out_dir=tempfile.mkdtemp(prefix="bd_"),
                 round_window_ms=BENCH_WORLD["round_window_ms"])
     dres = d.crawl(cfg.seeds())
     d_sec = time.perf_counter() - t0
+    d.close()
 
     work = tempfile.mkdtemp(prefix="bs_")
     t0 = time.perf_counter()
@@ -184,6 +192,7 @@ def run_streaming() -> dict:
                          round_window_ms=BENCH_WORLD["round_window_ms"])
     sres = s.crawl(cfg.seeds())
     s_sec = time.perf_counter() - t0
+    s.close()
     shutil.rmtree(work, ignore_errors=True)
     out = {
         "metric": "streaming_mode_premium",
@@ -205,13 +214,24 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         # crawl-only legs: the scaling criterion is the headline crawl's
         # throughput at N vs 4N; running the query suite per leg just
-        # stretches the measurement window for the noise to land in
+        # stretches the measurement window for the noise to land in.
+        # Per-leg wall cap + one retry: this VM occasionally wedges a
+        # low-CPU Ray session (raylet-level, not engine state — the
+        # same binary passes on retry); a hung leg must not hang the
+        # whole protocol.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CRAWL_ONLY="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last_err = None
+        for _attempt in range(2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, check=True,
+                    timeout=1200,
+                ).stdout
+                return json.loads(out.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+                last_err = e
+        raise last_err
 
     # N vs 4N parallelism levels. 4/16 rather than 8/32: at 32-way this
     # single VM saturates (raylet + driver + shard actors + host noise

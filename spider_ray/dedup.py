@@ -280,12 +280,20 @@ class _ShardState:
         return len(self.exact)
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0, scheduling_strategy="SPREAD")
 class DedupShard:
     """Ray actor owning one seen-set shard (shard = url_hash % num_shards).
 
-    ``num_cpus=0.1``: shard work is tiny per call; 16 shards must not
-    reserve 16 full CPUs away from fetch/parse stages.
+    ``num_cpus=0``: shard work is microseconds per call and the actor
+    must never reserve scheduler capacity away from num_cpus=1
+    fetch/parse tasks. This is not theoretical — at 4 CPUs, three
+    crawls in one session (bench warm-up + measured passes) leaked
+    24 × 0.1-CPU shard reservations, leaving <1 CPU available and
+    starving every map task: a hard wedge, diagnosed from the raylet's
+    "available: 0.8 CPU" debug state. ``SPREAD`` keeps the shards
+    distributed across nodes on a real cluster now that no CPU
+    resource does it implicitly. Explicit release is still available
+    via :meth:`ShardedDedup.shutdown`.
     """
 
     def __init__(self, capacity: int = 1 << 16, mode: str = "cuckoo"):
@@ -425,3 +433,15 @@ class ShardedDedup:
 
     def total_seen(self) -> int:
         return int(sum(ray.get([s.size.remote() for s in self.shards])))
+
+    def shutdown(self) -> None:
+        """Release the shard actors now rather than whenever the last
+        pickled handle (task lineage, stats, driver locals) is
+        garbage-collected — repeated crawls in one session otherwise
+        accumulate idle shard processes. Idempotent."""
+        for s in self.shards:
+            try:
+                ray.kill(s, no_restart=True)
+            except Exception:
+                pass
+        self.shards = []

@@ -177,6 +177,54 @@ def _register_table(dedup: ShardedDedup, tbl: pa.Table, round_no: int) -> None:
         )
 
 
+def from_local_tables(tables) -> rd.Dataset:
+    """``rd.from_arrow`` minus the remote metadata round-trip.
+
+    ``ray.data.from_arrow`` submits one num_cpus=1 task per table just
+    to compute (schema, num_rows, size_bytes) and ``ray.get``\\ s them
+    (read_api.py:3158, ray 2.49). Every table passed here is a LOCAL
+    driver Arrow table, so that metadata is computable in-process —
+    the remote hop is pure overhead, and under a low-CPU raylet with
+    many blocked-in-``ray.get`` fetch workers it intermittently never
+    gets scheduled at all, wedging the round loop (observed on the
+    4-CPU scaling leg; ray-project/ray#3644 family). Building the
+    MaterializedDataset with locally-computed metadata removes the
+    cluster round-trip entirely."""
+    from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+
+    if isinstance(tables, pa.Table):
+        tables = [tables]
+    metadata_schema = [
+        BlockMetadataWithSchema.from_block(t, stats=BlockExecStats.builder().build())
+        for t in tables
+    ]
+    return dataset_from_refs([ray.put(t) for t in tables], metadata_schema)
+
+
+def dataset_from_refs(refs, metadata_schema) -> rd.Dataset:
+    """Materialized Dataset over pre-existing Arrow block refs with
+    CALLER-SUPPLIED metadata (each a ``BlockMetadataWithSchema``, e.g.
+    computed inside the task that produced the block) — the zero-task
+    core of :func:`from_local_tables`, also used by the streaming
+    crawler's carry path so a 10^10-row frontier hand-off costs zero
+    extra scheduling."""
+    from ray.data._internal.logical.interfaces import LogicalPlan
+    from ray.data._internal.logical.operators.from_operators import FromArrow
+    from ray.data._internal.plan import ExecutionPlan
+    from ray.data._internal.stats import DatasetStats
+    from ray.data.context import DataContext
+    from ray.data.dataset import MaterializedDataset
+
+    execution_plan = ExecutionPlan(
+        DatasetStats(metadata={"FromArrow": metadata_schema}, parent=None),
+        DataContext.get_current().copy(),
+    )
+    logical_plan = LogicalPlan(
+        FromArrow(refs, metadata_schema), execution_plan._context
+    )
+    return MaterializedDataset(execution_plan, logical_plan)
+
+
 def _collect(ds: rd.Dataset) -> pa.Table:
     """Execute once and concat blocks. materialize() first — a bare
     to_arrow_refs() re-runs a limit-1 plan for .schema() afterwards."""
@@ -821,6 +869,14 @@ class Crawler:
         self._to_register = self.frontier  # fresh actors: re-register all
         return True
 
+    def close(self) -> None:
+        """Release the dedup shard actors. Driver-side results
+        (lineage, stats, images_table) stay readable; only further
+        crawling/resume needs a new Crawler. Call between repeated
+        crawls in one session (bench passes, notebooks) so idle shard
+        processes don't accumulate."""
+        self.dedup.shutdown()
+
     # ---------------- the loop
     def crawl(self, seed_urls: list[str]) -> dict:
         if self.frontier.num_rows == 0 and self.start_round == 0:
@@ -860,10 +916,10 @@ class Crawler:
             # the at-scale fallback when the frontier can't sit on the
             # driver)
             blocks = _host_aligned_slices(frontier, self._nblocks(rows_in))
-            ds = rd.from_arrow(blocks)
+            ds = from_local_tables(blocks)
         else:
             nblocks = self._nblocks(rows_in)
-            ds = rd.from_arrow(frontier)
+            ds = from_local_tables(frontier)
             if nblocks > 1:
                 ds = ds.repartition(nblocks)
 
@@ -945,8 +1001,13 @@ class Crawler:
                 return admit(g)
 
             admit_tbl = _collect(
-                rd.from_pandas(
-                    pre[~pre["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
+                from_local_tables(
+                    pa.Table.from_pandas(
+                        pre[~pre["prefiltered_defer"]].drop(
+                            columns=["prefiltered_defer"]
+                        ),
+                        preserve_index=False,
+                    )
                 )
                 .groupby("host_hash")
                 .map_groups(admit_group, batch_format="pandas")
@@ -993,7 +1054,7 @@ class Crawler:
                 round_no=r, dedup=self.dedup,
             )
         else:
-            fetch_ds = rd.from_arrow(admitted_tbl)
+            fetch_ds = from_local_tables(admitted_tbl)
             nb = self._nblocks(rows_admitted)
             if nb > 1:
                 fetch_ds = fetch_ds.repartition(nb)
@@ -1141,7 +1202,7 @@ class Crawler:
     def images_dataset(self) -> rd.Dataset:
         if self.images_out_dir is not None and os.path.isdir(self.images_out_dir):
             return rd.read_parquet(self.images_out_dir)
-        return rd.from_arrow(self.images_table())
+        return from_local_tables(self.images_table())
 
     def lineage_table(self) -> pa.Table:
         return pa.Table.from_pylist(self.lineage)

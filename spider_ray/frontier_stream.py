@@ -53,6 +53,8 @@ from .frontier import (
     _parse_fn,
     _register_table,
     _winner_fn,
+    dataset_from_refs,
+    from_local_tables,
     make_seed_frontier,
     parse_rows_to_frontier,
 )
@@ -63,7 +65,7 @@ from .synth import WorldConfig
 
 @ray.remote
 def _stamp_block(base_seq: int, round_no: int, dedup: ShardedDedup | None,
-                 off: int, length: int, *blocks: pa.Table) -> pa.Table:
+                 off: int, length: int, *blocks: pa.Table):
     """One carry-block's worth of the sorted next frontier: concat
     consecutive small sort-output blocks, or SLICE ``[off, off+length)``
     out of one oversized block (the caller re-blocks the sort output to
@@ -96,7 +98,16 @@ def _stamp_block(base_seq: int, round_no: int, dedup: ShardedDedup | None,
     t = t.cast(FRONTIER_SCHEMA)
     if dedup is not None:
         _register_table(dedup, t, round_no)
-    return t
+    # second output: block metadata, so the driver can assemble the
+    # next round's carry Dataset without per-block metadata tasks
+    # (frontier.dataset_from_refs) and barrier on ~100-byte refs
+    # instead of pulling every stamped table into driver heap
+    from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+
+    meta = BlockMetadataWithSchema.from_block(
+        t, stats=BlockExecStats.builder().build()
+    )
+    return t, meta
 
 
 @ray.remote
@@ -389,6 +400,10 @@ class StreamingCrawler:
                     self.lineage.append(json.load(f))
         return last + 1
 
+    def close(self) -> None:
+        """Release the dedup shard actors (see Crawler.close)."""
+        self.dedup.shutdown()
+
     # ---------------- loop
     def crawl(self, seeds: list) -> dict:
         from .frontier import assign_seq
@@ -645,7 +660,7 @@ class StreamingCrawler:
             # the next round a 1-block frontier (see large path below)
             ncpu = int(ray.cluster_resources().get("CPU", 32))
             tgt = int(np.clip(t.num_rows // (2 * ncpu) + 1, 256, 65_536))
-            self._carry = rd.from_arrow(
+            self._carry = from_local_tables(
                 [t.slice(o, tgt) for o in range(0, t.num_rows, tgt)]
             )
             self._carry_rows = t.num_rows
@@ -671,7 +686,7 @@ class StreamingCrawler:
             m.num_rows for _, m in blocks if m.num_rows
         )
         TARGET = int(np.clip((total_est or 1) // (2 * ncpu) + 1, 256, 65_536))
-        stamped, write_refs = [], []
+        stamped, stamped_meta, write_refs = [], [], []
         base = 0
         group: list = []
         group_rows = 0
@@ -679,9 +694,11 @@ class StreamingCrawler:
 
         def emit(refs, off, length):
             nonlocal part_idx, base
-            sref = _stamp_block.remote(base, round_no, self.dedup,
-                                       off, length, *refs)
+            sref, mref = _stamp_block.options(num_returns=2).remote(
+                base, round_no, self.dedup, off, length, *refs
+            )
             stamped.append(sref)
+            stamped_meta.append(mref)
             write_refs.append(
                 _write_part.remote(
                     sref, os.path.join(out_dir, f"part-{part_idx:06d}.parquet")
@@ -715,8 +732,13 @@ class StreamingCrawler:
                 flush()
         flush()
         if stamped:
-            ray.get(stamped)  # registration barrier for round_no
-            self._carry = rd.from_arrow_refs(stamped)
+            # registration barrier for round_no: the metadata outputs
+            # complete with the tasks, so getting THEM (tiny) proves
+            # registration without pulling the stamped tables to the
+            # driver — and hands dataset_from_refs its metadata for
+            # free (no per-block metadata tasks, no from_arrow_refs)
+            metas = ray.get(stamped_meta)
+            self._carry = dataset_from_refs(stamped, metas)
             self._carry_rows = base
         return base, write_refs
 

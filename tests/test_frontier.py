@@ -119,6 +119,36 @@ def test_shard_count_invariance(ray_session):
     assert _fetch_sets(eng2) == _fetch_sets(eng8)
 
 
+def test_shard_actors_never_reserve_cpu(ray_session):
+    """Shard actors must hold ZERO CPU reservation: repeated crawls in
+    one session leak handles (task lineage keeps them alive), and at
+    num_cpus=0.1 three bench passes at 4 CPUs left <1 CPU available,
+    starving every num_cpus=1 map task — a hard wedge. Regression
+    guard: the remote class reserves no CPU, and shutdown() releases
+    the actors on demand."""
+    import ray as _ray
+
+    from spider_ray.dedup import DedupShard, ShardedDedup
+
+    opts = DedupShard._default_options
+    assert opts.get("num_cpus", None) == 0
+    dd = ShardedDedup(num_shards=4)
+    import numpy as np
+
+    dd.register_arrays(
+        np.array([1, 2, 3], dtype=np.uint64),
+        np.zeros(3, np.int64), np.arange(3, dtype=np.int64), 0,
+    )
+    shards = list(dd.shards)
+    dd.shutdown()
+    assert dd.shards == []
+    # killed actors must reject further calls
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _ray.get(shards[0].size.remote(), timeout=30)
+
+
 def test_exact_vs_cuckoo_mode(ray_session):
     cfg = _cfg(num_hosts=3)
     engc, resc = _run_engine(cfg, mode="cuckoo")
