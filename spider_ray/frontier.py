@@ -298,6 +298,88 @@ def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
     )
 
 
+def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
+                          cfg: WorldConfig, round_window_ms: int,
+                          obey_robots: bool, round_no: int, captions_ref,
+                          images_out_dir: str | None,
+                          items_out_dir: str | None,
+                          fetch_batch_size: int) -> pa.Table:
+    """ONE task per host-aligned block for the whole round body:
+    winner filter → politeness admission → seen-commit → fetch →
+    parse. Fusing what were two Ray Data executions per round (admit,
+    then fetch+parse with a driver collect + commit between them) into
+    one halves the per-round fixed cost — at high parallelism the
+    crawl wall is launch/collect bound, not compute bound, so this is
+    what the N→4N scaling efficiency actually measures.
+
+    Everything the driver previously computed from the intermediate
+    admit table rides back in the ONE output union instead:
+    'deferred' rows carry full frontier columns, thin 'fetched' /
+    'blocked' marker rows carry url_hash for stats + the resume
+    checkpoint. The in-task seen-commit (push_commit) is idempotent
+    and order-independent across blocks; the round registry clear
+    happens once, driver-side, after the execution's barrier."""
+    admit_tbl = _winner_admit_fn(
+        block, dedup=dedup, cfg=cfg, round_window_ms=round_window_ms,
+        obey_robots=obey_robots, round_no=round_no,
+    )
+    adm = admit_tbl["admitted"]
+    blk = admit_tbl["blocked"]
+    seen_hashes = admit_tbl.filter(pc.or_(adm, blk))["url_hash"].to_numpy(
+        zero_copy_only=False
+    )
+    if dedup is not None and len(seen_hashes):
+        dedup.push_commit(seen_hashes)
+    admitted = (
+        admit_tbl.filter(adm)
+        .drop_columns(["admitted", "blocked"])
+        .select(FRONTIER_SCHEMA.names)
+        .cast(FRONTIER_SCHEMA)
+    )
+    deferred = admit_tbl.filter(
+        pc.and_(pc.invert(adm), pc.invert(blk))
+    ).drop_columns(["admitted", "blocked"])
+
+    parts: list[pa.Table] = []
+    for off in range(0, admitted.num_rows, max(fetch_batch_size, 1)):
+        sl = admitted.slice(off, fetch_batch_size)
+        fetched = fetch_batch(sl, cfg=cfg, captions_ref=captions_ref)
+        parts.append(
+            _parse_fn(fetched, cfg=cfg, images_out_dir=images_out_dir,
+                      round_no=round_no, dedup=dedup,
+                      items_out_dir=items_out_dir)
+        )
+    if admitted.num_rows:
+        parts.append(
+            _as_parse_table(
+                {
+                    "rowtype": pa.array(["fetched"] * admitted.num_rows),
+                    "url_hash": admitted["url_hash"],
+                },
+                admitted.num_rows,
+            )
+        )
+    nblk = int(pc.sum(blk).as_py() or 0)
+    if nblk:
+        parts.append(
+            _as_parse_table(
+                {
+                    "rowtype": pa.array(["blocked"] * nblk),
+                    "url_hash": admit_tbl.filter(blk)["url_hash"],
+                },
+                nblk,
+            )
+        )
+    if deferred.num_rows:
+        cols = {"rowtype": pa.array(["deferred"] * deferred.num_rows)}
+        for name in FRONTIER_SCHEMA.names:
+            cols[name] = deferred[name].cast(PARSE_SCHEMA.field(name).type)
+        parts.append(_as_parse_table(cols, deferred.num_rows))
+    if not parts:
+        return PARSE_SCHEMA.empty_table()
+    return pa.concat_tables(parts, promote_options="default")
+
+
 def _winner_fn(batch: pa.Table, *, dedup: ShardedDedup, round_no: int) -> pa.Table:
     """Dedup phase 2: keep round winners not previously seen
     (``skip_dedup`` rows always pass — dont_filter semantics)."""
@@ -352,7 +434,11 @@ _ITEM_FIELDS = [
 
 PARSE_SCHEMA = pa.schema(
     [
-        ("rowtype", pa.string()),  # 'link' | 'item' | 'image' | 'retry' | 'fail'
+        # 'link' | 'item' | 'image' | 'retry' | 'fail', plus the fused
+        # round-execution carriers: 'deferred' (politeness-deferred
+        # frontier rows riding back whole), 'fetched' / 'blocked'
+        # (thin url_hash marker rows for stats + checkpoint)
+        ("rowtype", pa.string()),
         # link candidates (canonicalized + hashed in-task)
         ("url", pa.string()),
         ("canonical_url", pa.string()),
@@ -375,6 +461,10 @@ PARSE_SCHEMA = pa.schema(
         ("priority", pa.int32()),
         ("retry_count", pa.int32()),
         ("skip_dedup", pa.bool_()),
+        # full-frontier carry for 'deferred' rows (fused round path)
+        ("seq", pa.int64()),
+        ("round", pa.int32()),
+        ("meta_property_type", pa.string()),
         *_ITEM_FIELDS,
         # image sink fields
         ("image_id", pa.string()),
@@ -952,20 +1042,39 @@ class Crawler:
                 promote_options="default",
             )
         elif use_local:
-            admit_tbl = _collect(
+            # FUSED round body: winner→admit→commit→fetch→parse in ONE
+            # Ray Data execution (one task per host-aligned block, see
+            # _admit_fetch_parse_fn) instead of an admit execution, a
+            # driver collect + commit, and a fetch+parse execution. At
+            # high parallelism the round wall is launch/collect bound;
+            # halving executions per round is the scaling-efficiency
+            # lever. Stats/checkpoint inputs ride back as thin
+            # 'fetched'/'blocked' marker rows; deferred frontier rows
+            # ride back whole as 'deferred' rows.
+            if self.images_out_dir is not None:
+                part_dir = os.path.join(self.images_out_dir, f"round_{r:04d}")
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)  # incomplete prior attempt
+            parsed = _collect(
                 ds.map_batches(
-                    _winner_admit_fn,
+                    _admit_fetch_parse_fn,
                     fn_kwargs={
                         "dedup": self.dedup,
                         "cfg": self.cfg,
                         "round_window_ms": self.round_window_ms,
                         "obey_robots": self.obey_robots,
                         "round_no": r,
+                        "captions_ref": self.captions_ref,
+                        "images_out_dir": self.images_out_dir,
+                        "items_out_dir": None,
+                        "fetch_batch_size": self.fetch_batch_size,
                     },
                     batch_format="pyarrow",
                     batch_size=None,  # whole host-aligned block per call
                 )
             )
+            self.dedup.clear_round(r)  # in-task commits are done (barrier)
+            admit_tbl = None
         else:
             winners = ds.map_batches(
                 _winner_fn,
@@ -1013,71 +1122,98 @@ class Crawler:
                 .map_groups(admit_group, batch_format="pandas")
             )
         _marks.append(("admit", _t()))
-        if admit_tbl.num_rows == 0:
-            self.dedup.commit(np.empty(0, np.uint64), r)
-            self.frontier = _EMPTY_FRONTIER
-            self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
-                               _EMPTY_FRONTIER, np.empty(0, np.uint64), None, None)
-            return
-        adm_mask = admit_tbl["admitted"]
-        blk_mask = admit_tbl["blocked"]
-        # seen = attempted (admitted) ∪ robots-blocked; deferred stays unseen
-        self.dedup.commit(
-            admit_tbl.filter(pc.or_(adm_mask, blk_mask))["url_hash"]
-            .to_numpy(zero_copy_only=False),
-            r,
-        )
-        admitted_tbl = (
-            admit_tbl.filter(adm_mask)
-            .drop_columns(["admitted", "blocked"])
-            .select(FRONTIER_SCHEMA.names)
-            .cast(FRONTIER_SCHEMA)
-        )
-        deferred_grp = admit_tbl.filter(
-            pc.and_(pc.invert(adm_mask), pc.invert(blk_mask))
-        ).drop_columns(["admitted", "blocked"])
-        blocked_n = int(pc.sum(blk_mask).as_py() or 0)
-        rows_admitted = admitted_tbl.num_rows
-        rows_unique = admit_tbl.num_rows + len(deferred_pre)
-
-        # --- execution 3: fetch (session-cached tasks) fused with parse
-        if self.images_out_dir is not None:
-            part_dir = os.path.join(self.images_out_dir, f"round_{r:04d}")
-            if os.path.exists(part_dir):
-                shutil.rmtree(part_dir)  # incomplete prior attempt
-        if inline:
-            fetched = fetch_batch(
-                admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref
+        if admit_tbl is None:
+            # fused path: derive what the driver used to compute from
+            # the intermediate admit table out of the carrier rows
+            rowtype0 = parsed["rowtype"]
+            fetched_hashes = (
+                parsed.filter(pc.equal(rowtype0, "fetched"))["url_hash"]
+                .to_numpy(zero_copy_only=False)
             )
-            parsed = _parse_fn(
-                fetched, cfg=self.cfg, images_out_dir=self.images_out_dir,
-                round_no=r, dedup=self.dedup,
+            rows_admitted = len(fetched_hashes)
+            blocked_n = int(
+                pc.sum(pc.equal(rowtype0, "blocked")).as_py() or 0
             )
+            deferred_grp = parsed.filter(pc.equal(rowtype0, "deferred"))
+            rows_unique = rows_admitted + blocked_n + deferred_grp.num_rows
+            if rows_unique == 0:
+                self.frontier = _EMPTY_FRONTIER
+                self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
+                                   _EMPTY_FRONTIER, np.empty(0, np.uint64),
+                                   None, None)
+                return
         else:
-            fetch_ds = from_local_tables(admitted_tbl)
-            nb = self._nblocks(rows_admitted)
-            if nb > 1:
-                fetch_ds = fetch_ds.repartition(nb)
-            parsed = _collect(
-                fetch_ds.map_batches(
-                    fetch_batch,
-                    fn_kwargs={
-                        "cfg": self.cfg,
-                        "captions_ref": self.captions_ref,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=self.fetch_batch_size,
-                ).map_batches(
-                    _parse_fn,
-                    fn_kwargs={
-                        "cfg": self.cfg,
-                        "images_out_dir": self.images_out_dir,
-                        "round_no": r,
-                        "dedup": self.dedup,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=self.fetch_batch_size,
+            if admit_tbl.num_rows == 0:
+                self.dedup.commit(np.empty(0, np.uint64), r)
+                self.frontier = _EMPTY_FRONTIER
+                self._finish_round(r, rows_in, rows_in, 0, 0, 0, 0, 0, 0,
+                                   _EMPTY_FRONTIER, np.empty(0, np.uint64),
+                                   None, None)
+                return
+            adm_mask = admit_tbl["admitted"]
+            blk_mask = admit_tbl["blocked"]
+            # seen = attempted (admitted) ∪ robots-blocked; deferred stays
+            # unseen
+            self.dedup.commit(
+                admit_tbl.filter(pc.or_(adm_mask, blk_mask))["url_hash"]
+                .to_numpy(zero_copy_only=False),
+                r,
+            )
+            admitted_tbl = (
+                admit_tbl.filter(adm_mask)
+                .drop_columns(["admitted", "blocked"])
+                .select(FRONTIER_SCHEMA.names)
+                .cast(FRONTIER_SCHEMA)
+            )
+            deferred_grp = admit_tbl.filter(
+                pc.and_(pc.invert(adm_mask), pc.invert(blk_mask))
+            ).drop_columns(["admitted", "blocked"])
+            blocked_n = int(pc.sum(blk_mask).as_py() or 0)
+            rows_admitted = admitted_tbl.num_rows
+            rows_unique = admit_tbl.num_rows + len(deferred_pre)
+
+            # --- execution 3 (inline / at-scale paths only; the
+            # use_local path fused this into execution 1)
+            if self.images_out_dir is not None:
+                part_dir = os.path.join(self.images_out_dir, f"round_{r:04d}")
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)  # incomplete prior attempt
+            if inline:
+                fetched = fetch_batch(
+                    admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref
                 )
+                parsed = _parse_fn(
+                    fetched, cfg=self.cfg, images_out_dir=self.images_out_dir,
+                    round_no=r, dedup=self.dedup,
+                )
+            else:
+                fetch_ds = from_local_tables(admitted_tbl)
+                nb = self._nblocks(rows_admitted)
+                if nb > 1:
+                    fetch_ds = fetch_ds.repartition(nb)
+                parsed = _collect(
+                    fetch_ds.map_batches(
+                        fetch_batch,
+                        fn_kwargs={
+                            "cfg": self.cfg,
+                            "captions_ref": self.captions_ref,
+                        },
+                        batch_format="pyarrow",
+                        batch_size=self.fetch_batch_size,
+                    ).map_batches(
+                        _parse_fn,
+                        fn_kwargs={
+                            "cfg": self.cfg,
+                            "images_out_dir": self.images_out_dir,
+                            "round_no": r,
+                            "dedup": self.dedup,
+                        },
+                        batch_format="pyarrow",
+                        batch_size=self.fetch_batch_size,
+                    )
+                )
+            fetched_hashes = admitted_tbl["url_hash"].to_numpy(
+                zero_copy_only=False
             )
         _marks.append(("fetch_parse", _t()))
         rowtype = parsed["rowtype"]  # schema present even when empty
@@ -1086,7 +1222,6 @@ class Crawler:
         images_part = parsed.filter(pc.equal(rowtype, "image"))
         n_retries = int(pc.sum(pc.equal(rowtype, "retry")).as_py() or 0)
         rows_failed = int(pc.sum(pc.equal(rowtype, "fail")).as_py() or 0)
-        fetched_hashes = admitted_tbl["url_hash"].to_numpy(zero_copy_only=False)
 
         items_tbl = items_part if items_part.num_rows else None
         if items_tbl is not None:

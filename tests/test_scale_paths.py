@@ -44,6 +44,33 @@ def test_groupby_shuffle_path_matches_local_path(ray_session):
     )
 
 
+def test_fused_round_path_matches_inline_and_oracle(ray_session):
+    """The fused use_local execution (winner→admit→commit→fetch→parse
+    in ONE dataset per round, r3) must byte-match the inline driver
+    path and the sequential oracle — including under a tight
+    politeness window that produces real deferrals riding back as
+    'deferred' carrier rows."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=5)
+    fused_c, fused_res = _run(cfg, inline_threshold=0)  # use_local, not inline
+    base_c, base_res = _run(cfg)  # mostly inline
+    assert fused_res == base_res
+    assert _fetch_sets(fused_c) == _fetch_sets(base_c)
+    assert sorted(fused_c.images_table().column("image_id").to_pylist()) == sorted(
+        base_c.images_table().column("image_id").to_pylist()
+    )
+
+    # deferral flow through the fused union
+    cfg2 = WorldConfig(num_hosts=2, max_pages_per_host=2, details_per_page=6)
+    eng, _ = _run(cfg2, inline_threshold=0, round_window_ms=3_000)
+    ora = OracleCrawler(cfg2, CAPTIONS, round_window_ms=3_000).crawl(cfg2.seeds())
+    rounds = {}
+    for r, _url, fp in ora.fetch_log:
+        rounds.setdefault(r, set()).add(fp)
+    ora_sets = [frozenset(rounds.get(i, set())) for i in range(max(rounds) + 1)]
+    assert _fetch_sets(eng) == ora_sets
+    assert sum(row["rows_deferred"] for row in eng.lineage) > 0
+
+
 def test_groupby_shuffle_path_matches_oracle_with_deferral(ray_session):
     # tight window → real deferrals flowing through the prefilter path
     cfg = WorldConfig(num_hosts=2, max_pages_per_host=2, details_per_page=6)
