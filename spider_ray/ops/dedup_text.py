@@ -348,6 +348,14 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, text_col: str = "text",
         fn_kwargs={"text_col": text_col, "k": k, "keep_shingles": True},
         batch_format="pyarrow",
     ).materialize()
+    # size the shuffles to the input: `num_partitions` is the AT-SCALE
+    # ceiling; a 5k-doc corpus routed into 64 partitions × several
+    # stages just pays hundreds of near-empty task launches (measured:
+    # the whole query is launch-bound after the kernel vectorization).
+    # count() on a materialized dataset is free metadata.
+    ndocs = sigged.count()
+    num_partitions = int(np.clip(ndocs // 256, 8, num_partitions))
+    join_buckets = int(np.clip(ndocs // 512, 4, 32))
     shingle_ds = sigged.map_batches(
         lambda b: pa.table(
             {"doc_id": b[id_col].cast(pa.int64()), "shingles": b["shingles"]}
@@ -383,11 +391,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, text_col: str = "text",
     sh_type = pa.list_(pa.uint64())
     j1 = bucketed_hash_join(
         cand, sh_a, on="a",
+        num_buckets=join_buckets,
         left_schema=pair_schema,
         right_schema=pa.schema([("a", pa.int64()), ("sh_a", sh_type)]),
     )
     withsets = bucketed_hash_join(
         j1, sh_b, on="b",
+        num_buckets=join_buckets,
         left_schema=pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("sh_a", sh_type)]
         ),
