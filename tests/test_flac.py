@@ -140,6 +140,64 @@ def _lpc_frame_stream(samples, order, coef, shift, sample_rate=8000):
     return b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo + frame
 
 
+def _fixed1_partitioned_stream(samples, po, method, sample_rate=8000):
+    """Hand-built FIXED-order-1 frame using residual coding method 0 or
+    1 (rice2) and partition order ``po`` — paths our encoder never
+    emits (it always writes method 0, po=0)."""
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    res = np.diff(x)
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((0b0111 << 4) | 0)
+    hdr.append((0 << 4) | (0b100 << 1))
+    hdr += _utf8_frame_number(0)
+    hdr += struct.pack(">H", n - 1)
+    hdr.append(_crc8(bytes(hdr)))
+    w = _BitWriter()
+    w.write((0b001001) << 1, 8)  # FIXED order 1, no wasted bits
+    w.write(int(x[0]) & 0xFFFF, 16)
+    w.write(method, 2)
+    w.write(po, 4)
+    pbits = 4 if method == 0 else 5
+    nparts = 1 << po
+    pos = 0
+    for part in range(nparts):
+        cnt = (n >> po) - (1 if part == 0 else 0)
+        chunk = res[pos : pos + cnt]
+        param = 6
+        w.write(param, pbits)
+        for v in chunk:
+            zz = (abs(int(v)) << 1) - (1 if v < 0 else 0)
+            w.write_unary(zz >> param)
+            w.write(zz & ((1 << param) - 1), param)
+        pos += cnt
+    w.align()
+    frame = bytes(hdr) + w.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+    si = _BitWriter()
+    si.write(4096, 16)
+    si.write(4096, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(0, 3)
+    si.write(15, 5)
+    si.write(n, 36)
+    md5 = hashlib.md5(np.asarray(samples, "<i2").tobytes()).digest()
+    streaminfo = si.bytes() + md5
+    return b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo + frame
+
+
+@pytest.mark.parametrize("po,method", [(2, 0), (0, 1), (3, 1)])
+def test_partitioned_and_rice2_residuals_decode(po, method):
+    # blocksize divisible by 2^po; FIXED-1 with smooth signal
+    x = (900 * np.sin(np.arange(512) / 11.0)).astype(np.int16)
+    data = _fixed1_partitioned_stream(x, po=po, method=method)
+    y, sr = decode_flac(data)
+    assert sr == 8000
+    assert np.array_equal(x, y)
+
+
 def test_lpc_subframe_decodes():
     x = (2000 * np.sin(np.arange(600) / 9.0)).astype(np.int16)
     data = _lpc_frame_stream(x, order=2, coef=np.array([3, -1]), shift=1)
