@@ -6,8 +6,9 @@ the image+caption sink Dataset in the BASELINE.json input_hint shape
 (image_id, bytes, w, h, fmt, caption, phash).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 plus the training-data ops (52 queries, 46 oracled
-in round 3); see spider_ray/pipelines/queries.py for the registry.
+from SURVEY.md §2 plus the training-data ops (50 queries, 46 oracled
+in round 4, ordered oracled-first and capped at the driver's 50-query
+window); see spider_ray/pipelines/queries.py for the registry.
 The crawl-family queries are oracled against the independent
 sequential simulator via parquet dumps; only genuinely approximate
 (HLL, LSH/IVF ANN, LSH embedding dedup) or xxh64-based (fingerprint,

@@ -207,22 +207,39 @@ def dataset_from_refs(refs, metadata_schema) -> rd.Dataset:
     computed inside the task that produced the block) — the zero-task
     core of :func:`from_local_tables`, also used by the streaming
     crawler's carry path so a 10^10-row frontier hand-off costs zero
-    extra scheduling."""
-    from ray.data._internal.logical.interfaces import LogicalPlan
-    from ray.data._internal.logical.operators.from_operators import FromArrow
-    from ray.data._internal.plan import ExecutionPlan
-    from ray.data._internal.stats import DatasetStats
-    from ray.data.context import DataContext
-    from ray.data.dataset import MaterializedDataset
+    extra scheduling.
 
-    execution_plan = ExecutionPlan(
-        DatasetStats(metadata={"FromArrow": metadata_schema}, parent=None),
-        DataContext.get_current().copy(),
-    )
-    logical_plan = LogicalPlan(
-        FromArrow(refs, metadata_schema), execution_plan._context
-    )
-    return MaterializedDataset(execution_plan, logical_plan)
+    The fast path uses ``ray.data._internal`` (verified against ray
+    2.49); if a Ray upgrade moves those modules, or when
+    ``SPIDER_RAY_PUBLIC_FROM_REFS=1`` forces it, we fall back to the
+    public ``ray.data.from_arrow_refs`` — semantically identical, it
+    just pays one metadata task per block (ADVICE r3; the fallback is
+    equivalence-tested in tests/test_frontier.py)."""
+    if os.environ.get("SPIDER_RAY_PUBLIC_FROM_REFS") != "1":
+        try:
+            from ray.data._internal.logical.interfaces import LogicalPlan
+            from ray.data._internal.logical.operators.from_operators import (
+                FromArrow,
+            )
+            from ray.data._internal.plan import ExecutionPlan
+            from ray.data._internal.stats import DatasetStats
+            from ray.data.context import DataContext
+            from ray.data.dataset import MaterializedDataset
+
+            execution_plan = ExecutionPlan(
+                DatasetStats(metadata={"FromArrow": metadata_schema}, parent=None),
+                DataContext.get_current().copy(),
+            )
+            logical_plan = LogicalPlan(
+                FromArrow(refs, metadata_schema), execution_plan._context
+            )
+            return MaterializedDataset(execution_plan, logical_plan)
+        except ImportError as e:  # pragma: no cover — future-Ray guard
+            print(
+                "spider_ray: ray.data._internal layout changed "
+                f"({e}); using public from_arrow_refs fallback"
+            )
+    return rd.from_arrow_refs(refs)
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:

@@ -293,6 +293,11 @@ def lsh_band_rows(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> p
     buckets (equal band ⇔ equal hash under any function), and the
     exact-Jaccard verify downstream makes the OUTPUT pair set
     invariant to the band-hash family."""
+    if NUM_PERM % bands:
+        raise ValueError(
+            f"bands={bands} must divide NUM_PERM={NUM_PERM} "
+            "(each band consumes an equal slice of the signature)"
+        )
     rows_per_band = NUM_PERM // bands
     n = batch.num_rows
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

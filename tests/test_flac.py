@@ -66,11 +66,15 @@ def test_corruption_detected():
     for pos in (len(good) // 2, len(good) - 3, 50):
         bad = bytearray(good)
         bad[pos] ^= 0x10
-        with pytest.raises((ValueError, NotImplementedError)):
+        # the only unacceptable outcome is decoding to DIFFERENT samples
+        # without an error; a raised CRC/parse error OR a benign flip
+        # that still decodes to the original samples both pass (ADVICE
+        # r3: pytest.raises would spuriously fail the benign case)
+        try:
             got, _ = decode_flac(bytes(bad))
-            # decoding to different samples without an error is the
-            # only unacceptable outcome
-            assert np.array_equal(got, x), "silent mis-decode"
+        except (ValueError, NotImplementedError):
+            continue
+        assert np.array_equal(got, x), "silent mis-decode"
 
 
 def test_rejects_non_flac_and_unsupported():

@@ -249,3 +249,22 @@ def test_sitemap_hosts_match_oracle(ray_session):
     ora_rows = {r["image_id"]: r["phash"] for r in ora.images}
     assert eng_rows == ora_rows
     assert res["images"] > 0 and res["items"] > 0
+
+
+def test_dataset_from_refs_public_fallback(ray_session, monkeypatch):
+    """from_local_tables' zero-task fast path uses ray.data._internal;
+    the public from_arrow_refs fallback (forced via env) must produce an
+    identical dataset (ADVICE r3 / VERDICT r3 Next-round #7)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from spider_ray.frontier import from_local_tables
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    fast = from_local_tables([t, t.slice(0, 2)])
+    monkeypatch.setenv("SPIDER_RAY_PUBLIC_FROM_REFS", "1")
+    slow = from_local_tables([t, t.slice(0, 2)])
+    monkeypatch.delenv("SPIDER_RAY_PUBLIC_FROM_REFS")
+    assert fast.schema() == slow.schema()
+    assert fast.count() == slow.count() == 5
+    pd.testing.assert_frame_equal(fast.to_pandas(), slow.to_pandas())

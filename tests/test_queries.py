@@ -56,9 +56,18 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_return_rows(ray_session):
-    for name in ("simhash", "fingerprint", "hll_distinct", "ann_topk_lsh",
-                 "ann_topk_ivf", "token_quantiles"):
+    for name in ("doc_signatures", "hll_distinct", "ann_topk_approx",
+                 "token_quantiles"):
         fn, sql = QUERIES[name]
         assert sql is None
         out = _to_df(fn(SF))
         assert out is not None and len(out) >= 0
+
+
+def test_registry_fits_driver_cap_and_is_oracled_first():
+    """The driver evaluates only the first 50 registry entries; every
+    oracled query must precede every rows-only one (VERDICT r3 #1/#10)."""
+    assert len(QUERIES) <= 50
+    kinds = [sql is None for _f, sql in QUERIES.values()]
+    first_none = kinds.index(True)
+    assert all(kinds[first_none:]), "no_oracle entries must be last"
