@@ -214,6 +214,15 @@ class _ShardState:
         # Keyed by round so round r's parse tasks can pre-register round
         # r+1's links while r's registry is still live.
         self.pending: dict[int, dict[int, tuple[int, int]]] = {}
+        # round -> hash arrays committed DURING that round by in-task
+        # push_commit. Round r's winner query exempts these from the
+        # seen mask so a Ray-retried fused task reproduces its original
+        # admit set instead of seeing its first attempt's commits and
+        # silently dropping the block's URLs (ADVICE r3 medium). Safe:
+        # every hash pushed in round r passed `win & ~seen`, i.e. was
+        # unseen before round r, so the exemption can only restore the
+        # pre-round state. Dropped with the registry in clear_pending.
+        self.round_commits: dict[int, list[np.ndarray]] = {}
 
     # ---- cross-round membership
     def seen_mask(self, hashes: np.ndarray) -> np.ndarray:
@@ -240,17 +249,32 @@ class _ShardState:
             if old is None or key < old:
                 pend[k] = key
 
-    def commit_hashes(self, hashes: np.ndarray) -> int:
+    def commit_hashes(self, hashes: np.ndarray, round_no: int | None = None) -> int:
         """Mark these URLs seen (admitted-for-fetch or robots-blocked).
         NOT every round candidate: deferred rows must stay unseen so they
-        can compete again next round. Returns number newly seen."""
-        fresh = self.exact.add_many(np.asarray(hashes, dtype=np.uint64))
+        can compete again next round. Returns number newly seen.
+
+        ``round_no`` (passed by the in-task push path) records the
+        commit in that round's exemption set — see ``round_commits``."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if round_no is not None and len(hashes):
+            self.round_commits.setdefault(int(round_no), []).append(hashes)
+        fresh = self.exact.add_many(hashes)
         if self.filter is not None and len(fresh):
             self.filter.insert_many(fresh)
         return len(fresh)
 
+    def committed_this_round(self, hashes: np.ndarray, round_no: int) -> np.ndarray:
+        chunks = self.round_commits.get(int(round_no))
+        if not chunks:
+            return np.zeros(len(hashes), dtype=bool)
+        return np.isin(
+            np.asarray(hashes, dtype=np.uint64), np.concatenate(chunks)
+        )
+
     def clear_pending(self, round_no: int) -> None:
         self.pending.pop(round_no, None)
+        self.round_commits.pop(round_no, None)
 
     def winners(self, hashes: np.ndarray, seq_parent: np.ndarray,
                 seq_link: np.ndarray, round_no: int) -> np.ndarray:
@@ -311,8 +335,11 @@ class DedupShard:
         )
         return True
 
-    def commit_hashes(self, hashes):
-        return self.state.commit_hashes(np.asarray(hashes, dtype=np.uint64))
+    def commit_hashes(self, hashes, round_no=None):
+        return self.state.commit_hashes(
+            np.asarray(hashes, dtype=np.uint64),
+            None if round_no is None else int(round_no),
+        )
 
     def clear_pending(self, round_no):
         self.state.clear_pending(int(round_no))
@@ -323,7 +350,13 @@ class DedupShard:
         win = self.state.winners(
             h, np.asarray(seq_parent), np.asarray(seq_link), int(round_no)
         )
-        seen = self.state.seen_mask(h)
+        # commits made DURING this round don't count as seen for this
+        # round's query, so a Ray-retried fused task that already
+        # committed its admit set reproduces the same winner mask
+        # instead of admitting zero rows (ADVICE r3 medium)
+        seen = self.state.seen_mask(h) & ~self.state.committed_this_round(
+            h, int(round_no)
+        )
         return win & ~seen
 
     def snapshot(self):
@@ -389,18 +422,21 @@ class ShardedDedup:
             out[m] = r
         return out
 
-    def push_commit(self, url_hash: np.ndarray) -> int:
+    def push_commit(self, url_hash: np.ndarray, round_no: int | None = None) -> int:
         """Mark URLs seen WITHOUT clearing a registry — safe to call from
         parallel tasks (set insert is order-independent). The round's
         registry is dropped separately via :meth:`clear_round` once every
-        push has completed."""
+        push has completed. Pass ``round_no`` from in-task pushes so a
+        Ray task retry reproduces its winner mask (round-aware seen)."""
         url_hash = np.asarray(url_hash, dtype=np.uint64)
         sid = self._route(url_hash)
         refs = []
         for s in range(self.num_shards):
             m = sid == s
             if m.any():
-                refs.append(self.shards[s].commit_hashes.remote(url_hash[m]))
+                refs.append(
+                    self.shards[s].commit_hashes.remote(url_hash[m], round_no)
+                )
         return int(sum(ray.get(refs))) if refs else 0
 
     def clear_round(self, round_no: int) -> None:

@@ -334,8 +334,13 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
     'deferred' rows carry full frontier columns, thin 'fetched' /
     'blocked' marker rows carry url_hash for stats + the resume
     checkpoint. The in-task seen-commit (push_commit) is idempotent
-    and order-independent across blocks; the round registry clear
-    happens once, driver-side, after the execution's barrier."""
+    and order-independent across blocks, and it passes round_no so the
+    shard exempts this round's commits from this round's seen mask —
+    a Ray-retried task therefore reproduces its original winner mask
+    rather than seeing its first attempt's commits and silently
+    dropping the block (ADVICE r3 medium; retry test in
+    tests/test_frontier.py). The round registry clear happens once,
+    driver-side, after the execution's barrier."""
     admit_tbl = _winner_admit_fn(
         block, dedup=dedup, cfg=cfg, round_window_ms=round_window_ms,
         obey_robots=obey_robots, round_no=round_no,
@@ -346,7 +351,7 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
         zero_copy_only=False
     )
     if dedup is not None and len(seen_hashes):
-        dedup.push_commit(seen_hashes)
+        dedup.push_commit(seen_hashes, round_no)
     admitted = (
         admit_tbl.filter(adm)
         .drop_columns(["admitted", "blocked"])

@@ -283,7 +283,7 @@ def _commit_stash_fn(batch: pa.Table, *, dedup: ShardedDedup, stats,
         zero_copy_only=False
     )
     if len(hashes):
-        dedup.push_commit(hashes)
+        dedup.push_commit(hashes, round_no)
     deferred = batch.filter(pc.and_(pc.invert(adm), pc.invert(blk)))
     if deferred.num_rows:
         _stash_deferred(deferred.drop_columns(["admitted", "blocked"]), stage_dir)

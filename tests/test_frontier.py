@@ -268,3 +268,34 @@ def test_dataset_from_refs_public_fallback(ray_session, monkeypatch):
     assert fast.schema() == slow.schema()
     assert fast.count() == slow.count() == 5
     pd.testing.assert_frame_equal(fast.to_pandas(), slow.to_pandas())
+
+
+def test_retried_task_reproduces_winner_mask(ray_session):
+    """A Ray-retried fused round task re-runs the winner query AFTER its
+    first attempt already push_committed the admitted hashes. The
+    round-aware seen exemption must reproduce the original mask instead
+    of admitting zero rows (ADVICE r3 medium)."""
+    from spider_ray.dedup import ShardedDedup
+
+    d = ShardedDedup(num_shards=2)
+    h = np.arange(1, 9, dtype=np.uint64) * np.uint64(7919)
+    sp = np.zeros(len(h), dtype=np.int64)
+    sl = np.arange(len(h), dtype=np.int64)
+    d.register_arrays(h, sp, sl, round_no=1)
+    mask1 = d.winner_mask_arrays(h, sp, sl, round_no=1)
+    assert mask1.all()
+    # first attempt commits in-task, then the worker dies mid-fetch
+    d.push_commit(h[mask1], round_no=1)
+    # retry: same block, same round — must reproduce mask1 exactly
+    mask2 = d.winner_mask_arrays(h, sp, sl, round_no=1)
+    np.testing.assert_array_equal(mask1, mask2)
+    # a retry may re-commit; still idempotent
+    d.push_commit(h[mask2], round_no=1)
+    np.testing.assert_array_equal(d.winner_mask_arrays(h, sp, sl, 1), mask1)
+    # after the driver-side barrier clears the round, the commits are
+    # permanent: round 2 sees every hash as seen
+    d.clear_round(1)
+    assert d.seen_mask_arrays(h).all()
+    d.register_arrays(h, sp, sl, round_no=2)
+    assert not d.winner_mask_arrays(h, sp, sl, round_no=2).any()
+    d.shutdown()
