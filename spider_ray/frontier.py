@@ -26,10 +26,12 @@ directly):
                    the driver only concatenates thin Arrow tables and
                    sorts the next frontier.
 
-Determinism: the frontier is sorted by ``(seq_parent, seq_link,
-canonical_url)`` and given a dense per-round ``seq``; admission takes
-the first-k by that order per host; within-round URL collisions
-resolve to the minimal key (dedup.py). No decision depends on task
+Determinism: the frontier is sorted by the HOST-MAJOR key
+``(host_hash, seq_parent, seq_link, canonical_url)`` and given a dense
+per-round ``seq`` (host-major since round 4, so the seq sort doubles
+as the host-aligning partitioner); admission takes the first-k by that
+order per host; within-round URL collisions resolve to the minimal key
+(dedup.py). No decision depends on task
 completion order, so the crawl is byte-identical at any parallelism
 level (the N vs 4N criterion; see bench.py --scaling).
 
@@ -135,6 +137,18 @@ def make_seed_frontier(seeds: list) -> pa.Table:
 def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
     """Sort by the deterministic order key and assign dense per-round seq.
 
+    The key is HOST-MAJOR — (host_hash, seq_parent, seq_link,
+    canonical_url) — since round 4: host-major seq makes the
+    seq-assigning sort ALSO the host-aligning partitioner, so the
+    streaming mode's one distributed sort yields carry blocks that run
+    the fused shuffle-free admission kernel directly (no per-round
+    groupby(host_hash) — VERDICT r3 Next-round #1). Within a host the
+    order is (seq_parent, seq_link, canonical_url), identical to
+    rounds 1-3, so per-host admission order, politeness budgets, the
+    winner min-key and the fetched-URL sets are all unchanged; only
+    the seq NUMBERING (and the item `position` values derived from it)
+    is host-major. The oracle simulator sorts by the same key.
+
     Arrow C++ sort on the driver; the key is partition-independent, so
     at >10^8 rows/round this becomes Dataset.sort + per-partition
     count/prefix-offset with identical output.
@@ -144,6 +158,7 @@ def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
     order = pc.sort_indices(
         frontier,
         sort_keys=[
+            ("host_hash", "ascending"),
             ("seq_parent", "ascending"),
             ("seq_link", "ascending"),
             ("canonical_url", "ascending"),

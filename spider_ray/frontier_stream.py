@@ -668,7 +668,9 @@ class StreamingCrawler:
                 t, os.path.join(out_dir, "part-000000000000.parquet")
             )
             return t.num_rows, [wref]
-        sorted_mat = nxt.sort(["seq_parent", "seq_link", "canonical_url"]).materialize()
+        sorted_mat = nxt.sort(
+            ["host_hash", "seq_parent", "seq_link", "canonical_url"]
+        ).materialize()
         bundles = list(sorted_mat.iter_internal_ref_bundles())
         blocks = [(ref, meta) for b in bundles for ref, meta in b.blocks]
         # re-block the sort output into ~TARGET-row stamp groups, order-

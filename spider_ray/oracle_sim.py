@@ -103,10 +103,25 @@ class OracleCrawler:
                       form_body=form, page=page)
             )
         robots_cache: dict[str, object] = {}
+        hh_cache: dict[str, int] = {}
+
+        def hh(c: _Cand) -> int:
+            v = hh_cache.get(c.host)
+            if v is None:
+                v = xxh64(c.host)
+                hh_cache[c.host] = v
+            return v
+
         r = 0
         while frontier and r < self.max_rounds:
-            # deterministic order + dense seq
-            frontier.sort(key=lambda c: (c.seq_parent, c.seq_link, c.canonical))
+            # deterministic order + dense seq — HOST-MAJOR key since
+            # round 4 (must match frontier.assign_seq exactly): within
+            # a host the order is unchanged, so admission and fetch
+            # sets are identical to the old key; only seq numbering
+            # (and item positions) are host-major
+            frontier.sort(
+                key=lambda c: (hh(c), c.seq_parent, c.seq_link, c.canonical)
+            )
             for i, c in enumerate(frontier):
                 c.seq = i
             # within-round first-wins + cross-round seen
