@@ -28,6 +28,15 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages, recorded around every measured pass so
+    a regression is machine-attributable from the bench artifact itself
+    (this shared VM carries external load spikes; VERDICT r3
+    What's-wrong #3). Note the averages include THIS process's own
+    work — the 5/15-min columns are the ambient-load signal."""
+    return [round(x, 2) for x in os.getloadavg()]
+
 # Bench world: two listing levels, wide pages → ~68k fetches dominated
 # by the compute-bearing stages (detail parse+normalize, image
 # synth/encode/decode/phash) with a pagination round and a retry tail.
@@ -99,13 +108,16 @@ def run_bench() -> dict:
     # the two disagree badly (a load spike hit one of them), a third
     # pass arbitrates
     passes = []
+    loads = []
     while len(passes) < 2 or (
         len(passes) == 2 and max(passes) / min(passes) > 1.5
     ):
         images_dir = tempfile.mkdtemp(prefix="spider_bench_images_")
+        load_before = _loadavg()
         t0 = time.perf_counter()
         crawler, stats = run_crawl(SF_DIR, images_out_dir=images_dir, **BENCH_WORLD)
         passes.append(time.perf_counter() - t0)
+        loads.append({"before": load_before, "after": _loadavg()})
         crawler.close()  # lineage/stats stay readable after close
         shutil.rmtree(images_dir, ignore_errors=True)
     crawl_sec = min(passes)
@@ -114,6 +126,7 @@ def run_bench() -> dict:
         "metric": "crawl_wall_sec",
         "value": round(crawl_sec, 3),
         "passes_sec": [round(p, 3) for p in passes],
+        "loadavg_per_pass": loads,
         "unit": "sec",
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -179,27 +192,42 @@ def run_streaming() -> dict:
     ws.crawl(wc.seeds())
     ws.close()
 
-    t0 = time.perf_counter()
-    d = Crawler(cfg, captions, images_out_dir=tempfile.mkdtemp(prefix="bd_"),
-                round_window_ms=BENCH_WORLD["round_window_ms"])
-    dres = d.crawl(cfg.seeds())
-    d_sec = time.perf_counter() - t0
-    d.close()
+    # interleaved D,S,D,S passes, min per mode: running the modes
+    # back-to-back once biased whichever ran second (the box's load —
+    # ours and ambient — ramps within the session); min-of-interleaved
+    # is the noise-robust ratio
+    d_passes, s_passes, loads = [], [], []
+    dres = sres = None
+    for _ in range(2):
+        loads.append(_loadavg())
+        t0 = time.perf_counter()
+        d = Crawler(cfg, captions,
+                    images_out_dir=tempfile.mkdtemp(prefix="bd_"),
+                    round_window_ms=BENCH_WORLD["round_window_ms"])
+        dres = d.crawl(cfg.seeds())
+        d_passes.append(time.perf_counter() - t0)
+        d.close()
 
-    work = tempfile.mkdtemp(prefix="bs_")
-    t0 = time.perf_counter()
-    s = StreamingCrawler(cfg, captions, work_dir=work,
-                         round_window_ms=BENCH_WORLD["round_window_ms"])
-    sres = s.crawl(cfg.seeds())
-    s_sec = time.perf_counter() - t0
-    s.close()
-    shutil.rmtree(work, ignore_errors=True)
+        work = tempfile.mkdtemp(prefix="bs_")
+        loads.append(_loadavg())
+        t0 = time.perf_counter()
+        s = StreamingCrawler(cfg, captions, work_dir=work,
+                             round_window_ms=BENCH_WORLD["round_window_ms"])
+        sres = s.crawl(cfg.seeds())
+        s_passes.append(time.perf_counter() - t0)
+        s.close()
+        shutil.rmtree(work, ignore_errors=True)
+    d_sec, s_sec = min(d_passes), min(s_passes)
     out = {
         "metric": "streaming_mode_premium",
         "value": round(s_sec / d_sec, 3),
         "unit": "ratio",
         "driver_sec": round(d_sec, 3),
         "streaming_sec": round(s_sec, 3),
+        "driver_passes_sec": [round(p, 3) for p in d_passes],
+        "streaming_passes_sec": [round(p, 3) for p in s_passes],
+        "loadavg_before_each_pass": loads,
+        "loadavg_after": _loadavg(),
         "outputs_identical": all(
             dres[k] == sres[k] for k in ("fetched", "seen", "items", "images")
         ),
@@ -274,6 +302,8 @@ def run_scaling() -> dict:
         "fetched_per_sec_hi": r_hi["fetched_urls_per_sec"],
         "frontier_rows_per_sec_lo": r_lo["frontier_rows_per_sec"],
         "frontier_rows_per_sec_hi": r_hi["frontier_rows_per_sec"],
+        "loadavg_lo": r_lo.get("loadavg_per_pass"),
+        "loadavg_hi": r_hi.get("loadavg_per_pass"),
         "deterministic_across_parallelism": deterministic,
         "sf": SF_DIR,
     }

@@ -18,15 +18,21 @@ keeps EVERYTHING off the driver:
   * the driver touches only: lineage counters (tiny aggregates), dedup
     shard snapshots, and checkpoint bookkeeping.
 
-Politeness always takes the ``groupby(host_hash)`` shuffle route here
-(the host-aligned driver sort is unavailable by construction), guarded
-by the per-batch top-k skew prefilter.
+Politeness is SHUFFLE-FREE in the round loop (round 4): the
+deterministic order key is host-major, so the next-frontier seq sort
+doubles as the host-aligning partitioner — carry blocks are cut only
+at host boundaries, every block holds whole hosts, and admission runs
+the fused driver-mode kernel one task per block. The per-round
+``groupby(host_hash)`` all-to-all (the streaming mode's 1.89× premium
+over the fused driver path in round 3) is gone; the seq sort is the
+round loop's only all-to-all.
 
 Dense-seq assignment without a driver sort: ``Dataset.sort`` by the
-deterministic key, then per-block rank offsets computed from block
-metadata (row counts) and stamped by one remote task per block — the
-zipWithIndex the Dataset API lacks, expressed in ~15 lines of raw Ray
-(SURVEY.md §2: raw tasks only where the Dataset API genuinely can't).
+host-major deterministic key, then per-block rank offsets computed
+from block metadata (row counts) and stamped by one remote task per
+block — the zipWithIndex the Dataset API lacks, expressed in ~15 lines
+of raw Ray (SURVEY.md §2: raw tasks only where the Dataset API
+genuinely can't).
 
 Semantics are IDENTICAL to `frontier.Crawler` — asserted by
 tests/test_streaming.py on shared worlds (same seen-set, same per-round
@@ -40,7 +46,6 @@ import os
 import shutil
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -52,13 +57,11 @@ from .fetch import fetch_batch
 from .frontier import (
     _parse_fn,
     _register_table,
-    _winner_fn,
     dataset_from_refs,
     from_local_tables,
     make_seed_frontier,
     parse_rows_to_frontier,
 )
-from .politeness import PolitenessAdmit, host_budget, prefilter_topk_per_host
 from .schema import FRONTIER_SCHEMA
 from .synth import WorldConfig
 
@@ -117,6 +120,18 @@ def _write_part(t: pa.Table, out_path: str) -> int:
 
 
 @ray.remote
+def _host_bounds(block: pa.Table) -> tuple[int, int, np.ndarray]:
+    """Per sort-output block: (first host_hash, last host_hash, local
+    row offsets where the host changes). Tiny outputs — the driver uses
+    them to choose carry-block cut points that fall ONLY on host
+    boundaries, so every carry block holds whole hosts and the next
+    round's admission runs shuffle-free per block."""
+    hh = block["host_hash"].to_numpy(zero_copy_only=False)
+    ch = (np.nonzero(np.diff(hh))[0] + 1).astype(np.int64)
+    return int(hh[0]), int(hh[-1]), ch
+
+
+@ray.remote
 def _finalize_round(seen_snaps: list, seen_dir: str, lineage_path: str,
                     lineage_row: dict, *write_results) -> bool:
     """Durability tail of a round, off the critical path: runs only
@@ -135,12 +150,6 @@ def _finalize_round(seen_snaps: list, seen_dir: str, lineage_path: str,
     with open(lineage_path, "w") as f:
         json.dump(lineage_row, f)
     return True
-
-
-def _register_stream_fn(batch: pa.Table, *, dedup: ShardedDedup,
-                        round_no: int) -> pa.Table:
-    _register_table(dedup, batch, round_no)
-    return batch.select(["url_hash"])
 
 
 @ray.remote(num_cpus=0)
@@ -199,7 +208,13 @@ def _batch_token(stage: str, batch) -> tuple | None:
 
 def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
     """_parse_fn + rowtype tallies pushed to the stats actor (replaces
-    the driver's per-round counts execution)."""
+    the driver's per-round counts execution) + in-task conversion of
+    the link/retry rows to next-frontier rows (r4: the conversion used
+    to be a second execution mapping over the materialized parse
+    output; items/images already stream to parquet in-task and counts
+    ride the stats actor, so the parse output's ONLY consumer is the
+    next frontier — return it directly and the round is ONE execution,
+    the same shape as the fused driver mode)."""
     out = _parse_fn(batch, round_no=round_no, **kw)
     rt = out["rowtype"].to_pylist()
     counts: dict[str, int] = {}
@@ -208,7 +223,7 @@ def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
     tok = _batch_token("parse", batch)
     if tok is not None and counts:
         ray.get(stats.add.remote(round_no, counts, tok))
-    return out
+    return _to_frontier_rows(out)
 
 
 def _stash_deferred(tbl: pa.Table, stage_dir: str) -> None:
@@ -227,34 +242,17 @@ def _stash_deferred(tbl: pa.Table, stage_dir: str) -> None:
     pq.write_table(t, os.path.join(stage_dir, f"part-{name:016x}.parquet"))
 
 
-def _prefilter_stash_fn(batch: pd.DataFrame, *, max_k: int, cfg, obey_robots: bool,
-                        stats, round_no: int, stage_dir: str) -> pd.DataFrame:
-    """Skew prefilter with the deferred rows STASHED to disk in-task —
-    lets the whole round run as one pipelined execution instead of
-    materializing the pre-filter output just to split it later."""
-    out = prefilter_topk_per_host(batch, max_k, cfg=cfg, obey_robots=obey_robots)
-    defer = out[out["prefiltered_defer"]]
-    if len(defer):
-        _stash_deferred(
-            pa.Table.from_pandas(defer.drop(columns=["prefiltered_defer"]),
-                                 preserve_index=False),
-            stage_dir,
-        )
-    tok = _batch_token("pre", batch)
-    if tok is not None:
-        ray.get(stats.add.remote(round_no, {"winner_rows": len(out),
-                                            "deferred": len(defer)}, tok))
-    return out[~out["prefiltered_defer"]].drop(columns=["prefiltered_defer"])
-
-
-def _small_round_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg, stats,
+def _fused_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg, stats,
                     round_window_ms: int, obey_robots: bool, round_no: int,
                     stage_dir: str) -> pa.Table:
-    """Shuffle-free small-round admission (single coalesced block):
-    sort host-aligned in-task, fused winner+admit (the driver-mode
-    kernel), then commit/stash/count — skips the groupby all-to-all
-    entirely when the round fits one task (the streaming mode's
-    biggest fixed cost at small rounds)."""
+    """Shuffle-free admission over ONE host-aligned carry block: sort
+    (host_hash, seq) in-task (defensive — carry blocks arrive already
+    in that order), fused winner+admit (the driver-mode kernel), then
+    commit/stash/count. Because every carry block holds whole hosts
+    (host-major seq sort + host-boundary cuts in the stamp), this
+    replaces the per-round groupby(host_hash) all-to-all that was the
+    streaming mode's 1.89× premium over the fused driver path
+    (VERDICT r3 Next-round #1)."""
     from .frontier import _winner_admit_fn
 
     order = pc.sort_indices(
@@ -355,9 +353,6 @@ class StreamingCrawler:
         # streaming mode's small-round fast path
         self.small_round_threshold = small_round_threshold
         self.lineage: list[dict] = []
-        # round whose frontier needs explicit dedup registration (fresh
-        # actors after resume; in-band registration covers all others)
-        self._register_round: int | None = None
         self._stats = _RoundStats.remote()
         # next round's frontier carried as materialized object-store
         # blocks — the parquet partition is only the CHECKPOINT (written
@@ -406,22 +401,20 @@ class StreamingCrawler:
 
     # ---------------- loop
     def crawl(self, seeds: list) -> dict:
-        from .frontier import assign_seq
-
         start = self.resume()
         if start is None:
-            seed_dir = self._frontier_dir(0)
-            os.makedirs(seed_dir, exist_ok=True)
-            seed_tbl = assign_seq(make_seed_frontier(seeds), 0)
-            pq.write_table(
-                seed_tbl, os.path.join(seed_dir, "part-000000000000.parquet")
-            )
-            _register_table(self.dedup, seed_tbl, 0)
+            # seed frontier enters through the same stamping path as
+            # every later round: host-aligned carry + checkpoint write
+            # + round-0 dedup registration, all in one place
+            seed_tbl = make_seed_frontier(seeds)
+            if seed_tbl.num_rows:
+                _, wrefs = self._stamp_next_frontier(
+                    from_local_tables(seed_tbl), 0, seed_tbl.num_rows
+                )
+                ray.get(wrefs)
             start = 0
-        else:
-            # fresh shard actors: the resumed round's frontier must
-            # re-register explicitly (everything after is in-band)
-            self._register_round = start
+        # on resume the round's carry is rebuilt from its checkpoint
+        # inside _run_round (fresh shard actors re-register there)
         r = start
         total_fetched = total_items = total_images = 0
         for row in self.lineage:  # restored rounds' contributions
@@ -455,37 +448,35 @@ class StreamingCrawler:
 
     def _run_round(self, r: int) -> dict:
         if self._carry is not None:
-            # frontier carried as materialized blocks from the previous
-            # round — no parquet round-trip, row count known exactly
+            # frontier carried as host-aligned materialized blocks from
+            # the previous round's stamp — no parquet round-trip, row
+            # count known exactly
             ds, rows_in = self._carry, self._carry_rows
             self._carry = None
-        else:  # round 0 or resume: the checkpoint partition is the source
-            ds = rd.read_parquet(self._frontier_dir(r))
-            rows_in = ds.count()
+        else:
+            # resume (or a checkpoint-only entry): rebuild the
+            # host-aligned carry from the checkpoint partition via the
+            # stamping path — re-sorts, re-stamps identical seq values
+            # (seq is a pure rank of the host-major key), re-registers
+            # the fresh shard actors' round-r registries, and re-writes
+            # the same checkpoint. All idempotent.
+            src = rd.read_parquet(self._frontier_dir(r)).materialize()
+            rows_in, wrefs = self._stamp_next_frontier(src, r, src.count())
+            ray.get(wrefs)
+            if self._carry is None:  # empty checkpoint partition
+                self._carry = from_local_tables(FRONTIER_SCHEMA.empty_table())
+            ds, self._carry = self._carry, None
 
-        # dedup phase-1 registration normally rode along in the PREVIOUS
-        # round's stamp/parse tasks (idempotent, barriered by ray.get);
-        # only a resumed round — fresh actors, empty registries — needs
-        # the explicit registration execution
-        if r == self._register_round:
-            ds.map_batches(
-                _register_stream_fn,
-                fn_kwargs={"dedup": self.dedup, "round_no": r},
-                batch_format="pyarrow",
-            ).count()
-            self._register_round = None
-
-        # THE round execution: winner filter → skew prefilter (deferred
-        # rows stashed to staging in-task) → politeness shuffle +
-        # admission → seen-set commit + politeness-deferred stash →
-        # fetch → parse — ONE pipelined execution with one internal
-        # all-to-all, where round-1 ran four executions with three
-        # materialize barriers. All lineage counters ride to the stats
-        # actor from inside the tasks.
-        max_k = host_budget(
-            self.cfg.min_crawl_delay_ms if self.obey_robots else 100,
-            self.round_window_ms,
-        )
+        # THE round execution, shuffle-free: every carry block holds
+        # whole hosts (host-major seq sort + host-boundary cuts), so
+        # fused winner→admit→commit→stash runs as ONE task per block,
+        # then fetch+parse pipeline behind it — one execution per
+        # round with NO all-to-all (the only shuffle left in the round
+        # loop is the next-frontier seq sort). Round 1 ran four
+        # executions with three materialize barriers and a politeness
+        # groupby shuffle; rounds 2-3 fused the stages but kept the
+        # groupby. All lineage counters ride to the stats actor from
+        # inside the tasks.
         stage_dir = os.path.join(self.work_dir, "deferred", f"round_{r:04d}")
         if os.path.exists(stage_dir):
             shutil.rmtree(stage_dir)  # incomplete prior attempt
@@ -493,52 +484,16 @@ class StreamingCrawler:
             part = os.path.join(d, f"round_{r:04d}")
             if os.path.exists(part):
                 shutil.rmtree(part)
-        if rows_in <= self.small_round_threshold:
-            # shuffle-free: coalesce to one block, fused winner+admit+
-            # commit in a single task, then fan back out for fetch
-            admitted_ds = (
-                ds.repartition(1)
-                .map_batches(
-                    _small_round_fn,
-                    fn_kwargs={"dedup": self.dedup, "cfg": self.cfg,
-                               "stats": self._stats,
-                               "round_window_ms": self.round_window_ms,
-                               "obey_robots": self.obey_robots,
-                               "round_no": r, "stage_dir": stage_dir},
-                    batch_format="pyarrow",
-                    batch_size=None,
-                )
-                .repartition(16)
-            )
-        else:
-            admit = PolitenessAdmit(self.cfg, self.round_window_ms,
-                                    self.obey_robots, round_no=r)
-
-            def admit_group(g: pd.DataFrame) -> pd.DataFrame:
-                return admit(g)
-
-            admitted_ds = (
-                ds.map_batches(
-                    _winner_fn, fn_kwargs={"dedup": self.dedup, "round_no": r},
-                    batch_format="pyarrow",
-                )
-                .map_batches(
-                    _prefilter_stash_fn,
-                    fn_kwargs={"max_k": max_k, "cfg": self.cfg,
-                               "obey_robots": self.obey_robots,
-                               "stats": self._stats, "round_no": r,
-                               "stage_dir": stage_dir},
-                    batch_format="pandas",
-                )
-                .groupby("host_hash")
-                .map_groups(admit_group, batch_format="pandas")
-                .map_batches(
-                    _commit_stash_fn,
-                    fn_kwargs={"dedup": self.dedup, "stats": self._stats,
-                               "round_no": r, "stage_dir": stage_dir},
-                    batch_format="pyarrow",
-                )
-            )
+        admitted_ds = ds.map_batches(
+            _fused_admit_fn,
+            fn_kwargs={"dedup": self.dedup, "cfg": self.cfg,
+                       "stats": self._stats,
+                       "round_window_ms": self.round_window_ms,
+                       "obey_robots": self.obey_robots,
+                       "round_no": r, "stage_dir": stage_dir},
+            batch_format="pyarrow",
+            batch_size=None,  # one call per host-aligned carry block
+        )
         parse_mat = (
             admitted_ds.map_batches(
                 fetch_batch,
@@ -570,13 +525,15 @@ class StreamingCrawler:
         rows_unique = int(counts.get("winner_rows", 0))
         deferred_n = int(counts.get("deferred", 0))
 
-        # next frontier: links + retries (one fused pass) + deferred →
-        # seq stamping; the parquet partition is written asynchronously
-        nxt = parse_mat.map_batches(_to_frontier_rows, batch_format="pyarrow")
+        # next frontier: the parse tasks already emitted frontier rows
+        # (links+retries converted in-task); union the admission-
+        # deferred stash and stamp. The parquet partition is written
+        # asynchronously.
+        nxt = parse_mat
         if os.path.isdir(stage_dir) and any(
             f.endswith(".parquet") for f in os.listdir(stage_dir)
         ):
-            # deferred rows stashed in-task by prefilter/admission
+            # deferred rows stashed in-task by admission
             nxt = nxt.union(rd.read_parquet(stage_dir))
         expected_next = (
             int(counts.get("link", 0)) + int(counts.get("retry", 0)) + deferred_n
@@ -645,9 +602,17 @@ class StreamingCrawler:
         os.makedirs(out_dir, exist_ok=True)
         self._carry, self._carry_rows = None, 0
         if expected_rows is not None and expected_rows <= self.small_round_threshold:
+            from ray.data.dataset import MaterializedDataset
+
             from .frontier import assign_seq
 
-            mat = nxt.materialize()
+            # the parse output arrives already materialized (frontier
+            # rows are emitted in-task); only a stash union needs an
+            # execution here
+            mat = (
+                nxt if isinstance(nxt, MaterializedDataset)
+                else nxt.materialize()
+            )
             tbl = pa.concat_tables(
                 ray.get(mat.to_arrow_refs()), promote_options="default"
             )
@@ -655,13 +620,19 @@ class StreamingCrawler:
                 return 0, []
             t = assign_seq(tbl.cast(FRONTIER_SCHEMA), round_no)
             _register_table(self.dedup, t, round_no)
-            # carry in TARGET-row slices, not one block: a small round
-            # feeding a big one (seeds → listing fan-out) must not hand
-            # the next round a 1-block frontier (see large path below)
+            # carry in ~TARGET-row HOST-ALIGNED slices (cut only at host
+            # boundaries — assign_seq's host-major sort already placed
+            # each host contiguously): every carry block holds whole
+            # hosts, so the next round's winner+admit runs as one
+            # shuffle-free task per block. Multiple slices, not one
+            # block: a small round feeding a big one (seeds → listing
+            # fan-out) must not hand the next round a 1-block frontier.
+            from .frontier import _host_aligned_slices
+
             ncpu = int(ray.cluster_resources().get("CPU", 32))
             tgt = int(np.clip(t.num_rows // (2 * ncpu) + 1, 256, 65_536))
             self._carry = from_local_tables(
-                [t.slice(o, tgt) for o in range(0, t.num_rows, tgt)]
+                _host_aligned_slices(t, max(1, -(-t.num_rows // tgt)))
             )
             self._carry_rows = t.num_rows
             wref = _write_part.remote(
@@ -672,32 +643,72 @@ class StreamingCrawler:
             ["host_hash", "seq_parent", "seq_link", "canonical_url"]
         ).materialize()
         bundles = list(sorted_mat.iter_internal_ref_bundles())
-        blocks = [(ref, meta) for b in bundles for ref, meta in b.blocks]
-        # re-block the sort output into ~TARGET-row stamp groups, order-
-        # preserving, in BOTH directions: coalesce consecutive small
-        # blocks (carrying hundreds of micro-blocks turns every
-        # downstream map stage into a micro-task storm) AND slice
-        # oversized blocks (the sort's output block count follows its
-        # input's, so a round whose parse output landed in one block
-        # would otherwise carry a 1-block frontier and run the next
-        # round's entire admit→fetch→parse chain as ONE serial task —
-        # and the collapse is self-perpetuating round over round).
-        # Target ≈ 2 blocks per CPU, capped at 64k rows/block.
+        blocks = [
+            (ref, meta) for b in bundles for ref, meta in b.blocks
+            if meta.num_rows
+        ]
+        # re-block the sort output into ~TARGET-row stamp groups whose
+        # cuts fall ONLY on host boundaries (the host-major sort key
+        # placed each host contiguously): every carry block then holds
+        # whole hosts, so the next round's winner+admit runs as one
+        # shuffle-free task per block — the per-round
+        # groupby(host_hash) is gone and the seq sort is the round
+        # loop's only all-to-all (VERDICT r3 Next-round #1). The
+        # re-block works in BOTH directions: coalesce consecutive
+        # small blocks (a micro-block carry turns every downstream map
+        # stage into a micro-task storm) AND split oversized ones
+        # (a 1-block frontier would run the next round serially, and
+        # the collapse is self-perpetuating round over round). A host
+        # larger than TARGET stays whole — the politeness budget
+        # bounds its admitted rows regardless, and its block cost is
+        # its pending-row count, same as the driver mode's
+        # host-aligned slices. Target ≈ 2 blocks per CPU, capped at
+        # 64k rows/block.
+        nrows_list = [meta.num_rows for _, meta in blocks]
+        total = int(sum(nrows_list))
+        if total == 0:
+            return 0, []
         ncpu = int(ray.cluster_resources().get("CPU", 32))
-        total_est = expected_rows if expected_rows else sum(
-            m.num_rows for _, m in blocks if m.num_rows
-        )
-        TARGET = int(np.clip((total_est or 1) // (2 * ncpu) + 1, 256, 65_536))
+        TARGET = int(np.clip(total // (2 * ncpu) + 1, 256, 65_536))
+        # host boundaries as global row offsets (one tiny task per sort
+        # block: first/last host + local change offsets)
+        binfo = ray.get([_host_bounds.remote(ref) for ref, _ in blocks])
+        gb: list[int] = []
+        gstart = 0
+        prev_last = None
+        for (first, last, ch), n in zip(binfo, nrows_list):
+            if prev_last is not None and first != prev_last:
+                gb.append(gstart)
+            if len(ch):
+                gb.extend((np.int64(gstart) + ch).tolist())
+            gstart += n
+            prev_last = last
+        bounds = np.unique(np.asarray(gb, dtype=np.int64))
+        nparts = max(1, -(-total // TARGET))
+        cuts: list[int] = []
+        if len(bounds) and nparts > 1:
+            targets = np.linspace(0, total, nparts + 1)[1:-1]
+            cuts = sorted(
+                {
+                    int(bounds[min(np.searchsorted(bounds, x), len(bounds) - 1)])
+                    for x in targets
+                }
+            )
+            cuts = [c for c in cuts if 0 < c < total]
+        block_starts = np.cumsum([0] + nrows_list)
         stamped, stamped_meta, write_refs = [], [], []
         base = 0
-        group: list = []
-        group_rows = 0
-        part_idx = 0
-
-        def emit(refs, off, length):
-            nonlocal part_idx, base
+        for part_idx, (s, e) in enumerate(
+            zip([0] + cuts, cuts + [total])
+        ):
+            # sort blocks covering [s, e): _stamp_block concats them and
+            # slices the range out (global offsets are concat offsets)
+            i = int(np.searchsorted(block_starts, s, side="right") - 1)
+            j = int(np.searchsorted(block_starts, e, side="left"))
+            refs = [blocks[b][0] for b in range(i, j)]
             sref, mref = _stamp_block.options(num_returns=2).remote(
-                base, round_no, self.dedup, off, length, *refs
+                base, round_no, self.dedup,
+                s - int(block_starts[i]), e - s, *refs
             )
             stamped.append(sref)
             stamped_meta.append(mref)
@@ -706,33 +717,7 @@ class StreamingCrawler:
                     sref, os.path.join(out_dir, f"part-{part_idx:06d}.parquet")
                 )
             )
-            base += length
-            part_idx += 1
-
-        def flush():
-            nonlocal group, group_rows
-            if not group:
-                return
-            emit(group, 0, group_rows)
-            group, group_rows = [], 0
-
-        for block_ref, meta in blocks:
-            n = meta.num_rows
-            if n == 0:
-                continue
-            if n > TARGET:
-                flush()  # keep sort order: pending small group first
-                off = 0
-                while off < n:
-                    ln = min(TARGET, n - off)
-                    emit([block_ref], off, ln)
-                    off += ln
-                continue
-            group.append(block_ref)
-            group_rows += n
-            if group_rows >= TARGET:
-                flush()
-        flush()
+            base += e - s
         if stamped:
             # registration barrier for round_no: the metadata outputs
             # complete with the tasks, so getting THEM (tiny) proves

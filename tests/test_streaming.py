@@ -120,3 +120,45 @@ def test_streaming_resume(ray_session, tmp_path):
     again = StreamingCrawler(cfg, CAPTIONS, work_dir=work, num_dedup_shards=4)
     res2 = again.crawl([])
     assert res2["fetched"] == full_res["fetched"]
+
+
+def test_streaming_resume_after_lost_finalizer(ray_session, tmp_path):
+    """Kill between a round's execution and its ASYNC checkpoint
+    finalizer: the round-complete marker (seen snapshot, written by
+    _finalize_round after the frontier parts) never lands, so resume
+    must re-run that round from its durable frontier checkpoint and
+    converge to the uninterrupted run with no duplicate sink rows
+    (VERDICT r3 Next-round #9 — tests the marker-implies-durable
+    ordering promise from the failing side)."""
+    import os
+    import shutil
+
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10)
+    full = StreamingCrawler(cfg, CAPTIONS, work_dir=str(tmp_path / "full"),
+                            num_dedup_shards=4)
+    full_res = full.crawl(cfg.seeds())
+
+    work = str(tmp_path / "lost_fin")
+    part = StreamingCrawler(cfg, CAPTIONS, work_dir=work, num_dedup_shards=4,
+                            max_rounds=2)
+    part.crawl(cfg.seeds())
+    assert len(part.lineage) == 2
+    # round 1 ran (its images/items partitions exist) but its finalizer
+    # "never fired": erase the marker + lineage it would have written
+    shutil.rmtree(os.path.join(part.seen_dir, "round_0001"))
+    lp = os.path.join(work, "lineage", "round_0001.json")
+    if os.path.exists(lp):
+        os.remove(lp)
+
+    resumed = StreamingCrawler(cfg, CAPTIONS, work_dir=work,
+                               num_dedup_shards=4)
+    res = resumed.crawl([])  # restarts at round 1 from its checkpoint
+    assert res["rounds"] == full_res["rounds"]
+    assert res["fetched"] == full_res["fetched"]
+    assert res["images"] == full_res["images"]
+    assert res["items"] == full_res["items"]
+    assert resumed.seen_set() == full.seen_set()
+    a = sorted(full.images_dataset().to_pandas()["image_id"])
+    b = sorted(resumed.images_dataset().to_pandas()["image_id"])
+    assert a == b  # no duplicate or missing sink rows
