@@ -109,6 +109,100 @@ def extract_rent_currency(s: str, external_source: str,
     return (int(n) if n else None), currency_parser(s, external_source)
 
 
+# --------------------------------------------------- vectorized batch forms
+# (round 4, VERDICT r3 Next-round #5): the scalar M-op kernels above are
+# kept for the rules DSL and as the semantic reference; normalize_items
+# and the query harness call these batch forms — pandas C string
+# kernels + one regex pass instead of a Python call per row. Each is
+# property-tested element-for-element against its scalar form
+# (tests/test_operators.py).
+_RE_NUM_GROUP = re.compile(r"(\d+(?:\.\d+)?)")
+
+
+def extract_number_only_batch(
+    s: pd.Series, thousand_separator: str = ".", scale_separator: str = ","
+) -> np.ndarray:
+    """Vectorized M5 under FIXED separators: null/no-match → 0.0
+    (callers with per-row separators group rows by separator pair)."""
+    t = s.fillna("").astype(str)
+    t = t.str.replace(thousand_separator, "", regex=False)
+    t = t.str.replace(scale_separator, ".", regex=False)
+    num = t.str.extract(_RE_NUM_GROUP, expand=False)
+    return (
+        pd.to_numeric(num, errors="coerce")
+        .fillna(0.0)
+        .to_numpy(dtype=np.float64)
+    )
+
+
+def get_price_batch(s: pd.Series) -> np.ndarray:
+    """Vectorized M7: dual-separator parse, min unless < 10 then max."""
+    a = extract_number_only_batch(s, ".", ",")
+    b = extract_number_only_batch(s, ",", ".")
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return np.where(lo < 10, hi, lo).astype(np.int64)
+
+
+def currency_parser_batch(s: pd.Series, external_source: pd.Series) -> np.ndarray:
+    """Vectorized M8: token map first-match-wins (later tokens written
+    first so earlier overwrites = scalar first-match), then the ``$`` →
+    AUD/USD fallback; empty/null input → None."""
+    filled = s.fillna("").astype(str)
+    low = filled.str.lower()
+    out = np.full(len(s), None, dtype=object)
+    for token, iso in reversed(_CURRENCY_MAP):
+        out[low.str.contains(token, regex=False).to_numpy()] = iso
+    no_token = np.equal(out, None)
+    dollar = filled.str.contains("$", regex=False).to_numpy() & no_token
+    aus = (
+        external_source.fillna("").astype(str).str.lower()
+        .str.contains("australia", regex=False).to_numpy()
+    )
+    out[dollar & aus] = "AUD"
+    out[dollar & ~aus] = "USD"
+    out[(filled == "").to_numpy()] = None
+    return out
+
+
+def extract_rent_currency_batch(
+    rent: pd.Series, external_source: pd.Series,
+    thousand_separator: pd.Series, scale_separator: pd.Series,
+) -> tuple[pd.array, np.ndarray]:
+    """Vectorized M9 with PER-ROW separator config: rows group by the
+    (few) distinct separator pairs, each group runs the fixed-separator
+    kernel once. Returns (Int64 rent, object currency)."""
+    n = np.zeros(len(rent), dtype=np.float64)
+    ts = thousand_separator.fillna(".").astype(str).to_numpy()
+    ss = scale_separator.fillna(",").astype(str).to_numpy()
+    for tsv, ssv in set(zip(ts, ss)):
+        m = (ts == tsv) & (ss == ssv)
+        n[m] = extract_number_only_batch(rent[m], tsv, ssv)
+    empty = rent.isna().to_numpy() | (rent.fillna("") == "").to_numpy()
+    rent_out = pd.array(
+        np.where(n != 0, n, 0).astype(np.int64), dtype="Int64"
+    )
+    rent_out[empty | (n == 0)] = None
+    cur = currency_parser_batch(rent, external_source)
+    cur[empty] = None
+    return rent_out, cur
+
+
+def parse_date_with_year_bump_batch(
+    s: pd.Series, fmt: str = "%d/%m/%Y"
+) -> np.ndarray:
+    """Vectorized M14: strptime(fmt) via pd.to_datetime, bump past dates
+    one year, %Y-%m-%d or None on parse failure."""
+    d = pd.to_datetime(
+        s.fillna("").astype(str).str.strip(), format=fmt, errors="coerce"
+    )
+    bump = d < pd.Timestamp(REF_TODAY)
+    d = d.where(~bump, d + pd.DateOffset(years=1))
+    out = d.dt.strftime("%Y-%m-%d").to_numpy(dtype=object)
+    out[d.isna().to_numpy()] = None
+    return out
+
+
 # ------------------------------------------------------------------ M8
 _CURRENCY_MAP = [
     ("€", "EUR"),
@@ -362,6 +456,17 @@ def property_type_lookup(raw: str) -> str | None:
     return None
 
 
+def property_type_lookup_batch(s: pd.Series) -> np.ndarray:
+    """Vectorized M23: one C-level substring scan per map key (the map
+    is small and fixed); keys written last-to-first so the FIRST
+    matching key wins, matching the scalar form."""
+    low = s.fillna("").astype(str).str.lower()
+    out = np.full(len(s), None, dtype=object)
+    for key, val in reversed(list(PROPERTY_TYPE_MAP.items())):
+        out[low.str.contains(key, regex=False).to_numpy()] = val
+    return out
+
+
 # ------------------------------------------------------------------ M24
 _WORD_NUM = {
     "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
@@ -513,41 +618,39 @@ def normalize_items(df: pd.DataFrame) -> pd.DataFrame:
         lambda s: description_cleaner(s) if s else None
     )
     out["address"] = df["address_raw"]
-    out["property_type"] = df["property_type_raw"].map(property_type_lookup)
-    out["square_meters"] = pd.array(
-        df["area_raw"].map(_area_to_sqm), dtype="Int64"
-    )
-    out["room_count"] = pd.array(
-        df["rooms_raw"].map(lambda s: int(extract_number_only(s)) if s else None),
-        dtype="Int64",
-    )
-    out["bathroom_count"] = pd.array(
-        df["baths_raw"].map(lambda s: int(extract_number_only(s)) if s else None),
-        dtype="Int64",
-    )
+    out["property_type"] = property_type_lookup_batch(df["property_type_raw"])
+    out["square_meters"] = _area_to_sqm_batch(df["area_raw"])
+
+    def _count_col(raw: pd.Series) -> pd.array:
+        empty = raw.isna().to_numpy() | (raw.fillna("") == "").to_numpy()
+        v = pd.array(
+            extract_number_only_batch(raw).astype(np.int64), dtype="Int64"
+        )
+        v[empty] = None
+        return v
+
+    out["room_count"] = _count_col(df["rooms_raw"])
+    out["bathroom_count"] = _count_col(df["baths_raw"])
     out["rent_string"] = df["rent_raw"]
     # Rent via the spider-configured separators (M9); falls back to the
     # dual-parse heuristic (M7) when no config columns are present.
-    if "thousand_separator" in df.columns:
-        rent_cur = [
-            extract_rent_currency(r, h, ts, ss)
-            for r, h, ts, ss in zip(
-                df["rent_raw"], df["host"],
-                df["thousand_separator"], df["scale_separator"],
-            )
-        ]
-        out["rent"] = pd.array([rc[0] for rc in rent_cur], dtype="Int64")
-        out["currency"] = [rc[1] for rc in rent_cur]
-    else:
-        out["rent"] = pd.array(
-            df["rent_raw"].map(lambda s: get_price(s) if s else None), dtype="Int64"
-        )
-        out["currency"] = [
-            currency_parser(r, h) for r, h in zip(df["rent_raw"], df["host"])
-        ]
-    out["available_date"] = df["date_raw"].map(
-        lambda s: parse_date_with_year_bump(s) if s else None
+    rent_empty = (
+        df["rent_raw"].isna().to_numpy()
+        | (df["rent_raw"].fillna("") == "").to_numpy()
     )
+    if "thousand_separator" in df.columns:
+        out["rent"], out["currency"] = extract_rent_currency_batch(
+            df["rent_raw"], df["host"],
+            df["thousand_separator"], df["scale_separator"],
+        )
+    else:
+        rent = pd.array(get_price_batch(df["rent_raw"]), dtype="Int64")
+        rent[rent_empty] = None
+        out["rent"] = rent
+        cur = currency_parser_batch(df["rent_raw"], df["host"])
+        cur[rent_empty] = None
+        out["currency"] = cur
+    out["available_date"] = parse_date_with_year_bump_batch(df["date_raw"])
     # zipcode/city split out of the address tail (loaders.py address
     # processors analog); landlord contact pulled from the RAW
     # description BEFORE description_cleaner strips it (M20 removes
@@ -570,9 +673,13 @@ def normalize_items(df: pd.DataFrame) -> pd.DataFrame:
                 "water_cost", "heating_cost", "landlord_name"):
         out[col] = None
     out["floor_plan_images"] = [[] for _ in range(len(df))]
-    out["energy_label"] = df["energy_raw"].map(
-        lambda s: energy_label(extract_number_only(s)) if s else None
+    energy_empty = (
+        df["energy_raw"].isna().to_numpy()
+        | (df["energy_raw"].fillna("") == "").to_numpy()
     )
+    elab = energy_label_batch(extract_number_only_batch(df["energy_raw"]))
+    elab[energy_empty] = None
+    out["energy_label"] = elab
     for col, flags in amenity_flags(df["description_raw"]).items():
         out[col] = flags
     imgs = df["images"].map(dedup_list_keep_order)
@@ -596,6 +703,19 @@ def _area_to_sqm(s: str | None) -> int | None:
     if n == 0:
         return None
     return sq_feet_to_meters(n) if _RE_SQFT.search(s) else int(n)
+
+
+def _area_to_sqm_batch(s: pd.Series) -> pd.array:
+    """Vectorized _area_to_sqm (M5 + M15a): Int64 with None for
+    null/empty/zero."""
+    n = extract_number_only_batch(s, ",", ".")
+    sqft = s.fillna("").astype(str).str.contains(_RE_SQFT).to_numpy()
+    vals = np.where(sqft, n / 10.764, n).astype(np.int64)
+    out = pd.array(vals, dtype="Int64")
+    out[
+        s.isna().to_numpy() | (s.fillna("") == "").to_numpy() | (n == 0)
+    ] = None
+    return out
 
 
 def filter_valid_items(df: pd.DataFrame) -> pd.DataFrame:

@@ -146,9 +146,15 @@ def q_extract_number(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def f(b: pa.Table) -> pa.Table:
-        vals = [int(v) for v in b["o_totalprice"].to_pylist()]
-        strings = ["€ " + f"{v:,}".replace(",", ".") + " p/m" for v in vals]
-        rents = [int(extract.extract_number_only(s, ".", ",")) for s in strings]
+        # vectorized EU-format synthesis (dots every 3 digits) + the
+        # batch M5 kernel — no per-row Python (VERDICT r3 #5)
+        vals = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(vals).astype(str).str.replace(
+            r"(?<=\d)(?=(\d{3})+$)", ".", regex=True
+        )
+        rents = extract.extract_number_only_batch(
+            "€ " + s + " p/m", ".", ","
+        ).astype(np.int64)
         return pa.table(
             {
                 "o_orderkey": b["o_orderkey"].cast(pa.int64()),
@@ -172,9 +178,13 @@ def q_min_price_dual(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def f(b: pa.Table) -> pa.Table:
-        vals = [int(v) for v in b["l_extendedprice"].to_pylist()]
-        strings = [f"{v:,}".replace(",", ".") for v in vals]
-        prices = [extract.get_price(s) for s in strings]
+        vals = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = pd.Series(vals).astype(str).str.replace(
+            r"(?<=\d)(?=(\d{3})+$)", ".", regex=True
+        )
+        prices = extract.get_price_batch(s)
         return pa.table(
             {
                 "l_orderkey": b["l_orderkey"].cast(pa.int64()),

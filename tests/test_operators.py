@@ -279,3 +279,75 @@ def test_property_type_full_reference_map():
     }
     for raw, want in cases.items():
         assert extract.property_type_lookup(raw) == want, raw
+
+
+def test_batch_kernels_match_scalar_forms():
+    """The vectorized normalize kernels (r4) must agree element-for-
+    element with their scalar reference forms on nulls, empties,
+    separators, currencies, dates and mixed junk."""
+    import numpy as np
+    import pandas as pd
+
+    from spider_ray.extract import (
+        _area_to_sqm,
+        _area_to_sqm_batch,
+        currency_parser,
+        currency_parser_batch,
+        extract_number_only,
+        extract_number_only_batch,
+        extract_rent_currency,
+        extract_rent_currency_batch,
+        get_price,
+        get_price_batch,
+        parse_date_with_year_bump,
+        parse_date_with_year_bump_batch,
+        property_type_lookup,
+        property_type_lookup_batch,
+    )
+
+    vals = [None, "", "1.234,56 EUR", "950", "  12/05/2020 ", "no digits",
+            "2.500", "1,5 rooms", "$ 800 pw", "£1,200", "450 sq. ft",
+            "85 m²", "0", "9", "10", "Apartment in city", "student room",
+            "villa with pool", "TL 3.000", "chf 12", "29/02/2020"]
+    s = pd.Series(vals, dtype=object)
+    hosts = pd.Series((["rent.australia.example", "x.example"] * 11)[: len(vals)])
+
+    got = extract_number_only_batch(s, ".", ",")
+    exp = [extract_number_only(v or "", ".", ",") for v in vals]
+    np.testing.assert_allclose(got, exp)
+
+    np.testing.assert_array_equal(
+        get_price_batch(s), [get_price(v) if v else 0 for v in vals]
+    )
+
+    assert list(currency_parser_batch(s, hosts)) == [
+        currency_parser(v or "", h) if v else None
+        for v, h in zip(vals, hosts)
+    ]
+
+    assert list(property_type_lookup_batch(s)) == [
+        property_type_lookup(v or "") for v in vals
+    ]
+
+    dates = pd.Series([None, "", "12/05/2020", "01/01/2030", "31/12/2019",
+                       "junk", " 05/03/2020 ", "15/08/2026"])
+    got_d = list(parse_date_with_year_bump_batch(dates))
+    exp_d = [parse_date_with_year_bump(v) if v else None for v in dates]
+    assert got_d == exp_d
+
+    areas = pd.Series([None, "", "450 sq. ft", "85 m²", "0 m²", "1.200,5"])
+    got_a = list(_area_to_sqm_batch(areas))
+    exp_a = [_area_to_sqm(v) for v in areas]
+    assert [None if pd.isna(x) else int(x) for x in got_a] == exp_a
+
+    ts = pd.Series(["."] * 3 + [","] * 3)
+    ss = pd.Series([","] * 3 + ["."] * 3)
+    rents = pd.Series(["1.234,56", None, "$900", "2,500.75", "", "eur 12"])
+    rh = pd.Series(["a.example"] * 6)
+    gr, gc = extract_rent_currency_batch(rents, rh, ts, ss)
+    exp_rc = [
+        extract_rent_currency(r, h, t, c)
+        for r, h, t, c in zip(rents, rh, ts, ss)
+    ]
+    assert [None if pd.isna(x) else int(x) for x in gr] == [e[0] for e in exp_rc]
+    assert list(gc) == [e[1] for e in exp_rc]
