@@ -32,7 +32,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..hashing import splitmix64, xxh64
-from .joins import bucketed_hash_join
 from .pairs import (
     blocked_all_pairs,
     cosine_pair_cell,
@@ -344,11 +343,38 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, text_col: str = "text",
     Returns a Dataset (a, b, n_inter, n_union) with a < b and
     n_inter/n_union ≥ threshold; integer counts so a SQL oracle can
     hash-match exactly.
+
+    r4 stage fusion (VERDICT r3 Next-round #6) — the verify tail is
+    TWO shuffles where rounds 2-3 ran four (distinct_pairs + one
+    bucketed join per pair side):
+
+      attach:  candidate pairs replicate to their two doc-id buckets
+               (side 0 routes by a, side 1 by b) and meet the thin
+               shingle table co-partitioned by doc_id in ONE groupby;
+               each side's shingle set attaches there, and the global
+               pair-dedup is free (every copy of (a, b) shares both
+               doc buckets). The shingle table — the byte volume —
+               moves ONCE instead of twice.
+      combine: half-rows route by the pair key; the halves merge and
+               the vectorized exact-Jaccard verify runs in the same
+               task.
     """
-    # diamond node: consumed by band_rows and by BOTH join sides —
+    import ray
+
+    # re-block a small input before the compute-heavy signature pass:
+    # a corpus that arrived as one or two parquet blocks would hash
+    # nearly serially regardless of cluster width (at scale the input
+    # already has ≥ncpu blocks and this is a no-op)
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    raw = ds.materialize()
+    ndocs = raw.count()
+    want = int(np.clip(ndocs // 128, 1, ncpu))
+    if raw.num_blocks() < want:
+        raw = raw.repartition(want)
+    # diamond node: consumed by band_rows and the attach shuffle —
     # materialize once (blocks stay in the distributed object store and
-    # spill; without this the signature pass re-executes 3×)
-    sigged = ds.map_batches(
+    # spill; without this the signature pass re-executes per consumer)
+    sigged = raw.map_batches(
         minhash_batch,
         fn_kwargs={"text_col": text_col, "k": k, "keep_shingles": True},
         batch_format="pyarrow",
@@ -357,56 +383,71 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, text_col: str = "text",
     # ceiling; a 5k-doc corpus routed into 64 partitions × several
     # stages just pays hundreds of near-empty task launches (measured:
     # the whole query is launch-bound after the kernel vectorization).
-    # count() on a materialized dataset is free metadata.
-    ndocs = sigged.count()
     num_partitions = int(np.clip(ndocs // 256, 8, num_partitions))
-    join_buckets = int(np.clip(ndocs // 512, 4, 32))
-    shingle_ds = sigged.map_batches(
-        lambda b: pa.table(
-            {"doc_id": b[id_col].cast(pa.int64()), "shingles": b["shingles"]}
-        ),
-        batch_format="pyarrow",
-    )
+    join_buckets = np.uint64(np.clip(ndocs // 512, 4, 32))
     band_rows = sigged.map_batches(
         lsh_band_rows, fn_kwargs={"bands": bands, "id_col": id_col},
         batch_format="pyarrow",
     )
-    cand = distinct_pairs(
-        keyed_self_pairs(
-            band_rows,
-            key_cols=["band_id", "band_hash"],
-            id_col="doc_id",
-            bucket_on="band_hash",
-            num_partitions=num_partitions,
-        )
+    cand = keyed_self_pairs(
+        band_rows,
+        key_cols=["band_id", "band_hash"],
+        id_col="doc_id",
+        bucket_on="band_hash",
+        num_partitions=num_partitions,
+        local_distinct=True,  # combiner; exact dedup happens at attach
     )
-    # texts (as shingle sets) join back to the pairs BY ID — bucketed
-    # shuffle joins, one per pair side
-    sh_a = shingle_ds.map_batches(
-        lambda b: pa.table({"a": b["doc_id"], "sh_a": b["shingles"]}),
-        batch_format="pyarrow",
-    )
-    sh_b = shingle_ds.map_batches(
-        lambda b: pa.table({"b": b["doc_id"], "sh_b": b["shingles"]}),
-        batch_format="pyarrow",
-    )
-    # explicit schemas: letting the join infer them would re-execute the
-    # whole candidate pipeline once per join (schema() on a lazy chain)
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     sh_type = pa.list_(pa.uint64())
-    j1 = bucketed_hash_join(
-        cand, sh_a, on="a",
-        num_buckets=join_buckets,
-        left_schema=pair_schema,
-        right_schema=pa.schema([("a", pa.int64()), ("sh_a", sh_type)]),
+
+    def pair_halves(b: pa.Table) -> pa.Table:
+        """Each candidate pair → two half-rows, routed to its a- and
+        b-side doc buckets."""
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        route = np.concatenate([a, bb]).astype(np.uint64)
+        bucket = (splitmix64(route) % join_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "__bucket": pa.array(bucket, pa.int32()),
+                "side": pa.array(
+                    np.repeat(np.array([0, 1], np.int8), n), pa.int8()
+                ),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "sh": pa.nulls(2 * n, sh_type),
+            }
+        )
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (splitmix64(ids.astype(np.uint64)) % join_buckets).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "__bucket": pa.array(bucket, pa.int32()),
+                "side": pa.array(np.full(len(ids), 2, np.int8), pa.int8()),
+                "a": pa.array(ids, pa.int64()),
+                "b": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "sh": b["shingles"].cast(sh_type),
+            }
+        )
+
+    attach_in = cand.map_batches(pair_halves, batch_format="pyarrow").union(
+        sigged.map_batches(shingle_rows, batch_format="pyarrow")
     )
-    withsets = bucketed_hash_join(
-        j1, sh_b, on="b",
-        num_buckets=join_buckets,
-        left_schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("sh_a", sh_type)]
-        ),
-        right_schema=pa.schema([("b", pa.int64()), ("sh_b", sh_type)]),
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sh_map = g[g["side"] == 2].set_index("a")["sh"]
+        p = g[g["side"] != 2].drop_duplicates(["a", "b", "side"]).copy()
+        key = np.where(p["side"].to_numpy() == 0,
+                       p["a"].to_numpy(), p["b"].to_numpy())
+        p["sh"] = pd.Series(key, index=p.index).map(sh_map)
+        return p[["a", "b", "side", "sh"]]
+
+    attached = attach_in.groupby("__bucket").map_groups(
+        attach, batch_format="pandas"
     )
 
     # integer threshold comparison (inter·den ≥ num·union) so the pair
@@ -416,28 +457,47 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, text_col: str = "text",
     frac = Fraction(threshold).limit_denominator(1000)
     t_num, t_den = frac.numerator, frac.denominator
 
-    def verify(t: pa.Table) -> pa.Table:
-        n = t.num_rows
+    def pair_route(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = splitmix64(a ^ splitmix64(bb))
+        part = (key % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def combine_verify(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        m = l.merge(r, on=["a", "b"], suffixes=("_l", "_r"))
+        n = len(m)
         if n == 0:
-            return pa.table(
-                {c: pa.array([], pa.int64())
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
                  for c in ("a", "b", "n_inter", "n_union")}
             )
-        lens_a, flat_a = _flatten_list_col(t["sh_a"])
-        lens_b, flat_b = _flatten_list_col(t["sh_b"])
+        sh_a = [np.asarray(x, dtype=np.uint64) for x in m["sh_l"]]
+        sh_b = [np.asarray(x, dtype=np.uint64) for x in m["sh_r"]]
+        lens_a = np.fromiter((x.size for x in sh_a), np.int64, count=n)
+        lens_b = np.fromiter((x.size for x in sh_b), np.int64, count=n)
+        flat_a = np.concatenate(sh_a) if sh_a else np.empty(0, np.uint64)
+        flat_b = np.concatenate(sh_b) if sh_b else np.empty(0, np.uint64)
         inter = _rowwise_intersection_counts(n, lens_a, flat_a, lens_b, flat_b)
         union = lens_a + lens_b - inter
         keep = (union > 0) & (inter * t_den >= t_num * union)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "a": t["a"].cast(pa.int64()).filter(pa.array(keep)),
-                "b": t["b"].cast(pa.int64()).filter(pa.array(keep)),
-                "n_inter": pa.array(inter[keep], pa.int64()),
-                "n_union": pa.array(union[keep], pa.int64()),
+                "a": m["a"].to_numpy(dtype=np.int64)[keep],
+                "b": m["b"].to_numpy(dtype=np.int64)[keep],
+                "n_inter": inter[keep],
+                "n_union": union[keep],
             }
         )
 
-    return withsets.map_batches(verify, batch_format="pyarrow")
+    return (
+        attached.map_batches(pair_route, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(combine_verify, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------------ simhash

@@ -214,12 +214,18 @@ def keyed_self_pairs(
     bucket_on: str,
     carry_cols: list[str] | None = None,
     num_partitions: int = 64,
+    local_distinct: bool = False,
 ) -> rd.Dataset:
     """Pairs of rows sharing the exact ``key_cols`` tuple, emitted as
     (a, b[, carry_a, carry_b]) with a < b. Routing partition =
     ``hash(bucket_on) % num_partitions`` (bounded group count); the
     merge inside each partition is on the true key columns, so hash
-    collisions in routing never create spurious pairs."""
+    collisions in routing never create spurious pairs.
+
+    ``local_distinct=True`` drops duplicate (a, b) rows INSIDE each
+    merge task (a pair arising from several keys in one partition is
+    emitted once) — a free combiner when the caller dedups globally
+    downstream anyway (VERDICT r3 Next-round #6)."""
     carry_cols = carry_cols or []
     cols = list(dict.fromkeys(key_cols + [id_col] + carry_cols))
 
@@ -239,7 +245,8 @@ def keyed_self_pairs(
         for c in carry_cols:
             out[f"{c}_a"] = m[f"{c}_l"].to_numpy()
             out[f"{c}_b"] = m[f"{c}_r"].to_numpy()
-        return pd.DataFrame(out)
+        res = pd.DataFrame(out)
+        return res.drop_duplicates(["a", "b"]) if local_distinct else res
 
     return routed.groupby("__part").map_groups(merge_part, batch_format="pandas")
 
