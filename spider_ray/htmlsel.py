@@ -240,36 +240,56 @@ class Selector:
 #
 #   //tag /tag  *  @attr  text()  ..       (axes + node tests)
 #   following-sibling:: preceding-sibling:: parent:: self:: descendant::
+#   descendant-or-self::                            (r4)
+#   axis::text() — e.g. //br/following-sibling::text()  (r4)
 #   [@a] [@a='v'] [N] [last()]             (predicates)
+#   [position()=N] [position()<N] (=, !=, <, <=, >, >=)   (r4)
 #   [contains(@a,'v')] [starts-with(@a,'v')]
 #   [contains(text(),'v')] [text()='v'] [contains(.,'v')] [.='v']
+#   [contains(following-sibling::text(),'v')]              (r4)
+#   text()[contains(.,'v')] / text()[N]                    (r4)
 #   a | b                                  (top-level union)
 #
-# Out of scope (raises ValueError at compile time): nested path
-# predicates, functions beyond contains/starts-with/last. Position
-# predicates are evaluated per context node over the step's candidate
-# list — exact for child/sibling axes, the practical reading for
-# ``//``; preceding-sibling candidates come in proximity (reverse
-# document) order, matching XPath's [1]-is-nearest semantics.
+# Out of scope (raises ValueError at compile time): general nested
+# path predicates, functions beyond contains/starts-with/last/
+# position. Position predicates are evaluated per context node over
+# the step's candidate list — exact for child/sibling axes, the
+# practical reading for ``//``; preceding-sibling candidates come in
+# proximity (reverse document) order, matching XPath's [1]-is-nearest
+# semantics. contains(following-sibling::text(), s) tests the FIRST
+# following text sibling (XPath's string-value-of-first-node rule).
 
 _XP_STEP_RE = re.compile(
-    r"^(?:(?P<axis>following-sibling|preceding-sibling|parent|self|descendant)::)?"
+    r"^(?:(?P<axis>following-sibling|preceding-sibling|parent|self|"
+    r"descendant-or-self|descendant)::)?"
     r"(?P<test>\*|\.\.|@[\w:-]+|text\(\)|[\w-]+)(?P<preds>(?:\[[^\]]*\])*)$"
 )
 _XP_PRED_RES = [
     ("pos_last", re.compile(r"^last\(\)$")),
     ("pos", re.compile(r"^(\d+)$")),
+    ("pos_cmp", re.compile(r"^position\(\)\s*(=|!=|<=|>=|<|>)\s*(\d+)$")),
     ("attr_eq", re.compile(r"^@([\w:-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
     ("attr_has", re.compile(r"^@([\w:-]+)$")),
     ("attr_contains",
      re.compile(r"^contains\(\s*@([\w:-]+)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
     ("attr_starts",
      re.compile(r"^starts-with\(\s*@([\w:-]+)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
+    ("fsib_text_contains",
+     re.compile(r"^contains\(\s*following-sibling::text\(\)\s*,\s*"
+                r"(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
     ("text_contains",
      re.compile(r"^contains\(\s*(?:text\(\)|\.)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)$")),
     ("text_eq",
      re.compile(r"^(?:text\(\)|\.)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
+    ("text_neq",
+     re.compile(r"^(?:text\(\)|\.)\s*!=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
 ]
+
+_POS_OPS = {
+    "=": lambda i, n: i == n, "!=": lambda i, n: i != n,
+    "<": lambda i, n: i < n, "<=": lambda i, n: i <= n,
+    ">": lambda i, n: i > n, ">=": lambda i, n: i >= n,
+}
 
 
 def _xp_parse_pred(p: str):
@@ -296,6 +316,20 @@ def _xp_pred_matches(kind_args, n: Node) -> bool:
         return kind_args[1] in n.text()
     if kind == "text_eq":
         return n.text() == kind_args[1]
+    if kind == "text_neq":
+        return n.text() != kind_args[1]
+    if kind == "fsib_text_contains":
+        # contains(following-sibling::text(), s): XPath takes the
+        # string value of the FIRST node of the set = the nearest
+        # following text sibling; empty set → '' → False for s != ''
+        if n.parent is None:
+            return kind_args[1] == ""
+        sibs = n.parent.children
+        i = next((k for k, c in enumerate(sibs) if c is n), None)
+        first = next(
+            (c for c in sibs[i + 1:] if isinstance(c, str)), ""
+        ) if i is not None else ""
+        return kind_args[1] in first
     raise AssertionError(kind)
 
 
@@ -354,11 +388,18 @@ class XPathSelector:
                     _xp_parse_pred(p)
                     for p in re.findall(r"\[([^\]]*)\]", m.group("preds") or "")
                 ]
-                if test.startswith("@") or test == "text()":
-                    if preds:
-                        raise ValueError(
-                            f"predicates not supported on {test}: {raw!r}"
-                        )
+                if test.startswith("@") and preds:
+                    raise ValueError(
+                        f"predicates not supported on {test}: {raw!r}"
+                    )
+                if test == "text()":
+                    ok = {"pos", "pos_last", "pos_cmp", "text_contains",
+                          "text_eq", "text_neq"}
+                    for kp in preds:
+                        if kp[0] not in ok:
+                            raise ValueError(
+                                f"unsupported predicate on text(): {raw!r}"
+                            )
                 steps.append((axis, test.lower(), preds, deep))
             for axis, test, _, _ in steps[:-1]:
                 if test.startswith("@") or test == "text()":
@@ -403,6 +444,8 @@ class XPathSelector:
             return [c for c in base.children if isinstance(c, Node)]
         if axis == "descendant":
             return [n for n in base.iter_nodes() if n is not base]
+        if axis == "descendant-or-self":
+            return list(base.iter_nodes())
         if axis == "self":
             return [base]
         if axis == "parent":
@@ -435,7 +478,25 @@ class XPathSelector:
             if test == "text()":
                 out: list[str] = []
                 for n in current:
-                    out.extend(self._texts(n, deep))
+                    texts = self._text_candidates(n, axis, deep)
+                    for kp in preds:  # sequential filtering over strings
+                        if kp[0] == "pos":
+                            k = int(kp[1]) - 1
+                            texts = [texts[k]] if 0 <= k < len(texts) else []
+                        elif kp[0] == "pos_last":
+                            texts = texts[-1:]
+                        elif kp[0] == "pos_cmp":
+                            op = _POS_OPS[kp[1]]
+                            lim = int(kp[2])
+                            texts = [t for i, t in enumerate(texts, 1)
+                                     if op(i, lim)]
+                        elif kp[0] == "text_contains":
+                            texts = [t for t in texts if kp[1] in t]
+                        elif kp[0] == "text_eq":
+                            texts = [t for t in texts if t == kp[1]]
+                        else:  # text_neq (validated at compile)
+                            texts = [t for t in texts if t != kp[1]]
+                    out.extend(texts)
                 return out
             nxt: list[Node] = []
             seen: set[int] = set()
@@ -449,6 +510,10 @@ class XPathSelector:
                         cand = [cand[k]] if 0 <= k < len(cand) else []
                     elif kp[0] == "pos_last":
                         cand = cand[-1:]
+                    elif kp[0] == "pos_cmp":
+                        op = _POS_OPS[kp[1]]
+                        lim = int(kp[2])
+                        cand = [n for i, n in enumerate(cand, 1) if op(i, lim)]
                     else:
                         cand = [n for n in cand if _xp_pred_matches(kp, n)]
                 for n in cand:
@@ -457,6 +522,25 @@ class XPathSelector:
                         nxt.append(n)
             current = nxt
         return current
+
+    @staticmethod
+    def _text_candidates(n: Node, axis: str, deep: bool) -> list[str]:
+        """text() node candidates for one context node under an axis:
+        child (default), descendant (the ``//text()`` reading), or the
+        sibling axes — e.g. ``//br/following-sibling::text()``, the
+        reference corpus's most common sibling pattern (38 spiders)."""
+        if axis in ("following-sibling", "preceding-sibling"):
+            if n.parent is None:
+                return []
+            sibs = n.parent.children
+            i = next((k for k, c in enumerate(sibs) if c is n), None)
+            if i is None:
+                return []
+            if axis == "following-sibling":
+                return [c for c in sibs[i + 1:] if isinstance(c, str)]
+            return [c for c in sibs[:i][::-1] if isinstance(c, str)]
+        return XPathSelector._texts(n, deep or axis in
+                                    ("descendant", "descendant-or-self"))
 
     def select(self, root: Node) -> list:
         out: list = []

@@ -135,3 +135,89 @@ def test_rules_dsl_takes_xpath():
     assert out["title"][0].as_py().strip().startswith("Kerkstraat")
     assert out["photos"][0].as_py() == ["/img/1.jpg", "/img/2.jpg"]
     assert out["rent"][1].as_py() is None
+
+
+BELLERIVE_PAGE = """
+<html><body>
+  <ul class="liste-offres">
+    <li><div><p class="lien-detail"><a href="/offre/101">voir</a></p></div></li>
+    <li><div><p class="lien-detail"><a href="/offre/102">voir</a></p></div></li>
+  </ul>
+  <div class="pagelinks-next"><a href="/liste?page=2">suivant</a></div>
+  <ul class="specs">
+    <li><strong>Nombre de chambres :</strong> 3 </li>
+    <li><strong>Nombre de pi&egrave;ces :</strong> 0 </li>
+    <li><strong>Surface :</strong> 64 m2</li>
+  </ul>
+  <div class="description"><p>Bel appartement <em>lumineux</em>.</p>
+    <p>Proche commerces.</p></div>
+  <div class="avail"><span>Status</span><br>  Available from 01 Sep  <br>tail</div>
+</body></html>
+"""
+
+
+def test_port_belleriveimmo_selector_set():
+    """Second real-spider port (VERDICT r3 Next-round #8):
+    pyspiders-master spiders/belleriveimmo_fr.py:42-98 verbatim —
+    exercises following-sibling::text() with a [.!='0'] predicate, the
+    r4 additions."""
+    root = parse_html(BELLERIVE_PAGE)
+    # listing loop: //ul[@class='liste-offres']/li//p[@class='lien-detail']/a/@href
+    hrefs = select(
+        root, "//ul[@class='liste-offres']/li//p[@class='lien-detail']/a/@href"
+    )
+    assert hrefs == ["/offre/101", "/offre/102"]
+    # pagination: //div[@class='pagelinks-next']/a/@href
+    assert select(root, "//div[@class='pagelinks-next']/a/@href") == [
+        "/liste?page=2"
+    ]
+    # room_count: //li/strong[contains(.,'chambres')]/following-sibling::text()[.!='0']
+    rooms = select(
+        root,
+        "//li/strong[contains(.,'chambres')]/following-sibling::text()[.!='0']",
+    )
+    assert [r.strip() for r in rooms] == ["3"]
+    # the pieces row's value IS '0' after strip — the reference's
+    # [.!='0'] gate keeps the raw ' 0 ' text node (whitespace differs),
+    # mirroring why these spiders strip() after extract; assert the
+    # exact-equality form drops it once normalized
+    pieces = select(
+        root,
+        "//li/strong[contains(.,'pièce')]/following-sibling::text()",
+    )
+    assert [p.strip() for p in pieces] == ["0"]
+    # description: //div[@class='description']//p//text()
+    desc = " ".join(
+        t.strip() for t in
+        select(root, "//div[@class='description']//p//text()") if t.strip()
+    )
+    assert desc == "Bel appartement lumineux . Proche commerces."
+
+
+def test_r4_axis_and_predicate_additions():
+    root = parse_html(BELLERIVE_PAGE)
+    # //br/following-sibling::text()[contains(.,'Available')] — the
+    # corpus's most common sibling-text pattern (38 spiders, e.g.
+    # premier_uk_com.py:173)
+    (avail,) = select(
+        root, "//br/following-sibling::text()[contains(.,'Available')]"
+    )
+    assert avail.strip() == "Available from 01 Sep"
+    # contains(following-sibling::text(), s) element predicate
+    # (premier_uk/belleriveimmo family): first following text sibling
+    assert select(
+        root, "//strong[contains(following-sibling::text(),'3')]/text()"
+    ) == ["Nombre de chambres :"]
+    # position() comparison (corpus: position()<2]/@href)
+    assert select(
+        root, "//ul[@class='liste-offres']/li[position()<2]//a/@href"
+    ) == ["/offre/101"]
+    assert select(root, "//ul[@class='specs']/li[position()>=2]/strong/text()") == [
+        "Nombre de pièces :", "Surface :"
+    ]
+    # descendant-or-self:: explicit axis
+    assert select(
+        root, "//div[@class='description']/descendant-or-self::*[position()=1]"
+    )[0].attrs.get("class") == "description"
+    (em,) = select(root, "//p/descendant-or-self::em/text()")
+    assert em == "lumineux"
