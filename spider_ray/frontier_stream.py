@@ -72,7 +72,7 @@ def _stamp_block(base_seq: int, round_no: int, dedup: ShardedDedup | None,
     """One carry-block's worth of the sorted next frontier: concat
     consecutive small sort-output blocks, or SLICE ``[off, off+length)``
     out of one oversized block (the caller re-blocks the sort output to
-    ~2-blocks-per-CPU — both directions matter, see the caller), stamp
+    ~4-blocks-per-CPU — both directions matter, see the caller), stamp
     dense seq (base + row offset) + round, and pre-register with round
     ``round_no``'s dedup registries (registration is min-merging and
     idempotent, so overlapping with the parse tasks' link registration
@@ -630,7 +630,10 @@ class StreamingCrawler:
             from .frontier import _host_aligned_slices
 
             ncpu = int(ray.cluster_resources().get("CPU", 32))
-            tgt = int(np.clip(t.num_rows // (2 * ncpu) + 1, 256, 65_536))
+            # ~4 waves: host-aligned blocks have data-dependent work
+            # (image-format mix varies by host); 2 waves left a
+            # straggler tail (same measurement as Crawler.max_parallel_blocks)
+            tgt = int(np.clip(t.num_rows // (4 * ncpu) + 1, 256, 65_536))
             self._carry = from_local_tables(
                 _host_aligned_slices(t, max(1, -(-t.num_rows // tgt)))
             )
@@ -662,14 +665,15 @@ class StreamingCrawler:
         # larger than TARGET stays whole — the politeness budget
         # bounds its admitted rows regardless, and its block cost is
         # its pending-row count, same as the driver mode's
-        # host-aligned slices. Target ≈ 2 blocks per CPU, capped at
+        # host-aligned slices. Target ≈ 4 blocks per CPU, capped at
         # 64k rows/block.
         nrows_list = [meta.num_rows for _, meta in blocks]
         total = int(sum(nrows_list))
         if total == 0:
             return 0, []
         ncpu = int(ray.cluster_resources().get("CPU", 32))
-        TARGET = int(np.clip(total // (2 * ncpu) + 1, 256, 65_536))
+        # ~4 waves (see the small-path comment above)
+        TARGET = int(np.clip(total // (4 * ncpu) + 1, 256, 65_536))
         # host boundaries as global row offsets (one tiny task per sort
         # block: first/last host + local change offsets)
         binfo = ray.get([_host_bounds.remote(ref) for ref, _ in blocks])
