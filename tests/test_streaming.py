@@ -162,3 +162,52 @@ def test_streaming_resume_after_lost_finalizer(ray_session, tmp_path):
     a = sorted(full.images_dataset().to_pandas()["image_id"])
     b = sorted(resumed.images_dataset().to_pandas()["image_id"])
     assert a == b  # no duplicate or missing sink rows
+
+
+def test_carry_blocks_are_host_aligned(ray_session, tmp_path):
+    """The r4 invariant behind shuffle-free admission: every carry
+    block the stamp hands the next round holds WHOLE hosts (a host_hash
+    never spans two blocks), on both stamp paths."""
+    import numpy as np
+
+    # big enough that at least one round's carry exceeds the 256-row
+    # minimum block target and splits into multiple host-aligned blocks
+    cfg = WorldConfig(num_hosts=40, max_pages_per_host=1, details_per_page=16)
+
+    for thresh in (100_000, 0):  # driver-sort path and distributed-sort path
+        sc = StreamingCrawler(
+            cfg, CAPTIONS, work_dir=str(tmp_path / f"align_{thresh}"),
+            num_dedup_shards=4, small_round_threshold=thresh, max_rounds=3,
+        )
+        seen_round = False
+        orig = sc._run_round
+
+        def checked(r):
+            nonlocal seen_round
+            if sc._carry is not None and sc._carry_rows > 0:
+                blocks = [
+                    ray.get(ref)
+                    for b in sc._carry.iter_internal_ref_bundles()
+                    for ref, _m in b.blocks
+                ]
+                owners = {}
+                for bi, t in enumerate(blocks):
+                    for hh in set(
+                        t["host_hash"].to_numpy(zero_copy_only=False).tolist()
+                    ):
+                        assert owners.setdefault(hh, bi) == bi, (
+                            f"host {hh} spans blocks {owners[hh]} and {bi}"
+                        )
+                    # within-block order: (host_hash, seq) ascending —
+                    # the precondition for the fused admit kernel
+                    hhv = t["host_hash"].to_numpy(zero_copy_only=False)
+                    assert (np.diff(hhv.astype(np.uint64)) >= 0).all() or len(hhv) < 2
+                if len(blocks) > 1:
+                    seen_round = True
+            return orig(r)
+
+        import ray
+        sc._run_round = checked
+        sc.crawl(cfg.seeds())
+        assert seen_round, "no multi-block carry was ever checked"
+        sc.close()
