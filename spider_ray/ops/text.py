@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -55,6 +56,95 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column("q_stopwords", n_stop)
     out = out.append_column("q_punct", n_punct)
     return out
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher/MassiveText-style repetition-quality signals (Rae et al.
+    2021, "Scaling Language Models: Gopher", App. A1.1 repetition
+    filters), integer-exact so the SQL oracle hash-matches:
+
+      r_lines            — '\\n'-split line count
+      r_distinct_lines   — distinct lines
+      r_dup_line_chars   — Σ (count−1) × len(line) over distinct lines
+                           (the duplicate-line character mass)
+      r_top_bigram_chars — max over word 2-grams of count × gram chars
+                           (incl. the joining space); 0 when <2 tokens
+
+    Consumers derive the paper's fractions (dup_line_frac =
+    r_dup_line_chars / q_chars, …) downstream — integers keep the
+    driver's value-hash comparison exact. Vectorized batch-wide: one
+    factorize per string domain, one lexsort per (doc, key) grouping,
+    no per-doc Python beyond the initial str.split."""
+    import itertools
+
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+
+    def grouped_counts(doc_of: np.ndarray, codes: np.ndarray):
+        """(doc, code) group representatives + multiplicities via ONE
+        lexsort + adjacent-equal scan."""
+        order = np.lexsort((codes, doc_of))
+        d = doc_of[order]
+        c = codes[order]
+        if not len(d):
+            z = np.empty(0, np.int64)
+            return z, z, z
+        new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        gidx = np.nonzero(new)[0]
+        cnt = np.diff(np.r_[gidx, len(d)]).astype(np.int64)
+        return d[gidx], c[gidx], cnt
+
+    # ---- line repetition
+    line_lists = [(t or "").split("\n") for t in texts]
+    llen = np.fromiter((len(x) for x in line_lists), np.int64, count=n)
+    flat_lines = list(itertools.chain.from_iterable(line_lists))
+    if flat_lines:
+        lcodes, luniq = pd.factorize(np.asarray(flat_lines, dtype=object))
+        lulen = np.fromiter((len(u) for u in luniq), np.int64,
+                            count=len(luniq))
+    else:
+        lcodes = np.empty(0, np.int64)
+        lulen = np.empty(0, np.int64)
+    ldoc = np.repeat(np.arange(n, dtype=np.int64), llen)
+    gd, gc, cnt = grouped_counts(ldoc, np.asarray(lcodes, np.int64))
+    distinct = np.bincount(gd, minlength=n).astype(np.int64)
+    dup_chars = np.bincount(
+        gd, weights=(cnt - 1) * lulen[gc], minlength=n
+    ).astype(np.int64)
+
+    # ---- top word-bigram character mass
+    tok_lists = [(t or "").split() for t in texts]
+    tlen = np.fromiter((len(x) for x in tok_lists), np.int64, count=n)
+    flat_toks = list(itertools.chain.from_iterable(tok_lists))
+    top = np.zeros(n, dtype=np.int64)
+    if flat_toks:
+        tcodes, tuniq = pd.factorize(np.asarray(flat_toks, dtype=object))
+        tcodes = np.asarray(tcodes, np.int64)
+        tulen = np.fromiter((len(u) for u in tuniq), np.int64,
+                            count=len(tuniq))
+        tdoc = np.repeat(np.arange(n, dtype=np.int64), tlen)
+        if len(tcodes) >= 2:
+            valid = tdoc[:-1] == tdoc[1:]
+            d2 = tdoc[:-1][valid]
+            a = tcodes[:-1][valid]
+            b = tcodes[1:][valid]
+            # group (doc, a, b) without composing an overflow-prone key
+            order = np.lexsort((b, a, d2))
+            d2, a, b = d2[order], a[order], b[order]
+            if len(d2):
+                new = np.r_[
+                    True,
+                    (d2[1:] != d2[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1]),
+                ]
+                gidx = np.nonzero(new)[0]
+                cnt2 = np.diff(np.r_[gidx, len(d2)]).astype(np.int64)
+                val = cnt2 * (tulen[a[gidx]] + tulen[b[gidx]] + 1)
+                np.maximum.at(top, d2[gidx], val)
+
+    out = batch.append_column("r_lines", pa.array(llen, pa.int64()))
+    out = out.append_column("r_distinct_lines", pa.array(distinct, pa.int64()))
+    out = out.append_column("r_dup_line_chars", pa.array(dup_chars, pa.int64()))
+    return out.append_column("r_top_bigram_chars", pa.array(top, pa.int64()))
 
 
 class LangId:

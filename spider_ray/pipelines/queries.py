@@ -1342,8 +1342,13 @@ FROM documents
 
 
 def q_quality_score(sf_dir: str):
+    """Quality signals + Gopher-style repetition metrics (r4) in one
+    oracled slot: length/token/stopword/punct counts plus duplicate-
+    line mass and top-bigram character mass — all integers so the
+    value hash is exact."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_ops.quality_batch, batch_format="pyarrow")
+    out = out.map_batches(text_ops.repetition_batch, batch_format="pyarrow")
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -1352,6 +1357,10 @@ def q_quality_score(sf_dir: str):
                 "q_tokens": b["q_tokens"],
                 "q_stopwords": b["q_stopwords"],
                 "q_punct": b["q_punct"],
+                "r_lines": b["r_lines"],
+                "r_distinct_lines": b["r_distinct_lines"],
+                "r_dup_line_chars": b["r_dup_line_chars"],
+                "r_top_bigram_chars": b["r_top_bigram_chars"],
             }
         ),
         batch_format="pyarrow",
@@ -1359,12 +1368,38 @@ def q_quality_score(sf_dir: str):
 
 
 SQL_QUALITY_SCORE = """
-SELECT doc_id,
-       CAST(LENGTH(text) AS BIGINT) AS q_chars,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS q_tokens,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b(?:the|a)\\b')) AS BIGINT) AS q_stopwords,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,;:!?]')) AS BIGINT) AS q_punct
-FROM documents
+WITH l AS (
+  SELECT doc_id, UNNEST(STR_SPLIT(text, chr(10))) AS line FROM documents
+), lg AS (
+  SELECT doc_id, COUNT(*) AS c, LENGTH(line) AS ln FROM l GROUP BY doc_id, line
+), lines_agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS r_lines,
+         CAST(COUNT(*) AS BIGINT) AS r_distinct_lines,
+         CAST(SUM((c-1)*ln) AS BIGINT) AS r_dup_line_chars
+  FROM lg GROUP BY doc_id
+), t AS (
+  SELECT doc_id, REGEXP_EXTRACT_ALL(text, '\\S+') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, UNNEST(LIST_ZIP(ws[1:LEN(ws)-1], ws[2:LEN(ws)])) AS g
+  FROM t WHERE LEN(ws) >= 2
+), bgc AS (
+  SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id,
+         CAST(MAX(n * (LENGTH(g[1]) + 1 + LENGTH(g[2]))) AS BIGINT)
+           AS r_top_bigram_chars
+  FROM bgc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(d.text) AS BIGINT) AS q_chars,
+       CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '\\S+')) AS BIGINT) AS q_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '\\b(?:the|a)\\b')) AS BIGINT) AS q_stopwords,
+       CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '[.,;:!?]')) AS BIGINT) AS q_punct,
+       la.r_lines, la.r_distinct_lines, la.r_dup_line_chars,
+       COALESCE(tp.r_top_bigram_chars, 0) AS r_top_bigram_chars
+FROM documents d
+JOIN lines_agg la USING (doc_id)
+LEFT JOIN top tp USING (doc_id)
 """
 
 

@@ -527,3 +527,39 @@ def test_embedding_lsh_hot_bucket_salted(ray_session):
     # the hot bucket spreads over the full triangular grid
     hot_cells = [c for c in per_cell.index if c // (S * S) == 9]
     assert len(hot_cells) == S * (S + 1) // 2
+
+
+def test_repetition_batch_matches_reference():
+    """repetition_batch (Gopher-style repetition signals) vs a naive
+    per-doc Python reference on adversarial inputs."""
+    import collections
+
+    import pyarrow as pa
+
+    from spider_ray.ops.text import repetition_batch
+
+    texts = [
+        "", "x", "a\na\na", "one two one two one", "tok1 tok2",
+        "line\n" * 50 + "tail", "über cafe über cafe", " \n \n ",
+        "w " * 100, None, "a b c d e f g h", "same same same same",
+    ]
+    out = repetition_batch(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).to_pandas()
+
+    for i, t in enumerate(texts):
+        s = t or ""
+        lines = s.split("\n")
+        cnt = collections.Counter(lines)
+        assert out["r_lines"][i] == len(lines), i
+        assert out["r_distinct_lines"][i] == len(cnt), i
+        assert out["r_dup_line_chars"][i] == sum(
+            (c - 1) * len(l) for l, c in cnt.items()
+        ), i
+        toks = s.split()
+        bg = collections.Counter(zip(toks, toks[1:]))
+        exp_top = max(
+            (c * (len(a) + 1 + len(b)) for (a, b), c in bg.items()),
+            default=0,
+        )
+        assert out["r_top_bigram_chars"][i] == exp_top, i
