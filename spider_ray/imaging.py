@@ -123,6 +123,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":  # spider_ray.gif.FMT_GIF (GIF89a codec, round 4)
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(f"no decoder for fmt={fmt!r} in this container")
 
 

@@ -4,7 +4,8 @@ columns with typed metadata (the sink-table shape of BASELINE.json
 
 Everything that CAN be real in this container (no PIL/cv2/ffmpeg) is
 real: PNG/QPNG decode, baseline JPEG (spider_ray.jpeg, ITU-T T.81),
-PCM WAV (spider_ray.audio), AVI/MJPEG frame-sampling
+GIF89a (spider_ray.gif — round 4), PCM WAV (spider_ray.audio),
+AVI/MJPEG frame-sampling
 (spider_ray.video), block-mean resize, channel statistics, phash —
 all numpy/zlib kernels built from the public specs; FLAC audio is
 real since round 3 (spider_ray.flac, RFC 9639). The remaining
@@ -25,9 +26,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..gif import FMT_GIF
 from ..imaging import FMT_JPEG, FMT_PNG, FMT_QPNG, _resize_mean, decode, phash
 
-_DECODABLE = (FMT_PNG, FMT_QPNG, FMT_JPEG)
+_DECODABLE = (FMT_PNG, FMT_QPNG, FMT_JPEG, FMT_GIF)
 
 
 class DecodeStats:

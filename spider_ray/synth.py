@@ -18,8 +18,9 @@ World shape per host ``h{i}.test``:
                              (spiders/123wonen_nl.py:35-55 'seen' flag)
   /prop/{k}                → HTML detail page with raw listing fields
                              exercising the extract operators (M2-M27)
-  /img/{k}_{j}.png|.qpng   → deterministic image bytes (PNG lossless /
-                             quantized-lossy stand-in, spider_ray.imaging)
+  /img/{k}_{j}.png|...     → deterministic image bytes (PNG/GIF lossless,
+                             baseline JPEG + quantized-lossy stand-in;
+                             spider_ray.imaging / .jpeg / .gif)
 
 Captions come from an external corpus (the driver's ``documents``
 table) broadcast once via ``ray.put`` — the canonical small-side
@@ -38,6 +39,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .gif import FMT_GIF, encode_gif
 from .hashing import splitmix64, xxh64
 from .imaging import (
     FMT_JPEG,
@@ -99,6 +101,7 @@ class WorldConfig:
     images_per_detail: int = 2
     lossy_pct: int = 50  # % of images lossy-encoded (jpeg or qpng)
     jpeg_pct: int = 34  # % OF THE LOSSY images that are real baseline JPEG
+    gif_pct: int = 25  # % OF THE LOSSLESS images that are palette-born GIF89a
     fail_pct: int = 5  # % of detail pages 503-ing on first attempt
     notfound_pct: int = 2  # % of detail pages permanently 404
     private_pct: int = 10  # % of detail pages under the robots-disallowed path
@@ -182,13 +185,38 @@ def _h(cfg: WorldConfig, *parts) -> int:
 
 
 # ------------------------------------------------------------------ images
+def _palette_pixels(k: int, w: int, h: int) -> np.ndarray:
+    """Palette-born pixels for GIF keys: a ≤64-color blocky pattern.
+
+    GIF is an indexed-color format and :func:`spider_ray.gif.encode_gif`
+    refuses >256 distinct colors, so gif-fmt world images are genuinely
+    palette media (as listing-site GIFs — logos, floor plans — are);
+    their encode→decode round trip is exact, like PNG."""
+    ncolors = 4 + ((k >> 44) & 0x3F) % 61  # 4..64 palette entries
+    r = splitmix64(k ^ 0x9E3779B97F4A7C15)
+    pal = np.empty((ncolors, 3), dtype=np.uint8)
+    for i in range(ncolors):
+        r = splitmix64(r)
+        pal[i] = ((r >> 16) & 0xFF, (r >> 8) & 0xFF, r & 0xFF)
+    bs = 2 + ((k >> 50) & 7)  # block size 2..9 → structured LZW matches
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    idx = ((xx // bs) * 3 + (yy // bs) * 5 + (xx + yy) // (2 * bs)) % ncolors
+    return pal[idx]
+
+
 def image_pixels(cfg: WorldConfig, image_key: str) -> np.ndarray:
-    """Deterministic structured RGB pixels for one image URL."""
+    """Deterministic structured RGB pixels for one image URL.
+
+    GIF-fmt keys get palette-born pixels (≤256 colors); all other keys
+    keep the full-RGB gradient pattern — so adding gif to the fmt mix
+    perturbs ONLY the keys that became gif, nothing else."""
     k = _h(cfg, "img", image_key)
     w = cfg.img_min_side + (k & 0xFFFF) % (cfg.img_max_side - cfg.img_min_side + 1)
     h = cfg.img_min_side + ((k >> 16) & 0xFFFF) % (
         cfg.img_max_side - cfg.img_min_side + 1
     )
+    if image_fmt(cfg, image_key) == FMT_GIF:
+        return _palette_pixels(k, w, h)
     fx = 1 + ((k >> 32) & 7)
     fy = 1 + ((k >> 36) & 7)
     ph = (k >> 40) & 0xFF
@@ -201,7 +229,11 @@ def image_pixels(cfg: WorldConfig, image_key: str) -> np.ndarray:
 
 def image_fmt(cfg: WorldConfig, image_key: str) -> str:
     if _h(cfg, "imgfmt", image_key) % 100 >= cfg.lossy_pct:
-        return FMT_PNG
+        return (
+            FMT_GIF
+            if _h(cfg, "imggif", image_key) % 100 < cfg.gif_pct
+            else FMT_PNG
+        )
     return (
         FMT_JPEG
         if _h(cfg, "imgjpeg", image_key) % 100 < cfg.jpeg_pct
@@ -220,6 +252,8 @@ def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]
     # decode than q98 — the scan loop is the whole decode cost.
     if fmt == FMT_JPEG:
         data = encode_jpeg(px, quality=96)
+    elif fmt == FMT_GIF:
+        data = encode_gif(px)  # palette-born pixels → lossless round trip
     elif fmt == FMT_QPNG:
         data = encode_qpng(px, level=2)
     else:

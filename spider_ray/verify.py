@@ -6,7 +6,7 @@ per-row invariant from BASELINE.json ``input_hint``:
 
   * decoded pixels match the **independently re-synthesized oracle
     pixels** (from the ``src_url`` lineage column the sink carries) —
-    exact for lossless PNG, PSNR ≥ 40 dB for lossy re-encodes;
+    exact for lossless PNG/GIF, PSNR ≥ 40 dB for lossy re-encodes;
   * caption exact equality against the caption the source detail page
     carries (``caption_for(detail ordinal)``);
   * ``phash`` recompute match.
@@ -27,7 +27,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .gif import FMT_GIF
 from .imaging import FMT_PNG, decode, phash, psnr
+
+_LOSSLESS = (FMT_PNG, FMT_GIF)  # exact compare; everything else PSNR ≥ 40
 from .synth import World, WorldConfig, image_pixels
 
 
@@ -84,7 +87,7 @@ class VerifyImages:
             opx = image_pixels(self.world.cfg, key)
             if px.shape != opx.shape:
                 psnr_db[j] = 0.0
-            elif fmts[j] == FMT_PNG:
+            elif fmts[j] in _LOSSLESS:
                 pix_ok[j] = bool((px == opx).all())
                 psnr_db[j] = float("inf") if pix_ok[j] else psnr(px, opx)
             else:
@@ -111,7 +114,7 @@ def verify_images_against_oracle(images: pa.Table, oracle_pixels: dict,
     ):
         px = decode(data, fmt)
         opx = oracle_pixels[image_id]
-        if fmt == FMT_PNG:
+        if fmt in _LOSSLESS:
             assert (px == opx).all(), f"pixel mismatch {image_id}"
         else:
             assert psnr(px, opx) >= 40.0, f"PSNR<40dB {image_id}"
