@@ -13,9 +13,16 @@ Scope (honest, contract-tested):
     make silently.
   * decode: the first (and for our encoder, only) image of a GIF87a or
     GIF89a stream; global or local color table; extensions are skipped
-    per spec block structure. Interlaced images and animated streams
-    (a second image descriptor) raise ``NotImplementedError`` —
-    rejected, never mis-decoded.
+    per spec block structure. Interlaced images, transparency, and
+    animated streams (a second image descriptor) raise
+    ``NotImplementedError`` — rejected, never mis-decoded.
+  * animation (round 4): :func:`encode_gif_animation` /
+    :func:`decode_gif_frames` — full-frame GIF89a animations (one
+    Graphic Control Extension + image descriptor + LOCAL color table
+    per frame, NETSCAPE2.0 loop extension). The constrained-but-real
+    subset web video-ish GIFs use for full-frame clips; frame
+    sub-rectangles and transparency-based delta frames are rejected,
+    never composited wrongly.
 
 The encode→decode round trip is bit-exact on the pixel array (GIF is
 lossless over indexed color), which is how the sink invariant treats
@@ -37,6 +44,7 @@ import struct
 import numpy as np
 
 FMT_GIF = "gif"
+FMT_GIF_ANIM = "gif_anim"  # animated stream (the video-ish container)
 
 _GIF89 = b"GIF89a"
 _GIF87 = b"GIF87a"
@@ -173,14 +181,32 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------ encode/decode
+def _table_bits(n_colors: int) -> int:
+    """Color-table size exponent: power of two ≥ n_colors, minimum 2."""
+    bits = 1
+    while (1 << bits) < n_colors:
+        bits += 1
+    return bits
+
+
+def _lzw_image_data(indices: np.ndarray, min_code: int) -> bytes:
+    """min-code byte + LZW stream packed into ≤255-byte data sub-blocks
+    + block terminator."""
+    out = bytearray([min_code])
+    lzw = _lzw_encode(indices.reshape(-1), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
 def encode_gif(pixels: np.ndarray) -> bytes:
     """(H, W, 3) uint8 with ≤256 distinct colors → single-frame GIF89a."""
     palette, indices = _palettize(pixels)
     h, w = indices.shape
-    # global color table size: power of two ≥ len(palette), minimum 2
-    bits = 1
-    while (1 << bits) < len(palette):
-        bits += 1
+    bits = _table_bits(len(palette))
     gct = np.zeros(((1 << bits), 3), dtype=np.uint8)
     gct[: len(palette)] = palette
     min_code = max(2, bits)  # LZW minimum code size (spec: ≥ 2)
@@ -190,19 +216,49 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     out += struct.pack("<HHBBB", w, h, packed_lsd, 0, 0)
     out += gct.tobytes()
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-    out.append(min_code)
-    lzw = _lzw_encode(indices.reshape(-1), min_code)
-    for i in range(0, len(lzw), 255):  # data sub-blocks, ≤255 bytes each
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += _lzw_image_data(indices, min_code)
+    out += b"\x3b"  # trailer
     return bytes(out)
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes → (H, W, 3) uint8 (first image; see module docstring
-    for the rejected-not-misdecoded scope)."""
+def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Full-frame GIF89a animation: per frame one Graphic Control
+    Extension (delay, no transparency, disposal=1 'leave in place') +
+    image descriptor + LOCAL color table; NETSCAPE2.0 loop-forever
+    application extension per the public extension registry. All frames
+    must share (H, W); each must be palette media (≤256 colors)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray()
+    out += _GIF89
+    out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)  # no global color table
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for px in frames:
+        if px.shape[:2] != (h, w):
+            raise ValueError("all animation frames must share (H, W)")
+        palette, indices = _palettize(px)
+        bits = _table_bits(len(palette))
+        lct = np.zeros(((1 << bits), 3), dtype=np.uint8)
+        lct[: len(palette)] = palette
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | (bits - 1))
+        out += lct.tobytes()
+        out += _lzw_image_data(indices, max(2, bits))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _parse_frames(
+    data: bytes,
+) -> tuple[list[tuple[np.ndarray, int, bytes]], int, int]:
+    """Walk a GIF87a/GIF89a stream per spec block structure →
+    ([(color_table, min_code, lzw_bytes) per full-rectangle frame],
+    screen_w, screen_h).
+
+    Rejected, never mis-decoded: interlace, frame sub-rectangles, and
+    GCE transparency (a transparent index decoded as opaque would be a
+    silently wrong composite)."""
     if data[:6] not in (_GIF89, _GIF87):
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
@@ -212,11 +268,15 @@ def decode_gif(data: bytes) -> np.ndarray:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    frames: list[tuple[np.ndarray, int, bytes]] = []
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks until 0
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4 and data[pos + 1] & 0x01:
+                raise NotImplementedError("transparent GIF not supported")
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -246,29 +306,37 @@ def decode_gif(data: bytes) -> np.ndarray:
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            # walk the remaining blocks: another image descriptor means
-            # an animated stream — reject, never mis-decode (first-frame
-            # reads hide the animation silently)
-            while pos < len(data):
-                blk = data[pos]
-                pos += 1
-                if blk == 0x3B:
-                    break
-                if blk == 0x2C:
-                    raise NotImplementedError("animated GIF not supported")
-                if blk == 0x21:
-                    pos += 1
-                    while data[pos]:
-                        pos += 1 + data[pos]
-                    pos += 1
-                else:
-                    raise ValueError(f"unknown GIF block 0x{blk:02x}")
-            indices = _lzw_decode(bytes(lzw), min_code, w * h)
-            if indices.max(initial=0) >= len(ct):
-                raise ValueError("palette index out of range")
-            return ct[indices].reshape(h, w, 3).copy()
+            frames.append((ct, min_code, bytes(lzw)))
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, sw, sh
+
+
+def _decode_frame(ct: np.ndarray, min_code: int, lzw: bytes,
+                  w: int, h: int) -> np.ndarray:
+    indices = _lzw_decode(lzw, min_code, w * h)
+    if indices.max(initial=0) >= len(ct):
+        raise ValueError("palette index out of range")
+    return ct[indices].reshape(h, w, 3).copy()
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → (H, W, 3) uint8 — the SINGLE image of a still GIF.
+    An animated stream (a second image descriptor) is rejected, never
+    first-frame-read (which would hide the animation silently)."""
+    frames, sw, sh = _parse_frames(data)
+    if len(frames) > 1:
+        raise NotImplementedError("animated GIF not supported")
+    return _decode_frame(*frames[0], sw, sh)
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """GIF bytes → every full-rectangle frame as (H, W, 3) uint8.
+    The multi-frame entry point for animated streams (FrameSample);
+    also accepts a still GIF (one frame)."""
+    frames, sw, sh = _parse_frames(data)
+    return [_decode_frame(ct, mc, lzw, sw, sh) for ct, mc, lzw in frames]

@@ -158,9 +158,12 @@ class FrameSample:
     (:mod:`spider_ray.video` parses the RIFF container from the public
     AVI spec; each sampled ``00dc`` chunk is emitted as its baseline
     JPEG bytes WITHOUT transcoding — dimensions come from the avih
-    header, cross-checked against the frame's own SOF). Inter-coded
-    formats (mp4/h264/vp9) stay honestly stubbed behind a cv2
-    import-try: temporal decoding from scratch is out of scope.
+    header, cross-checked against the frame's own SOF) and for
+    full-frame animated GIF since round 4 (:mod:`spider_ray.gif` —
+    every Nth frame decoded and re-emitted as a lossless single-frame
+    GIF). Inter-coded formats (mp4/h264/vp9) stay honestly stubbed
+    behind a cv2 import-try: temporal decoding from scratch is out of
+    scope.
     """
 
     OUTPUT_SCHEMA = pa.schema(
@@ -184,6 +187,7 @@ class FrameSample:
             self.backend = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..gif import FMT_GIF_ANIM, decode_gif_frames, encode_gif
         from ..jpeg import jpeg_dims
         from ..video import FMT_AVI_MJPEG, avi_info, sample_mjpeg_frames
 
@@ -196,11 +200,22 @@ class FrameSample:
         blobs = batch["bytes"].to_pylist()
         out: dict = {k: [] for k in ("video_id", "frame_idx", "bytes", "w", "h", "fmt")}
         for vid, data, fmt in zip(vids, blobs, fmts):
+            if fmt == FMT_GIF_ANIM:
+                frames = decode_gif_frames(data)
+                for idx in range(0, len(frames), self.every):
+                    px = frames[idx]
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(idx)
+                    out["bytes"].append(encode_gif(px))  # lossless re-emit
+                    out["w"].append(px.shape[1])
+                    out["h"].append(px.shape[0])
+                    out["fmt"].append(FMT_GIF)
+                continue
             if fmt != FMT_AVI_MJPEG:
                 if self.backend is None:
                     raise NotImplementedError(
                         f"no decoder for video fmt={fmt!r} (no cv2/ffmpeg in "
-                        "container); avi-mjpeg is the real path"
+                        "container); avi-mjpeg and gif_anim are the real paths"
                     )
                 raise NotImplementedError  # pragma: no cover
             info = avi_info(data)

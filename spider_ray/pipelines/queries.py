@@ -567,17 +567,22 @@ FROM a
 
 
 def q_video_frames(sf_dir: str):
-    """Multimodal VIDEO path (real AVI/MJPEG, spider_ray.video +
-    spider_ray.jpeg): each supplier key synthesises a deterministic
-    solid-color MJPEG clip (frame i of video k is the color
-    ((37k+11i)%256, (53k+7i)%256, (29k+13i)%256)), packed into a RIFF
-    AVI container; the FrameSample actor stage walks the chunk index
-    and emits every 4th frame's JPEG bytes; a verify stage then REALLY
-    decodes each sampled frame (ITU-T T.81 path) and checks the pixels
-    against the color the (video_id, frame_idx) lineage implies —
-    ``px_ok`` is falsifiable, not asserted. Structure (which frames,
-    dims) is closed-form → SQL oracle."""
-    from ..jpeg import decode_jpeg, encode_jpeg
+    """Multimodal VIDEO path (real codecs both ways: AVI/MJPEG via
+    spider_ray.video + spider_ray.jpeg, full-frame animated GIF via
+    spider_ray.gif — r4): each supplier key synthesises a deterministic
+    solid-color clip (frame i of video k is the color
+    ((37k+11i)%256, (53k+7i)%256, (29k+13i)%256)) — even keys as a
+    GIF89a animation, odd keys as a RIFF AVI container; the FrameSample
+    actor stage samples every 4th frame (JPEG bytes copied out of the
+    AVI untranscoded; GIF frames re-emitted as lossless single-frame
+    GIFs); a verify stage then REALLY decodes each sampled frame
+    (T.81 / LZW paths) and checks the pixels against the color the
+    (video_id, frame_idx) lineage implies — ``px_ok`` is falsifiable,
+    not asserted (exact for gif, ≤2 per channel for jpeg). Structure
+    (which frames, dims, per-key fmt) is closed-form → SQL oracle."""
+    from ..gif import FMT_GIF_ANIM, encode_gif_animation
+    from ..imaging import decode as decode_image
+    from ..jpeg import encode_jpeg
     from ..ops.multimodal import FrameSample
     from ..video import FMT_AVI_MJPEG, encode_avi_mjpeg
 
@@ -585,37 +590,47 @@ def q_video_frames(sf_dir: str):
 
     def synth_videos(b: pa.Table) -> pa.Table:
         keys = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vids, blobs = [], []
+        vids, blobs, fmts = [], [], []
         for k in keys:
             k = int(k)
             nf = 8 + k % 9
             w, h = 16 * (1 + k % 2), 16 * (1 + k % 3)
-            frames = []
-            for i in range(nf):
-                col = np.array(
+            cols = [
+                np.array(
                     [(37 * k + 11 * i) % 256, (53 * k + 7 * i) % 256,
                      (29 * k + 13 * i) % 256],
                     np.uint8,
                 )
-                frames.append(
-                    encode_jpeg(np.broadcast_to(col, (h, w, 3)).copy(), quality=90)
-                )
+                for i in range(nf)
+            ]
+            if k % 2 == 0:  # even keys: full-frame animated GIF clip
+                blobs.append(encode_gif_animation(
+                    [np.broadcast_to(c, (h, w, 3)).copy() for c in cols]
+                ))
+                fmts.append(FMT_GIF_ANIM)
+            else:  # odd keys: MJPEG-in-AVI clip
+                blobs.append(encode_avi_mjpeg(
+                    [encode_jpeg(np.broadcast_to(c, (h, w, 3)).copy(),
+                                 quality=90) for c in cols],
+                    w, h, fps=10,
+                ))
+                fmts.append(FMT_AVI_MJPEG)
             vids.append(f"vid_{k}")
-            blobs.append(encode_avi_mjpeg(frames, w, h, fps=10))
         return pa.table(
             {
                 "video_id": pa.array(vids, pa.string()),
                 "bytes": pa.array(blobs, pa.binary()),
-                "fmt": pa.array([FMT_AVI_MJPEG] * len(vids), pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
             }
         )
 
     def verify_frames(b: pa.Table) -> pa.Table:
         ok = []
-        for vid, idx, jpg in zip(
+        for vid, idx, blob, fmt in zip(
             b["video_id"].to_pylist(),
             b["frame_idx"].to_pylist(),
             b["bytes"].to_pylist(),
+            b["fmt"].to_pylist(),
         ):
             k = int(vid.removeprefix("vid_"))
             col = np.array(
@@ -623,8 +638,9 @@ def q_video_frames(sf_dir: str):
                  (29 * k + 13 * idx) % 256],
                 np.int64,
             )
-            px = decode_jpeg(jpg).astype(np.int64)
-            ok.append(bool(np.abs(px - col).max() <= 2))
+            px = decode_image(blob, fmt).astype(np.int64)
+            tol = 0 if fmt == "gif" else 2  # gif is lossless
+            ok.append(bool(np.abs(px - col).max() <= tol))
         return pa.table(
             {
                 "video_id": b["video_id"],
@@ -664,7 +680,7 @@ SELECT 'vid_' || k AS video_id,
        CAST(fi AS BIGINT) AS frame_idx,
        CAST(w AS BIGINT) AS w,
        CAST(h AS BIGINT) AS h,
-       'jpeg' AS fmt,
+       CASE WHEN k % 2 = 0 THEN 'gif' ELSE 'jpeg' END AS fmt,
        TRUE AS px_ok
 FROM f
 """

@@ -10,10 +10,13 @@ import pytest
 
 from spider_ray.gif import (
     FMT_GIF,
+    FMT_GIF_ANIM,
     _lzw_decode,
     _lzw_encode,
     decode_gif,
+    decode_gif_frames,
     encode_gif,
+    encode_gif_animation,
 )
 
 
@@ -110,6 +113,66 @@ def test_gif87a_and_extensions_accepted():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = bytes(data[:pos]) + gce + bytes(data[pos:])
     assert (decode_gif(spliced) == px).all()
+
+
+def test_animation_round_trip_exact():
+    rng = np.random.default_rng(21)
+    frames = [_palette_image(rng, 24, 30, 16) for _ in range(7)]
+    data = encode_gif_animation(frames, delay_cs=4)
+    out = decode_gif_frames(data)
+    assert len(out) == 7
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # the single-image API must reject the animation, not first-frame it
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_gif(data)
+
+
+def test_still_gif_through_frames_api():
+    rng = np.random.default_rng(23)
+    px = _palette_image(rng, 9, 14, 5)
+    frames = decode_gif_frames(encode_gif(px))
+    assert len(frames) == 1 and (frames[0] == px).all()
+
+
+def test_animation_contracts():
+    rng = np.random.default_rng(25)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_gif_animation([])
+    a = _palette_image(rng, 8, 8, 4)
+    b = _palette_image(rng, 8, 9, 4)  # mismatched (H, W)
+    with pytest.raises(ValueError, match="share"):
+        encode_gif_animation([a, b])
+    # transparency flag in a GCE → rejected, never composited as opaque
+    data = bytearray(encode_gif_animation([a, a]))
+    pos = data.index(b"\x21\xf9\x04")
+    data[pos + 3] |= 0x01  # set the transparent-color flag
+    with pytest.raises(NotImplementedError, match="transparent"):
+        decode_gif_frames(bytes(data))
+
+
+def test_frame_sample_gif_animation():
+    """FrameSample samples every Nth animation frame and re-emits each
+    as a lossless single-frame GIF."""
+    import pyarrow as pa
+
+    from spider_ray.imaging import decode
+    from spider_ray.ops.multimodal import FrameSample
+
+    rng = np.random.default_rng(27)
+    frames = [_palette_image(rng, 16, 16, 8) for _ in range(8)]
+    batch = pa.table(
+        {
+            "video_id": pa.array(["g0"], pa.string()),
+            "bytes": pa.array([encode_gif_animation(frames)], pa.binary()),
+            "fmt": pa.array([FMT_GIF_ANIM], pa.string()),
+        }
+    )
+    out = FrameSample(every_n_frames=3)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    assert out["fmt"].to_pylist() == [FMT_GIF] * 3
+    for idx, blob in zip(out["frame_idx"].to_pylist(), out["bytes"].to_pylist()):
+        assert (decode(blob, FMT_GIF) == frames[idx]).all()
 
 
 def test_synth_world_gif_images():
