@@ -1,13 +1,20 @@
-"""Minimal WAV codec + audio feature kernels (numpy/struct only).
+"""Minimal WAV codec + IMA ADPCM + audio feature kernels (numpy/struct).
 
 The multimodal contract treats audio as an opaque ``binary`` column
 with typed metadata. This container has no audio libraries (no
 soundfile/librosa/pydub), but PCM WAV needs none: the RIFF/WAVE
 format (Microsoft/IBM spec, public) is a chunked header around raw
 PCM samples. This module implements 16-bit mono PCM encode/decode
-from the spec — the real path. FLAC is also real since round 3
-(:mod:`spider_ray.flac`, RFC 9639); mp3/ogg remain stubs behind
-import-tries (see ops.multimodal ``AudioFeatures``).
+from the spec — the real path — plus **IMA ADPCM** (round 4): the
+4-bit adaptive-differential codec of the public IMA "Recommended
+Practices for Enhancing Digital Audio Compatibility" rev 3.00 (1992;
+the same algorithm RFC 3551 §4.5.1 registers as DVI4), carried in
+the standard WAVE container as format tag 17 with block-aligned
+frames — a REAL lossy compressed-audio path (4:1 vs PCM16). FLAC
+(lossless) is real since round 3 (:mod:`spider_ray.flac`, RFC 9639);
+mp3/ogg remain honest stubs behind import-tries (see ops.multimodal
+``AudioFeatures``): psychoacoustic decoders from scratch are out of
+scope.
 
 All functions are pure and deterministic.
 """
@@ -19,6 +26,21 @@ import struct
 import numpy as np
 
 FMT_WAV = "wav"
+FMT_ADPCM = "adpcm"  # IMA ADPCM in a RIFF/WAVE container (format tag 0x11)
+
+# IMA ADPCM tables (IMA rec. practices rev 3.00; RFC 3551 §4.5.1)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32
+)
+_IMA_STEP = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32
+)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -34,29 +56,171 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     )
 
 
+# ----------------------------------------------------------- IMA ADPCM
+def _ima_decode_sample(code: int, pred: int, index: int) -> tuple[int, int]:
+    """One 4-bit code → (new predictor, new step index) — the exact
+    integer reconstruction of the IMA spec (also RFC 3551 §4.5.1)."""
+    step = int(_IMA_STEP[index])
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[code])))
+    return pred, index
+
+
+def _ima_encode_sample(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    """Quantize one sample difference → (code, new predictor, new index).
+    The predictor update MIRRORS the decoder so encoder and decoder
+    track the same state (the codec's core invariant)."""
+    step = int(_IMA_STEP[index])
+    diff = sample - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    pred, index = _ima_decode_sample(code, pred, index)
+    return code, pred, index
+
+
+def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 8000,
+                     block_align: int = 256) -> bytes:
+    """int16 mono → IMA ADPCM in a RIFF/WAVE container (format tag 17).
+
+    Standard block layout (mono): a 4-byte header — predictor:int16
+    (which IS the block's first sample), step index:uint8, reserved —
+    then ``block_align - 4`` bytes of 4-bit codes, low nibble first.
+    Each block is independently decodable from its own header (the
+    format's seekability property). A ``fact`` chunk records the true
+    sample count (required for compressed WAVE per the spec); the final
+    partial block is padded with codes that hold the predictor still."""
+    x = np.asarray(samples, dtype=np.int16).astype(np.int32)
+    n = len(x)
+    if n == 0:
+        raise ValueError("empty signal")
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    index = 0
+    blocks = bytearray()
+    pos = 0
+    while pos < n:
+        chunk = x[pos : pos + spb]
+        cur = int(chunk[0])
+        blocks += struct.pack("<hBB", cur, index, 0)
+        nibbles = bytearray()
+        for s in chunk[1:].tolist():
+            code, cur, index = _ima_encode_sample(s, cur, index)
+            nibbles.append(code)
+        while len(nibbles) < (block_align - 4) * 2:  # pad the tail block
+            code, cur, index = _ima_encode_sample(cur, cur, index)
+            nibbles.append(code)
+        blocks += bytes(
+            nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+        )
+        pos += spb
+    avg_bps = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, avg_bps, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n)
+    riff_sz = 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(blocks))
+    return (
+        b"RIFF" + struct.pack("<I", riff_sz) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+
+
+def _decode_ima_blocks(payload: bytes, block_align: int, spb: int,
+                       total: int) -> np.ndarray:
+    out = np.empty(total, dtype=np.int16)
+    w = 0
+    pos = 0
+    while w < total:
+        if pos + 4 > len(payload):
+            raise ValueError("ADPCM stream truncated")
+        pred, index, _res = struct.unpack_from("<hBB", payload, pos)
+        if index > 88:
+            raise ValueError("corrupt ADPCM block: step index > 88")
+        pos += 4
+        out[w] = pred
+        w += 1
+        data = payload[pos : pos + block_align - 4]
+        pos += block_align - 4
+        count = min(spb - 1, total - w)
+        k = 0
+        for byte in data:
+            for code in (byte & 0x0F, byte >> 4):
+                if k >= count:
+                    break
+                pred, index = _ima_decode_sample(code, pred, index)
+                out[w] = pred
+                w += 1
+                k += 1
+            if k >= count:
+                break
+        if k < count:
+            raise ValueError("ADPCM stream truncated")
+    return out
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes → (int16 mono samples, sample_rate). Walks the
-    chunk list per spec (tolerates extra chunks; rejects non-PCM16)."""
+    chunk list per spec (tolerates extra chunks). Real paths: PCM16
+    (tag 1) and IMA ADPCM (tag 0x11, via the fact-chunk sample count);
+    other compression tags are rejected."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     sample_rate = None
     pcm = None
+    audio_fmt = None
+    block_align = spb = fact_n = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         payload = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
-                "<HHIIHH", payload
+            audio_fmt, channels, sample_rate, _br, block_align, bits = (
+                struct.unpack_from("<HHIIHH", payload)
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit mono PCM supported")
+            if audio_fmt == 1:
+                if channels != 1 or bits != 16:
+                    raise NotImplementedError("only 16-bit mono PCM supported")
+            elif audio_fmt == 0x11:
+                if channels != 1 or bits != 4:
+                    raise NotImplementedError("only 4-bit mono IMA ADPCM supported")
+                spb = struct.unpack_from("<H", payload, 18)[0]
+            else:
+                raise NotImplementedError(
+                    "only PCM16 (tag 1) and IMA ADPCM (tag 17) supported"
+                )
+        elif tag == b"fact":
+            (fact_n,) = struct.unpack_from("<I", payload)
         elif tag == b"data":
             pcm = payload
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 0x11:
+        if spb is None:
+            raise ValueError("IMA ADPCM fmt chunk missing samples-per-block")
+        if fact_n is None:  # fact is mandatory per spec, but be tolerant
+            fact_n = (len(pcm) // block_align) * spb
+        return _decode_ima_blocks(pcm, block_align, spb, fact_n), sample_rate
     return np.frombuffer(pcm, dtype="<i2").astype(np.int16), sample_rate
 
 

@@ -109,8 +109,9 @@ class ResizeImages:
 class AudioFeatures:
     """Actor-pool stage: audio binary column → integer feature columns
     (n_samples, duration_ms, rms, peak, zero_crossings). REAL for PCM
-    WAV (spider_ray.audio, RIFF spec) and for FLAC (spider_ray.flac,
-    RFC 9639 — r3); remaining compressed formats (mp3/ogg) are stubs
+    WAV (spider_ray.audio, RIFF spec), FLAC (spider_ray.flac, RFC 9639
+    — r3), and lossy IMA ADPCM (spider_ray.audio, IMA rev 3.00 / WAVE
+    tag 17 — r4); remaining compressed formats (mp3/ogg) are stubs
     behind an import-try, same plumbing."""
 
     def __init__(self, strict: bool = True):
@@ -123,7 +124,7 @@ class AudioFeatures:
             self.has_codecs = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..audio import FMT_WAV, audio_features, decode_wav
+        from ..audio import FMT_ADPCM, FMT_WAV, audio_features, decode_wav
         from ..flac import FMT_FLAC, decode_flac
 
         n = batch.num_rows
@@ -133,9 +134,10 @@ class AudioFeatures:
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         for j in range(n):
-            if fmts[j] in (FMT_WAV, FMT_FLAC):
-                samples, sr = (decode_wav if fmts[j] == FMT_WAV
-                               else decode_flac)(blobs[j])
+            if fmts[j] in (FMT_WAV, FMT_ADPCM, FMT_FLAC):
+                # FMT_ADPCM shares the WAVE container walker (tag 0x11)
+                samples, sr = (decode_flac if fmts[j] == FMT_FLAC
+                               else decode_wav)(blobs[j])
                 for k, v in audio_features(samples, sr).items():
                     feats[k][j] = v
                 ok[j] = True

@@ -494,15 +494,20 @@ FROM orders
 
 
 def q_audio_features(sf_dir: str):
-    """Multimodal AUDIO path (real codecs: PCM WAV via spider_ray.audio,
-    FLAC via spider_ray.flac — r3): a deterministic square-wave corpus
-    derived from order keys is round-tripped through the container
-    encoder (every third key FLAC, the rest WAV) and the AudioFeatures
+    """Multimodal AUDIO path (real codecs: PCM WAV + lossy IMA ADPCM
+    via spider_ray.audio, FLAC via spider_ray.flac): a deterministic
+    corpus derived from order keys is round-tripped through the
+    container encoders (k%3==0 FLAC square wave, k%3==1 WAV square
+    wave, k%3==2 IMA ADPCM constant signal — r4) and the AudioFeatures
     actor-pool stage; integer features hash-match a closed-form SQL
-    oracle (square wave of amplitude A: rms = peak = A, alternating
-    sign → n-1 zero crossings — container-independent, so the SAME
-    oracle covers both codecs and a FLAC mis-decode breaks the hash)."""
-    from ..audio import FMT_WAV, encode_wav
+    oracle. Square wave of amplitude A: rms = peak = A, alternating
+    sign → n-1 zero crossings. Constant A is BIT-EXACT through the
+    lossy ADPCM codec (the block header carries the first sample and
+    code 0 at step index 0 reconstructs a 0 diff — the property
+    tests/test_adpcm.py::test_constant_signal_exact pins), so rms =
+    peak = A with 0 crossings — container-independent, and a
+    mis-decode in any of the three codecs breaks the hash."""
+    from ..audio import FMT_ADPCM, FMT_WAV, encode_adpcm_wav, encode_wav
     from ..flac import FMT_FLAC, encode_flac
     from ..ops.multimodal import AudioFeatures
 
@@ -516,6 +521,11 @@ def q_audio_features(sf_dir: str):
             n = 800 + int(k) % 50
             amp = 1000 + int(k) % 100
             t = np.arange(n)
+            if int(k) % 3 == 2:
+                samples = np.full(n, amp, dtype=np.int16)
+                blobs.append(encode_adpcm_wav(samples, sample_rate=8000))
+                fmts.append(FMT_ADPCM)
+                continue
             samples = (amp * np.where(t % 2 == 0, 1, -1)).astype(np.int16)
             if int(k) % 3 == 0:
                 blobs.append(encode_flac(samples, sample_rate=8000))
@@ -561,7 +571,8 @@ SELECT o_orderkey,
        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
        CAST(amp AS BIGINT) AS rms,
        CAST(amp AS BIGINT) AS peak,
-       CAST(n - 1 AS BIGINT) AS zero_crossings
+       CAST(CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE n - 1 END AS BIGINT)
+         AS zero_crossings
 FROM a
 """
 
