@@ -13,9 +13,10 @@ Scope (honest, contract-tested):
     make silently.
   * decode: the first (and for our encoder, only) image of a GIF87a or
     GIF89a stream; global or local color table; extensions are skipped
-    per spec block structure. Interlaced images, transparency, and
-    animated streams (a second image descriptor) raise
-    ``NotImplementedError`` — rejected, never mis-decoded.
+    per spec block structure; interlaced rasters are de-interleaved via
+    the spec's 4-pass scheme (Appendix E). Transparency and animated
+    streams (a second image descriptor) raise ``NotImplementedError``
+    — rejected, never mis-decoded.
   * animation (round 4): :func:`encode_gif_animation` /
     :func:`decode_gif_frames` — full-frame GIF89a animations (one
     Graphic Control Extension + image descriptor + LOCAL color table
@@ -251,14 +252,15 @@ def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
 
 def _parse_frames(
     data: bytes,
-) -> tuple[list[tuple[np.ndarray, int, bytes]], int, int]:
+) -> tuple[list[tuple[np.ndarray, int, bytes, bool]], int, int]:
     """Walk a GIF87a/GIF89a stream per spec block structure →
-    ([(color_table, min_code, lzw_bytes) per full-rectangle frame],
-    screen_w, screen_h).
+    ([(color_table, min_code, lzw_bytes, interlaced) per full-rectangle
+    frame], screen_w, screen_h).
 
-    Rejected, never mis-decoded: interlace, frame sub-rectangles, and
-    GCE transparency (a transparent index decoded as opaque would be a
-    silently wrong composite)."""
+    Rejected, never mis-decoded: frame sub-rectangles and GCE
+    transparency (a transparent index decoded as opaque would be a
+    silently wrong composite). Interlaced rasters are decoded via the
+    spec's 4-pass row ordering (Appendix E)."""
     if data[:6] not in (_GIF89, _GIF87):
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
@@ -283,8 +285,7 @@ def _parse_frames(
         elif block == 0x2C:  # image descriptor
             left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
             pos += 9
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
+            interlaced = bool(ipacked & 0x40)
             ct = gct
             if ipacked & 0x80:  # local color table wins
                 n = 2 << (ipacked & 0x07)
@@ -306,7 +307,7 @@ def _parse_frames(
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            frames.append((ct, min_code, bytes(lzw)))
+            frames.append((ct, min_code, bytes(lzw), interlaced))
         elif block == 0x3B:
             break
         else:
@@ -316,12 +317,27 @@ def _parse_frames(
     return frames, sw, sh
 
 
+def _interlace_order(h: int) -> np.ndarray:
+    """Display-row index for each transmitted row — the 4-pass scheme
+    of the GIF spec (Appendix E): rows 0,8,16,… then 4,12,… then
+    2,6,10,… then 1,3,5,…"""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in
+         ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
 def _decode_frame(ct: np.ndarray, min_code: int, lzw: bytes,
-                  w: int, h: int) -> np.ndarray:
+                  interlaced: bool, w: int, h: int) -> np.ndarray:
     indices = _lzw_decode(lzw, min_code, w * h)
     if indices.max(initial=0) >= len(ct):
         raise ValueError("palette index out of range")
-    return ct[indices].reshape(h, w, 3).copy()
+    px = ct[indices].reshape(h, w, 3)
+    if interlaced:
+        out = np.empty_like(px)
+        out[_interlace_order(h)] = px  # transmitted → display row order
+        return out
+    return px.copy()
 
 
 def decode_gif(data: bytes) -> np.ndarray:
@@ -339,4 +355,4 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     The multi-frame entry point for animated streams (FrameSample);
     also accepts a still GIF (one frame)."""
     frames, sw, sh = _parse_frames(data)
-    return [_decode_frame(ct, mc, lzw, sw, sh) for ct, mc, lzw in frames]
+    return [_decode_frame(ct, mc, lzw, il, sw, sh) for ct, mc, lzw, il in frames]

@@ -90,15 +90,24 @@ def test_corruption_rejected_not_misdecoded():
 def test_scope_contracts():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"PNG........")
+
+
+def test_interlaced_decode():
+    """A GIF whose raster is transmitted in the spec's 4-pass interlace
+    order decodes back to display order (Appendix E)."""
+    from spider_ray.gif import _interlace_order
+
     rng = np.random.default_rng(5)
-    px = _palette_image(rng, 8, 8, 4)
-    data = bytearray(encode_gif(px))
-    # force the interlace flag in the image descriptor (after the 13-byte
-    # header + GCT): descriptor starts at the 0x2C byte
-    pos = data.index(0x2C, 13)
-    data[pos + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(data))
+    for h in (1, 2, 7, 8, 9, 33):
+        px = _palette_image(rng, h, 12, 8)
+        order = _interlace_order(h)
+        assert sorted(order.tolist()) == list(range(h))  # a permutation
+        transmitted = px[order]  # rows in transmission order
+        data = bytearray(encode_gif(transmitted))
+        pos = 13 + 3 * (2 << (data[10] & 0x07))  # header + global color table
+        assert data[pos] == 0x2C  # image descriptor
+        data[pos + 9] |= 0x40  # set the interlace flag
+        assert (decode_gif(bytes(data)) == px).all()
 
 
 def test_gif87a_and_extensions_accepted():
@@ -109,7 +118,8 @@ def test_gif87a_and_extensions_accepted():
     d87 = bytes(data).replace(b"GIF89a", b"GIF87a", 1)
     assert (decode_gif(d87) == px).all()
     # splice a Graphic Control Extension before the image descriptor
-    pos = data.index(0x2C, 13)
+    pos = 13 + 3 * (2 << (data[10] & 0x07))
+    assert data[pos] == 0x2C
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = bytes(data[:pos]) + gce + bytes(data[pos:])
     assert (decode_gif(spliced) == px).all()
