@@ -107,20 +107,113 @@ def xxh64(data: bytes | str, seed: int = 0) -> int:
     return _xxh64_impl(data, seed)
 
 
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _gather_le(flat: np.ndarray, pos: np.ndarray, nbytes: int) -> np.ndarray:
+    """Little-endian integer of ``nbytes`` at each (unaligned) byte
+    position ``pos`` of ``flat`` → uint64 array."""
+    out = flat[pos].astype(np.uint64)
+    for k in range(1, nbytes):
+        out |= flat[pos + k].astype(np.uint64) << np.uint64(8 * k)
+    return out
+
+
 def xxh64_many(values, seed: int = 0) -> np.ndarray:
     """Hash an iterable of str/bytes → ``np.uint64`` array.
 
-    Per-batch helper used inside ``map_batches`` stages; the Python
-    loop here is the documented trade-off of the pure-Python fallback
-    (see module docstring).
+    Vectorized across the batch (round 4; previously a per-value
+    Python loop — the one remaining documented scalar trade-off):
+    inputs are packed into one flat byte buffer and the XXH64 state
+    recurrence runs as numpy uint64 ops over every input at once —
+    stripe ``s`` of every still-active input per iteration, inputs
+    sorted by stripe count so the active set is a shrinking contiguous
+    slice. A handful of extreme-length outliers (longer than the
+    16th-longest input) would serialize the stripe loop on tiny
+    slices, so they take the scalar path instead. Bit-identical to
+    :func:`xxh64` (property-tested, spec vectors). With the C wheel
+    present the per-value C call wins and is used instead.
     """
-    f = _xxh64_impl
-    out = np.fromiter(
-        (f(v if isinstance(v, bytes) else v.encode("utf-8"), seed) for v in values),
-        dtype=np.uint64,
-        count=len(values) if hasattr(values, "__len__") else -1,
-    )
-    return out
+    vals = [v if isinstance(v, bytes) else v.encode("utf-8") for v in values]
+    n = len(vals)
+    if _IMPL == "c":  # pragma: no cover — wheel not in this container
+        return np.fromiter((_xxh64_impl(v, seed) for v in vals),
+                           dtype=np.uint64, count=n)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    P1, P2, P3, P4, P5 = (np.uint64(p) for p in (_P1, _P2, _P3, _P4, _P5))
+    h = np.full(n, np.uint64((seed + _P5) & _MASK))
+    scalar_idx: np.ndarray | None = None
+    with np.errstate(over="ignore"):
+        big = np.nonzero(lens >= 32)[0]
+        if big.size:
+            ns = lens[big] // 32
+            order = np.argsort(ns, kind="stable")
+            big = big[order]
+            ns = ns[order]
+            m = big.size
+            # extreme-length outliers → scalar path (see docstring)
+            smax = int(ns[-1]) if m <= 16 else int(ns[m - 16])
+            long = np.nonzero(ns > smax)[0]
+            if long.size:
+                scalar_idx = big[long]
+                keep = np.nonzero(ns <= smax)[0]
+                big, ns, m = big[keep], ns[keep], keep.size
+        if big.size:
+            o = offs[big]
+            v1 = np.full(m, np.uint64((seed + _P1 + _P2) & _MASK))
+            v2 = np.full(m, np.uint64((seed + _P2) & _MASK))
+            v3 = np.full(m, np.uint64(seed & _MASK))
+            v4 = np.full(m, np.uint64((seed - _P1) & _MASK))
+            for s in range(int(ns[-1])):
+                a = int(np.searchsorted(ns, s, side="right"))
+                pos = o[a:] + 32 * s
+                for lane_off, vv in ((0, v1), (8, v2), (16, v3), (24, v4)):
+                    acc = vv[a:] + _gather_le(flat, pos + lane_off, 8) * P2
+                    vv[a:] = _vrotl(acc, 31) * P1
+            hh = _vrotl(v1, 1) + _vrotl(v2, 7) + _vrotl(v3, 12) + _vrotl(v4, 18)
+            for vv in (v1, v2, v3, v4):
+                hh = (hh ^ (_vrotl(vv * P2, 31) * P1)) * P1 + P4
+            h[big] = hh
+        h += lens.astype(np.uint64)
+        rem = lens % 32
+        toff = offs + lens - rem
+        for c in range(3):  # up to three 8-byte tail chunks
+            act = np.nonzero(rem >= 8 * (c + 1))[0]
+            if act.size == 0:
+                break
+            k1 = _vrotl(_gather_le(flat, toff[act] + 8 * c, 8) * P2, 31) * P1
+            h[act] = _vrotl(h[act] ^ k1, 27) * P1 + P4
+        r8 = rem % 8
+        off4 = toff + (rem // 8) * 8
+        act = np.nonzero(r8 >= 4)[0]
+        if act.size:
+            h[act] = (
+                _vrotl(h[act] ^ (_gather_le(flat, off4[act], 4) * P1), 23) * P2 + P3
+            )
+        offb = off4 + (r8 // 4) * 4
+        rb = r8 % 4
+        for c in range(3):  # up to three tail bytes
+            act = np.nonzero(rb > c)[0]
+            if act.size == 0:
+                break
+            h[act] = _vrotl(
+                h[act] ^ (flat[offb[act] + c].astype(np.uint64) * P5), 11
+            ) * P1
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    if scalar_idx is not None:
+        for i in scalar_idx:
+            h[i] = _xxh64_py(vals[i], seed)
+    return h
 
 
 def xxh64_u64_many(x: np.ndarray | list, seed: int = 0) -> np.ndarray:

@@ -4,6 +4,8 @@ pinning the reference's helper.py semantics, including its quirks."""
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from spider_ray import canon, extract
 from spider_ray.hashing import splitmix64, xxh64, xxh64_many
@@ -26,6 +28,39 @@ def test_xxh64_many():
     out = xxh64_many(vals)
     assert out.dtype == np.uint64
     assert [int(x) for x in out] == [xxh64(v) for v in vals]
+
+
+def test_xxh64_many_bit_identical_exhaustive_lengths():
+    """The vectorized batch path (r4) must agree with the scalar spec
+    implementation at EVERY length class: empty, tail-bytes-only,
+    4-byte chunk, 8-byte chunks, stripes, and every alignment 0..200,
+    plus the >16th-longest scalar-outlier escape path."""
+    import random
+
+    from spider_ray.hashing import _xxh64_py
+
+    rng = random.Random(13)
+    vals = [bytes(rng.randrange(256) for _ in range(L))
+            for L in list(range(201)) + [255, 256, 1000, 4096]]
+    rng.shuffle(vals)
+    for seed in (0, 7, 2**31):
+        got = xxh64_many(vals, seed)
+        assert [int(x) for x in got] == [_xxh64_py(v, seed) for v in vals]
+    # outlier escape: a few huge inputs among many small ones
+    vals2 = [b"u" * 40] * 50 + [bytes(rng.randrange(256) for _ in range(200_000))] * 2
+    assert [int(x) for x in xxh64_many(vals2)] == [_xxh64_py(v) for v in vals2]
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=300), min_size=0, max_size=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_xxh64_many_bit_identical_property(vals, seed):
+    from spider_ray.hashing import _xxh64_py
+
+    got = xxh64_many(vals, seed)
+    assert [int(x) for x in got] == [_xxh64_py(v, seed) for v in vals]
 
 
 def test_xxh64_u64_many_matches_scalar():
