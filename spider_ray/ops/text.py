@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import xxh64
+from ..hashing import xxh64_many
 
 _TOKEN_RE = r"\S+"
 # BPE-style pre-tokenization (the GPT-2 pattern family, lookahead-free
@@ -176,14 +176,9 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     dedup at any scale."""
     texts = batch[text_col].to_pylist()
     ws = re.compile(r"\s+")
-    fps = np.fromiter(
-        (
-            (xxh64(ws.sub(" ", (t or "")).strip()) + (1 << 63)) % (1 << 64) - (1 << 63)
-            for t in texts
-        ),
-        dtype=np.int64,
-        count=len(texts),
-    )
+    normed = [ws.sub(" ", (t or "")).strip() for t in texts]
+    # one vectorized batch hash (r4); int64 view = two's complement
+    fps = xxh64_many(normed).view(np.int64)
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
 
 
