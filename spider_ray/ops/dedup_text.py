@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..hashing import splitmix64, xxh64
+from ..hashing import splitmix64, xxh64, xxh64_many
 from .pairs import (
     blocked_all_pairs,
     cosine_pair_cell,
@@ -45,11 +45,7 @@ from .pairs import (
 def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # int64 two's complement of xxh64 — Ray Data groupby/aggregate keys
     # must be signed (uint64 keys fall back to pickled-object columns)
-    h = np.fromiter(
-        (xxh64(t or "") for t in batch[text_col].to_pylist()),
-        dtype=np.uint64,
-        count=batch.num_rows,
-    ).view(np.int64)
+    h = xxh64_many([t or "" for t in batch[text_col].to_pylist()]).view(np.int64)
     return batch.append_column("text_hash", pa.array(h, pa.int64()))
 
 
@@ -197,8 +193,24 @@ def _batch_shingle_sets(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
         flat_tokens.extend(tl)
     if flat_tokens:
         codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
-        lut = np.fromiter((_tok_hash(u) for u in uniques), dtype=np.uint64,
-                          count=len(uniques))
+        # cache hits resolve from the dict; the cold remainder hashes in
+        # ONE vectorized xxh64_many call (r4) instead of per-token Python
+        lut = np.empty(len(uniques), dtype=np.uint64)
+        miss: list[int] = []
+        get = _TOKEN_HASH_CACHE.get
+        for i, u in enumerate(uniques):
+            hv = get(u)
+            if hv is None:
+                miss.append(i)
+            else:
+                lut[i] = hv
+        if miss:
+            if len(_TOKEN_HASH_CACHE) > 1_000_000:
+                _TOKEN_HASH_CACHE.clear()
+            hvs = xxh64_many([uniques[i] for i in miss])
+            lut[miss] = hvs
+            for i, hv in zip(miss, hvs.tolist()):
+                _TOKEN_HASH_CACHE[uniques[i]] = hv
         th_flat = lut[codes]
     else:
         th_flat = np.empty(0, np.uint64)
@@ -221,10 +233,7 @@ def _batch_shingle_sets(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     # short docs: one hash of the joined tokens (matches scalar path)
     if short.any():
         sdocs = np.nonzero(short)[0]
-        svals = np.fromiter(
-            (xxh64(" ".join(tok_lists[i])) for i in sdocs),
-            dtype=np.uint64, count=len(sdocs),
-        )
+        svals = xxh64_many([" ".join(tok_lists[i]) for i in sdocs])
         sh_docs = np.concatenate([sh_docs, sdocs])
         sh_vals = np.concatenate([sh_vals, svals])
     # per-doc sorted unique: one lexsort + adjacent-equal drop
