@@ -221,3 +221,86 @@ def test_r4_axis_and_predicate_additions():
     )[0].attrs.get("class") == "description"
     (em,) = select(root, "//p/descendant-or-self::em/text()")
     assert em == "lumineux"
+
+
+HMRES_PAGE = """
+<html><body>
+  <h1 class="title">12 <span>Kings Road</span>, Newcastle</h1>
+  <div class="properties">
+    <div class="property-item border-box featured"><a href="/property/101">A</a></div>
+    <div class="property-item border-box"><a href="/property/102">B</a></div>
+    <div class="other-item"><a href="/property/999">X</a></div>
+  </div>
+  <span title="Property Id">ID 4711</span>
+  <div class="title"><span>Stunning flat</span></div>
+  <section id="property-content">
+    <p>Two bed apartment. AVAILABLE NOW</p>
+    <p>Fully Furnished throughout</p>
+    <p>Close to <b>city centre</b></p>
+  </section>
+  <span title="Bedrooms">2</span>
+  <span title="Bathrooms">1</span>
+  <div class="property-image  zoom" data-image="/img/a.jpg"></div>
+  <div class="property-image  zoom" data-image="/img/b.jpg"></div>
+  <h3><span>Features</span></h3>
+  <ul><li>Parking</li><li>Garden <em>south facing</em></li></ul>
+  <div class="meta">&pound;795 pcm</div>
+  <script>var mapOptions = {center: [54.97, -1.61]};</script>
+</body></html>
+"""
+
+
+def test_port_hmresidential_selector_set():
+    """Third real-spider port: pyspiders-master
+    spiders/hmresidential_co_uk.py:64-215 verbatim — exercises the
+    wildcard element test with contains(@class/@title), mid-path
+    parent steps (..) chained into an ELEMENT-valued following-sibling
+    axis, deep //text() after a string-value predicate, and
+    text()[contains(.,s)] filters."""
+    root = parse_html(HMRES_PAGE)
+    # listing loop (line 64)
+    assert select(
+        root, './/*[contains(@class,"property-item border-box")]/a/@href'
+    ) == ["/property/101", "/property/102"]
+    # external_id (94) / bedrooms (119) / bathrooms (122)
+    assert select(root, './/*[contains(@title,"Id")]/text()') == ["ID 4711"]
+    assert select(root, './/*[contains(@title,"Bedroom")]/text()') == ["2"]
+    assert select(root, './/*[contains(@title,"Bathroom")]/text()') == ["1"]
+    # title span under ANY element with class="title" (95): matches the
+    # h1 and the div, in document order
+    assert select(root, './/*[@class="title"]//span/text()') == [
+        "Kings Road", "Stunning flat",
+    ]
+    # description paragraphs (97)
+    assert select(root, './/*[@id="property-content"]//p/text()') == [
+        "Two bed apartment. AVAILABLE NOW",
+        "Fully Furnished throughout",
+        "Close to ",
+    ]
+    # images via data-image, exact class with internal double space (127)
+    assert select(root, './/*[@class="property-image  zoom"]/@data-image') == [
+        "/img/a.jpg", "/img/b.jpg",
+    ]
+    # rent string (129)
+    assert select(root, './/*[@class="meta"]/text()') == ["£795 pcm"]
+    # availability: string-value predicate then deep //text() (131)
+    assert select(
+        root, "//section[@id='property-content']//p[contains(.,'AVAILABLE')]//text()"
+    ) == ["Two bed apartment. AVAILABLE NOW"]
+    # furnished: text() node filter (139)
+    assert select(
+        root, '//section[@id="property-content"]//p//text()[contains(., "Furnished")]'
+    ) == ["Fully Furnished throughout"]
+    # features: span → parent h3 → following-sibling ul → li texts (143)
+    feats = select(
+        root,
+        './/h3/span[contains(text(),"Features")]/../following-sibling::ul/li//text()',
+    )
+    assert [t.strip() for t in feats] == ["Parking", "Garden", "south facing"]
+    # address: every text under the h1 (176)
+    assert [t.strip() for t in select(root, "//h1[@class='title']//text()")] == [
+        "12", "Kings Road", ", Newcastle",
+    ]
+    # map coordinates script (215)
+    (js,) = select(root, './/script[contains(text(),"mapOptions")]/text()')
+    assert "54.97" in js
