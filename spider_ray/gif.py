@@ -11,19 +11,25 @@ Scope (honest, contract-tested):
     else ``ValueError``; GIF is an indexed-color format and quantizing
     arbitrary RGB is a separate (lossy) choice this module refuses to
     make silently.
-  * decode: the first (and for our encoder, only) image of a GIF87a or
-    GIF89a stream; global or local color table; extensions are skipped
-    per spec block structure; interlaced rasters are de-interleaved via
-    the spec's 4-pass scheme (Appendix E). Transparency and animated
-    streams (a second image descriptor) raise ``NotImplementedError``
-    — rejected, never mis-decoded.
+  * decode: GIF87a or GIF89a streams with global or local color
+    tables; extensions skipped per spec block structure; interlaced
+    rasters de-interleaved via the spec's 4-pass scheme (Appendix E);
+    sub-rectangle frames, GCE transparency and disposal methods
+    0/1 (leave) / 2 (restore background) / 3 (restore previous) are
+    composited per the spec's rendering model onto a logical-screen
+    canvas initialised to the LSD background color (black when no
+    global color table designates one). A still (single-image) GIF
+    with transparency or a sub-rectangle raster composites over that
+    same backdrop — spec-defined, not guessed.
   * animation (round 4): :func:`encode_gif_animation` /
-    :func:`decode_gif_frames` — full-frame GIF89a animations (one
-    Graphic Control Extension + image descriptor + LOCAL color table
-    per frame, NETSCAPE2.0 loop extension). The constrained-but-real
-    subset web video-ish GIFs use for full-frame clips; frame
-    sub-rectangles and transparency-based delta frames are rejected,
-    never composited wrongly.
+    :func:`decode_gif_frames` — GIF89a animations (one Graphic
+    Control Extension + image descriptor + LOCAL color table per
+    frame, NETSCAPE2.0 loop extension). ``delta=True`` (default)
+    emits real inter-frame delta compression: frame k > 0 is the
+    bounding box of pixels that changed vs frame k-1, unchanged
+    pixels inside the box coded as a transparent index — the form
+    virtually all web animated GIFs use. ``delta=False`` emits
+    full-rectangle opaque frames.
 
 The encode→decode round trip is bit-exact on the pixel array (GIF is
 lossless over indexed color), which is how the sink invariant treats
@@ -41,6 +47,7 @@ All functions are pure and deterministic.
 from __future__ import annotations
 
 import struct
+from typing import NamedTuple
 
 import numpy as np
 
@@ -53,27 +60,38 @@ _MAX_CODE = 1 << 12  # LZW code values are at most 12 bits wide (spec)
 
 
 # ---------------------------------------------------------------- palette
-def _palettize(pixels: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(H, W, 3) uint8 → (palette [n,3] uint8, indices [H,W] uint8).
-
-    Raises ValueError if the image has more than 256 distinct colors —
-    the caller owns any quantization decision."""
-    assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
-    packed = (
+def _pack_rgb(pixels: np.ndarray) -> np.ndarray:
+    """(..., 3) uint8 → packed uint32 0xRRGGBB."""
+    return (
         pixels[..., 0].astype(np.uint32) << 16
         | pixels[..., 1].astype(np.uint32) << 8
         | pixels[..., 2].astype(np.uint32)
     )
-    colors, inverse = np.unique(packed, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError(
-            f"GIF is indexed-color: {len(colors)} distinct colors > 256 "
-            "(quantize first)"
-        )
-    palette = np.stack(
+
+
+def _unpack_rgb(colors: np.ndarray) -> np.ndarray:
+    """packed uint32 → (n, 3) uint8 palette rows."""
+    return np.stack(
         [(colors >> 16) & 0xFF, (colors >> 8) & 0xFF, colors & 0xFF], axis=-1
     ).astype(np.uint8)
-    return palette, inverse.reshape(packed.shape).astype(np.uint8)
+
+
+def _palettize(
+    pixels: np.ndarray, max_colors: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """(H, W, 3) uint8 → (palette [n,3] uint8, indices [H,W] uint8).
+
+    Raises ValueError if the image has more than ``max_colors``
+    distinct colors — the caller owns any quantization decision."""
+    assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
+    packed = _pack_rgb(pixels)
+    colors, inverse = np.unique(packed, return_inverse=True)
+    if len(colors) > max_colors:
+        raise ValueError(
+            f"GIF is indexed-color: {len(colors)} distinct colors > "
+            f"{max_colors} (quantize first)"
+        )
+    return _unpack_rgb(colors), inverse.reshape(packed.shape).astype(np.uint8)
 
 
 # ------------------------------------------------------------------- LZW
@@ -222,12 +240,49 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
-    """Full-frame GIF89a animation: per frame one Graphic Control
-    Extension (delay, no transparency, disposal=1 'leave in place') +
+def _emit_frame(
+    out: bytearray,
+    indices: np.ndarray,
+    palette: np.ndarray,
+    left: int,
+    top: int,
+    delay_cs: int,
+    trans_idx: int | None,
+) -> None:
+    """One GCE + image descriptor + local color table + LZW raster.
+    Disposal is always 1 ('leave in place') — the compositing model
+    our delta encoder targets."""
+    bits = _table_bits(len(palette))
+    lct = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    lct[: len(palette)] = palette
+    gpacked = 0x04 | (0x01 if trans_idx is not None else 0)  # disposal=1
+    out += b"\x21\xf9\x04" + struct.pack(
+        "<BHB", gpacked, delay_cs, trans_idx or 0
+    ) + b"\x00"
+    h, w = indices.shape
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x80 | (bits - 1))
+    out += lct.tobytes()
+    out += _lzw_image_data(indices, max(2, bits))
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delay_cs: int = 10, delta: bool = True
+) -> bytes:
+    """GIF89a animation: per frame one Graphic Control Extension +
     image descriptor + LOCAL color table; NETSCAPE2.0 loop-forever
-    application extension per the public extension registry. All frames
-    must share (H, W); each must be palette media (≤256 colors)."""
+    application extension per the public extension registry. All
+    frames must share (H, W); each must be palette media (≤256
+    distinct colors; ≤255 for a delta frame, which spends one palette
+    slot on the transparent index).
+
+    ``delta=True`` (default): frame 0 is a full opaque rectangle;
+    frame k > 0 is the bounding box of pixels that changed vs frame
+    k-1 with unchanged pixels coded transparent (disposal 1), the
+    inter-frame compression real web GIFs use. An unchanged frame
+    becomes a 1×1 fully-transparent raster (a frame must carry an
+    image descriptor to carry its delay). A delta frame whose changed
+    region has 256 distinct colors falls back to a full opaque frame.
+    ``delta=False``: every frame is a full opaque rectangle."""
     if not frames:
         raise ValueError("animation needs at least one frame")
     h, w = frames[0].shape[:2]
@@ -235,50 +290,97 @@ def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
     out += _GIF89
     out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)  # no global color table
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    prev: np.ndarray | None = None
     for px in frames:
         if px.shape[:2] != (h, w):
             raise ValueError("all animation frames must share (H, W)")
-        palette, indices = _palettize(px)
-        bits = _table_bits(len(palette))
-        lct = np.zeros(((1 << bits), 3), dtype=np.uint8)
-        lct[: len(palette)] = palette
-        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | (bits - 1))
-        out += lct.tobytes()
-        out += _lzw_image_data(indices, max(2, bits))
+        if prev is None or not delta:
+            palette, indices = _palettize(px)
+            _emit_frame(out, indices, palette, 0, 0, delay_cs, None)
+        else:
+            changed = (px != prev).any(axis=2)
+            if not changed.any():
+                # nothing moved: 1×1 transparent raster carries the delay
+                palette = np.zeros((1, 3), dtype=np.uint8)
+                indices = np.zeros((1, 1), dtype=np.uint8)
+                _emit_frame(out, indices, palette, 0, 0, delay_cs, 0)
+            else:
+                rows = np.flatnonzero(changed.any(axis=1))
+                cols = np.flatnonzero(changed.any(axis=0))
+                t, b = int(rows[0]), int(rows[-1]) + 1
+                l, r = int(cols[0]), int(cols[-1]) + 1
+                box = px[t:b, l:r]
+                boxmask = changed[t:b, l:r]
+                packed = _pack_rgb(box[boxmask])
+                colors, inverse = np.unique(packed, return_inverse=True)
+                if len(colors) > 255:  # no slot left for transparency
+                    palette, indices = _palettize(px)
+                    _emit_frame(out, indices, palette, 0, 0, delay_cs, None)
+                else:
+                    palette = _unpack_rgb(colors)
+                    trans_idx = len(colors)
+                    indices = np.full(box.shape[:2], trans_idx, dtype=np.uint8)
+                    indices[boxmask] = inverse.astype(np.uint8)
+                    # the transparent slot is a palette entry too
+                    palette = np.vstack(
+                        [palette, np.zeros((1, 3), dtype=np.uint8)]
+                    )
+                    _emit_frame(out, indices, palette, l, t, delay_cs, trans_idx)
+        prev = px
     out += b"\x3b"
     return bytes(out)
 
 
-def _parse_frames(
-    data: bytes,
-) -> tuple[list[tuple[np.ndarray, int, bytes, bool]], int, int]:
-    """Walk a GIF87a/GIF89a stream per spec block structure →
-    ([(color_table, min_code, lzw_bytes, interlaced) per full-rectangle
-    frame], screen_w, screen_h).
+class _Frame(NamedTuple):
+    ct: np.ndarray  # color table in effect ([n, 3] uint8)
+    min_code: int
+    lzw: bytes
+    interlaced: bool
+    left: int
+    top: int
+    w: int
+    h: int
+    trans_idx: int | None  # GCE transparent color index, if flagged
+    disposal: int  # GCE disposal method (0-3 supported)
 
-    Rejected, never mis-decoded: frame sub-rectangles and GCE
-    transparency (a transparent index decoded as opaque would be a
-    silently wrong composite). Interlaced rasters are decoded via the
-    spec's 4-pass row ordering (Appendix E)."""
+
+def _parse_frames(data: bytes) -> tuple[list[_Frame], int, int, np.ndarray]:
+    """Walk a GIF87a/GIF89a stream per spec block structure →
+    (frames, screen_w, screen_h, background_rgb).
+
+    Each frame keeps its sub-rectangle placement, interlace flag and
+    the GCE state (transparency index, disposal method) that governs
+    its compositing; backdrop is the LSD background color when a
+    global color table designates one, else black."""
     if data[:6] not in (_GIF89, _GIF87):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
+    bg_rgb = np.zeros(3, dtype=np.uint8)
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
-    frames: list[tuple[np.ndarray, int, bytes]] = []
+        if bg_idx < n:
+            bg_rgb = gct[bg_idx].copy()
+    frames: list[_Frame] = []
+    gce: tuple[int | None, int] = (None, 0)  # (trans_idx, disposal)
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks until 0
             label = data[pos]
             pos += 1
-            if label == 0xF9 and data[pos] >= 4 and data[pos + 1] & 0x01:
-                raise NotImplementedError("transparent GIF not supported")
+            if label == 0xF9 and data[pos] >= 4:
+                gpacked = data[pos + 1]
+                disposal = (gpacked >> 2) & 0x07
+                if disposal > 3:
+                    raise NotImplementedError(
+                        f"GIF disposal method {disposal} is reserved"
+                    )
+                trans = data[pos + 4] if gpacked & 0x01 else None
+                gce = (trans, disposal)
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -295,10 +397,8 @@ def _parse_frames(
                 pos += 3 * n
             if ct is None:
                 raise ValueError("GIF image without any color table")
-            if (left, top, w, h) != (0, 0, sw, sh):
-                raise NotImplementedError(
-                    "sub-rectangle GIF frames not supported"
-                )
+            if left + w > sw or top + h > sh or w == 0 or h == 0:
+                raise ValueError("GIF frame rectangle outside logical screen")
             min_code = data[pos]
             pos += 1
             lzw = bytearray()
@@ -307,14 +407,19 @@ def _parse_frames(
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            frames.append((ct, min_code, bytes(lzw), interlaced))
+            trans, disposal = gce
+            gce = (None, 0)  # a GCE governs only the following image
+            frames.append(
+                _Frame(ct, min_code, bytes(lzw), interlaced,
+                       left, top, w, h, trans, disposal)
+            )
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     if not frames:
         raise ValueError("GIF contains no image data")
-    return frames, sw, sh
+    return frames, sw, sh, bg_rgb
 
 
 def _interlace_order(h: int) -> np.ndarray:
@@ -327,32 +432,64 @@ def _interlace_order(h: int) -> np.ndarray:
     )
 
 
-def _decode_frame(ct: np.ndarray, min_code: int, lzw: bytes,
-                  interlaced: bool, w: int, h: int) -> np.ndarray:
-    indices = _lzw_decode(lzw, min_code, w * h)
-    if indices.max(initial=0) >= len(ct):
+def _frame_indices(f: _Frame) -> np.ndarray:
+    """Decode one frame's raster to its (h, w) palette-index array,
+    de-interlacing if flagged. A transparent index may lie beyond the
+    color table (it names no color); opaque indices may not."""
+    idx = _lzw_decode(f.lzw, f.min_code, f.w * f.h).reshape(f.h, f.w)
+    if f.interlaced:
+        out = np.empty_like(idx)
+        out[_interlace_order(f.h)] = idx  # transmitted → display order
+        idx = out
+    opaque = idx if f.trans_idx is None else idx[idx != f.trans_idx]
+    if opaque.size and int(opaque.max()) >= len(f.ct):
         raise ValueError("palette index out of range")
-    px = ct[indices].reshape(h, w, 3)
-    if interlaced:
-        out = np.empty_like(px)
-        out[_interlace_order(h)] = px  # transmitted → display row order
-        return out
-    return px.copy()
+    return idx
+
+
+def _composite_frames(
+    frames: list[_Frame], sw: int, sh: int, bg_rgb: np.ndarray
+) -> list[np.ndarray]:
+    """Render frames onto the logical-screen canvas per the GIF89a
+    compositing model: paint each frame's opaque pixels into its
+    rectangle, snapshot, then apply its disposal method (0/1 leave,
+    2 restore-to-background, 3 restore-to-previous)."""
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    out: list[np.ndarray] = []
+    for f in frames:
+        idx = _frame_indices(f)
+        region = canvas[f.top : f.top + f.h, f.left : f.left + f.w]
+        saved = region.copy() if f.disposal == 3 else None
+        if f.trans_idx is None:
+            region[:] = f.ct[idx]
+        else:
+            mask = idx != f.trans_idx
+            region[mask] = f.ct[idx[mask]]
+        out.append(canvas.copy())
+        if f.disposal == 2:
+            region[:] = bg_rgb
+        elif f.disposal == 3:
+            region[:] = saved
+    return out
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes → (H, W, 3) uint8 — the SINGLE image of a still GIF.
-    An animated stream (a second image descriptor) is rejected, never
-    first-frame-read (which would hide the animation silently)."""
-    frames, sw, sh = _parse_frames(data)
+    """GIF bytes → (H, W, 3) uint8 — the SINGLE image of a still GIF,
+    composited over the spec's background color if it is transparent
+    or a sub-rectangle of the logical screen. An animated stream (a
+    second image descriptor) is rejected, never first-frame-read
+    (which would hide the animation silently)."""
+    frames, sw, sh, bg = _parse_frames(data)
     if len(frames) > 1:
         raise NotImplementedError("animated GIF not supported")
-    return _decode_frame(*frames[0], sw, sh)
+    return _composite_frames(frames, sw, sh, bg)[0]
 
 
 def decode_gif_frames(data: bytes) -> list[np.ndarray]:
-    """GIF bytes → every full-rectangle frame as (H, W, 3) uint8.
-    The multi-frame entry point for animated streams (FrameSample);
-    also accepts a still GIF (one frame)."""
-    frames, sw, sh = _parse_frames(data)
-    return [_decode_frame(ct, mc, lzw, il, sw, sh) for ct, mc, lzw, il in frames]
+    """GIF bytes → every displayed frame as a full (H, W, 3) uint8
+    canvas snapshot (sub-rectangle/transparent delta frames composited
+    per spec). The multi-frame entry point for animated streams
+    (FrameSample); also accepts a still GIF (one frame)."""
+    frames, sw, sh, bg = _parse_frames(data)
+    return _composite_frames(frames, sw, sh, bg)

@@ -161,9 +161,10 @@ class FrameSample:
     AVI spec; each sampled ``00dc`` chunk is emitted as its baseline
     JPEG bytes WITHOUT transcoding — dimensions come from the avih
     header, cross-checked against the frame's own SOF) and for
-    full-frame animated GIF since round 4 (:mod:`spider_ray.gif` —
-    every Nth frame decoded and re-emitted as a lossless single-frame
-    GIF). Inter-coded formats (mp4/h264/vp9) stay honestly stubbed
+    animated GIF since round 4 (:mod:`spider_ray.gif` — every Nth
+    frame composited per the spec's rendering model, sub-rectangle
+    transparent delta frames included, and re-emitted as a lossless
+    single-frame GIF). Inter-coded formats (mp4/h264/vp9) stay honestly stubbed
     behind a cv2 import-try: temporal decoding from scratch is out of
     scope.
     """

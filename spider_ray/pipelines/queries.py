@@ -577,20 +577,42 @@ FROM a
 """
 
 
+def _gif_clip_frame(k: int, i: int, w: int, h: int) -> np.ndarray:
+    """Frame i of GIF clip k: a 4×4 sprite of closed-form color moving
+    over a static closed-form background — the content shape that makes
+    the encoder emit real sub-rectangle transparent delta frames."""
+    bg = np.array(
+        [(37 * k + 5) % 256, (53 * k + 3) % 256, (29 * k + 1) % 256],
+        np.uint8,
+    )
+    f = np.broadcast_to(bg, (h, w, 3)).copy()
+    y, x = (3 * i) % (h - 4), (5 * i) % (w - 4)
+    f[y : y + 4, x : x + 4] = [
+        (37 * k + 11 * i) % 256,
+        (53 * k + 7 * i) % 256,
+        (29 * k + 13 * i) % 256,
+    ]
+    return f
+
+
 def q_video_frames(sf_dir: str):
     """Multimodal VIDEO path (real codecs both ways: AVI/MJPEG via
-    spider_ray.video + spider_ray.jpeg, full-frame animated GIF via
-    spider_ray.gif — r4): each supplier key synthesises a deterministic
-    solid-color clip (frame i of video k is the color
-    ((37k+11i)%256, (53k+7i)%256, (29k+13i)%256)) — even keys as a
-    GIF89a animation, odd keys as a RIFF AVI container; the FrameSample
-    actor stage samples every 4th frame (JPEG bytes copied out of the
-    AVI untranscoded; GIF frames re-emitted as lossless single-frame
-    GIFs); a verify stage then REALLY decodes each sampled frame
-    (T.81 / LZW paths) and checks the pixels against the color the
-    (video_id, frame_idx) lineage implies — ``px_ok`` is falsifiable,
-    not asserted (exact for gif, ≤2 per channel for jpeg). Structure
-    (which frames, dims, per-key fmt) is closed-form → SQL oracle."""
+    spider_ray.video + spider_ray.jpeg, delta-compressed animated GIF
+    via spider_ray.gif — r4): each supplier key synthesises a
+    deterministic clip — even keys as a GIF89a animation whose frames
+    are a moving sprite over a static background (so the encoder emits
+    real sub-rectangle transparent DELTA frames and the decoder must
+    composite them), odd keys as solid-color frames in a RIFF AVI
+    container (frame i of video k is the color ((37k+11i)%256,
+    (53k+7i)%256, (29k+13i)%256)); the FrameSample actor stage samples
+    every 4th frame (JPEG bytes copied out of the AVI untranscoded;
+    composited GIF canvases re-emitted as lossless single-frame GIFs);
+    a verify stage then REALLY decodes each sampled frame (T.81 / LZW
+    paths) and checks the pixels against what the (video_id,
+    frame_idx) lineage implies — ``px_ok`` is falsifiable, not
+    asserted (exact canvas equality for gif, ≤2 per channel for jpeg).
+    Structure (which frames, dims, per-key fmt) is closed-form → SQL
+    oracle."""
     from ..gif import FMT_GIF_ANIM, encode_gif_animation
     from ..imaging import decode as decode_image
     from ..jpeg import encode_jpeg
@@ -606,20 +628,20 @@ def q_video_frames(sf_dir: str):
             k = int(k)
             nf = 8 + k % 9
             w, h = 16 * (1 + k % 2), 16 * (1 + k % 3)
-            cols = [
-                np.array(
-                    [(37 * k + 11 * i) % 256, (53 * k + 7 * i) % 256,
-                     (29 * k + 13 * i) % 256],
-                    np.uint8,
-                )
-                for i in range(nf)
-            ]
-            if k % 2 == 0:  # even keys: full-frame animated GIF clip
+            if k % 2 == 0:  # even keys: delta-compressed animated GIF
                 blobs.append(encode_gif_animation(
-                    [np.broadcast_to(c, (h, w, 3)).copy() for c in cols]
+                    [_gif_clip_frame(k, i, w, h) for i in range(nf)]
                 ))
                 fmts.append(FMT_GIF_ANIM)
-            else:  # odd keys: MJPEG-in-AVI clip
+            else:  # odd keys: MJPEG-in-AVI clip of solid-color frames
+                cols = [
+                    np.array(
+                        [(37 * k + 11 * i) % 256, (53 * k + 7 * i) % 256,
+                         (29 * k + 13 * i) % 256],
+                        np.uint8,
+                    )
+                    for i in range(nf)
+                ]
                 blobs.append(encode_avi_mjpeg(
                     [encode_jpeg(np.broadcast_to(c, (h, w, 3)).copy(),
                                  quality=90) for c in cols],
@@ -644,14 +666,18 @@ def q_video_frames(sf_dir: str):
             b["fmt"].to_pylist(),
         ):
             k = int(vid.removeprefix("vid_"))
-            col = np.array(
-                [(37 * k + 11 * idx) % 256, (53 * k + 7 * idx) % 256,
-                 (29 * k + 13 * idx) % 256],
-                np.int64,
-            )
             px = decode_image(blob, fmt).astype(np.int64)
-            tol = 0 if fmt == "gif" else 2  # gif is lossless
-            ok.append(bool(np.abs(px - col).max() <= tol))
+            if fmt == "gif":  # composited canvas → exact equality
+                w, h = 16 * (1 + k % 2), 16 * (1 + k % 3)  # from lineage
+                want = _gif_clip_frame(k, idx, w, h).astype(np.int64)
+                ok.append(px.shape == want.shape and bool((px == want).all()))
+            else:
+                col = np.array(
+                    [(37 * k + 11 * idx) % 256, (53 * k + 7 * idx) % 256,
+                     (29 * k + 13 * idx) % 256],
+                    np.int64,
+                )
+                ok.append(bool(np.abs(px - col).max() <= 2))
         return pa.table(
             {
                 "video_id": b["video_id"],
