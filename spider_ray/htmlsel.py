@@ -55,6 +55,7 @@ class Node:
     attrs: dict
     children: list = field(default_factory=list)  # Node | str (text)
     parent: "Node | None" = None
+    comments: list = field(default_factory=list)  # <!-- --> bodies
 
     def text(self) -> str:
         """Concatenated descendant text, whitespace-normalized."""
@@ -116,6 +117,11 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+
+    def handle_comment(self, data):
+        # kept out of children so text() never leaks comment bodies;
+        # the xpath comment() node test reads them
+        self.stack[-1].comments.append(data)
 
 
 def parse_html(text: str) -> Node:
@@ -248,11 +254,15 @@ class Selector:
 #   [contains(text(),'v')] [text()='v'] [contains(.,'v')] [.='v']
 #   [contains(following-sibling::text(),'v')]              (r4)
 #   text()[contains(.,'v')] / text()[N]                    (r4)
+#   [normalize-space()] [not(@a)] [*] [tag]                (r4)
+#   normalize-space(path) — string value of first result   (r4)
+#   (path)[N] — position over the FLAT result list         (r4)
+#   comment() — final step; bodies kept off text()         (r4)
 #   a | b                                  (top-level union)
 #
 # Out of scope (raises ValueError at compile time): general nested
 # path predicates, functions beyond contains/starts-with/last/
-# position. Position predicates are evaluated per context node over
+# position/normalize-space. Position predicates are evaluated per context node over
 # the step's candidate list — exact for child/sibling axes, the
 # practical reading for ``//``; preceding-sibling candidates come in
 # proximity (reverse document) order, matching XPath's [1]-is-nearest
@@ -262,7 +272,8 @@ class Selector:
 _XP_STEP_RE = re.compile(
     r"^(?:(?P<axis>following-sibling|preceding-sibling|parent|self|"
     r"descendant-or-self|descendant)::)?"
-    r"(?P<test>\*|\.\.|@[\w:-]+|text\(\)|[\w-]+)(?P<preds>(?:\[[^\]]*\])*)$"
+    r"(?P<test>\*|\.\.|@[\w:-]+|text\(\)|comment\(\)|[\w-]+)"
+    r"(?P<preds>(?:\[[^\]]*\])*)$"
 )
 _XP_PRED_RES = [
     ("pos_last", re.compile(r"^last\(\)$")),
@@ -283,6 +294,10 @@ _XP_PRED_RES = [
      re.compile(r"^(?:text\(\)|\.)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
     ("text_neq",
      re.compile(r"^(?:text\(\)|\.)\s*!=\s*(?:'([^']*)'|\"([^\"]*)\")$")),
+    ("normspace", re.compile(r"^normalize-space\(\s*\)$")),
+    ("attr_not", re.compile(r"^not\(\s*@([\w:-]+)\s*\)$")),
+    ("haschild", re.compile(r"^\*$")),
+    ("child_tag", re.compile(r"^([a-z][\w-]*)$")),
 ]
 
 _POS_OPS = {
@@ -318,6 +333,16 @@ def _xp_pred_matches(kind_args, n: Node) -> bool:
         return n.text() == kind_args[1]
     if kind == "text_neq":
         return n.text() != kind_args[1]
+    if kind == "normspace":
+        return n.text() != ""  # Node.text() is whitespace-normalized
+    if kind == "attr_not":
+        return kind_args[1] not in n.attrs
+    if kind == "haschild":  # [*]: has at least one element child
+        return any(isinstance(c, Node) for c in n.children)
+    if kind == "child_tag":  # [h1]: has a child element of that tag
+        return any(
+            isinstance(c, Node) and c.tag == kind_args[1] for c in n.children
+        )
     if kind == "fsib_text_contains":
         # contains(following-sibling::text(), s): XPath takes the
         # string value of the FIRST node of the set = the nearest
@@ -337,6 +362,8 @@ def _xp_split_steps(path: str) -> list[tuple[bool, str]]:
     """'//a/b//c' → [(True,'a'), (False,'b'), (True,'c')] — bool is
     the descendant axis flag."""
     path = path.strip()
+    if path == ".":  # the context node itself (normalize-space(.) etc.)
+        return [(False, "self::*")]
     if path.startswith("."):
         path = path[1:]
     steps: list[tuple[bool, str]] = []
@@ -369,44 +396,79 @@ class XPathSelector:
     surface as :class:`Selector`, usable anywhere the rules DSL takes
     a selector."""
 
+    _WRAP_RE = re.compile(
+        r"^normalize-space\(\s*(?P<ns>.*?)\s*\)$|"
+        r"^\(\s*(?P<par>.*?)\s*\)(?P<fpreds>(?:\[[^\]]*\])+)(?P<tail>/.*)?$",
+        re.DOTALL,
+    )
+
     def __init__(self, expr: str):
         self.expr = expr
-        self.paths = []
+        # each branch: (steps, flat_preds, normspace) — flat_preds come
+        # from the (path)[N] form and filter the branch's FLAT result
+        # list (document order across contexts), unlike per-step [N];
+        # normspace=True wraps the branch in XPath's normalize-space()
+        # string function (string value of the first result).
+        self.paths: list[tuple[list, list, bool, list]] = []
         for branch in self._split_union(expr):
-            steps = []
-            for deep, raw in _xp_split_steps(branch):
-                m = _XP_STEP_RE.match(raw.strip())
-                if not m:
-                    raise ValueError(f"unsupported xpath step: {raw!r}")
-                axis = m.group("axis")
-                test = m.group("test")
-                if test == "..":
-                    axis, test = "parent", "*"
-                elif axis is None:
-                    axis = "descendant" if deep else "child"
-                preds = [
+            normspace = False
+            flat_preds: list = []
+            tail_steps: list = []
+            m = self._WRAP_RE.match(branch)
+            if m and m.group("ns") is not None:
+                normspace = True
+                branch = m.group("ns")
+                m = self._WRAP_RE.match(branch)
+            if m and m.group("par") is not None:
+                flat_preds = [
                     _xp_parse_pred(p)
-                    for p in re.findall(r"\[([^\]]*)\]", m.group("preds") or "")
+                    for p in re.findall(r"\[([^\]]*)\]", m.group("fpreds"))
                 ]
-                if test.startswith("@") and preds:
-                    raise ValueError(
-                        f"predicates not supported on {test}: {raw!r}"
-                    )
-                if test == "text()":
-                    ok = {"pos", "pos_last", "pos_cmp", "text_contains",
-                          "text_eq", "text_neq"}
-                    for kp in preds:
-                        if kp[0] not in ok:
-                            raise ValueError(
-                                f"unsupported predicate on text(): {raw!r}"
-                            )
-                steps.append((axis, test.lower(), preds, deep))
-            for axis, test, _, _ in steps[:-1]:
-                if test.startswith("@") or test == "text()":
-                    raise ValueError(
-                        f"{test} must be the final step: {expr!r}"
-                    )
-            self.paths.append(steps)
+                if m.group("tail"):  # (path)[N]/more/steps
+                    tail_steps = self._compile_steps(m.group("tail"))
+                branch = m.group("par")
+            if branch == ".":  # normalize-space(.) — the context node
+                branch = "self::*"
+            self.paths.append(
+                (self._compile_steps(branch), flat_preds, normspace,
+                 tail_steps)
+            )
+
+    def _compile_steps(self, branch: str) -> list:
+        steps = []
+        for deep, raw in _xp_split_steps(branch):
+            m = _XP_STEP_RE.match(raw.strip())
+            if not m:
+                raise ValueError(f"unsupported xpath step: {raw!r}")
+            axis = m.group("axis")
+            test = m.group("test")
+            if test == "..":
+                axis, test = "parent", "*"
+            elif axis is None:
+                axis = "descendant" if deep else "child"
+            preds = [
+                _xp_parse_pred(p)
+                for p in re.findall(r"\[([^\]]*)\]", m.group("preds") or "")
+            ]
+            if test.startswith("@") and preds:
+                raise ValueError(
+                    f"predicates not supported on {test}: {raw!r}"
+                )
+            if test in ("text()", "comment()"):
+                ok = {"pos", "pos_last", "pos_cmp", "text_contains",
+                      "text_eq", "text_neq", "normspace"}
+                for kp in preds:
+                    if kp[0] not in ok:
+                        raise ValueError(
+                            f"unsupported predicate on {test}: {raw!r}"
+                        )
+            steps.append((axis, test.lower(), preds, deep))
+        for axis, test, _, _ in steps[:-1]:
+            if test.startswith("@") or test in ("text()", "comment()"):
+                raise ValueError(
+                    f"{test} must be the final step: {self.expr!r}"
+                )
+        return steps
 
     @staticmethod
     def _split_union(expr: str) -> list[str]:
@@ -464,8 +526,8 @@ class XPathSelector:
             return sibs[:i][::-1]  # proximity order: [1] = nearest
         raise AssertionError(axis)
 
-    def _eval_path(self, root: Node, steps) -> list:
-        current = [root]
+    def _eval_path(self, root, steps) -> list:
+        current = root if isinstance(root, list) else [root]
         for axis, test, preds, deep in steps:
             if test.startswith("@"):
                 name = test[1:]
@@ -475,28 +537,14 @@ class XPathSelector:
                     for n in current:
                         nodes.extend(n.iter_nodes())
                 return [n.attrs[name] for n in nodes if name in n.attrs]
-            if test == "text()":
+            if test in ("text()", "comment()"):
                 out: list[str] = []
                 for n in current:
-                    texts = self._text_candidates(n, axis, deep)
-                    for kp in preds:  # sequential filtering over strings
-                        if kp[0] == "pos":
-                            k = int(kp[1]) - 1
-                            texts = [texts[k]] if 0 <= k < len(texts) else []
-                        elif kp[0] == "pos_last":
-                            texts = texts[-1:]
-                        elif kp[0] == "pos_cmp":
-                            op = _POS_OPS[kp[1]]
-                            lim = int(kp[2])
-                            texts = [t for i, t in enumerate(texts, 1)
-                                     if op(i, lim)]
-                        elif kp[0] == "text_contains":
-                            texts = [t for t in texts if kp[1] in t]
-                        elif kp[0] == "text_eq":
-                            texts = [t for t in texts if t == kp[1]]
-                        else:  # text_neq (validated at compile)
-                            texts = [t for t in texts if t != kp[1]]
-                    out.extend(texts)
+                    if test == "comment()":
+                        texts = self._comment_candidates(n, axis, deep)
+                    else:
+                        texts = self._text_candidates(n, axis, deep)
+                    out.extend(self._filter_strings(texts, preds))
                 return out
             nxt: list[Node] = []
             seen: set[int] = set()
@@ -524,6 +572,44 @@ class XPathSelector:
         return current
 
     @staticmethod
+    def _filter_strings(texts: list[str], preds) -> list[str]:
+        """Sequential XPath-style predicate filtering over a string
+        node list (text()/comment() candidates or a flat (path)[N]
+        result)."""
+        for kp in preds:
+            if kp[0] == "pos":
+                k = int(kp[1]) - 1
+                texts = [texts[k]] if 0 <= k < len(texts) else []
+            elif kp[0] == "pos_last":
+                texts = texts[-1:]
+            elif kp[0] == "pos_cmp":
+                op = _POS_OPS[kp[1]]
+                lim = int(kp[2])
+                texts = [t for i, t in enumerate(texts, 1) if op(i, lim)]
+            elif kp[0] == "text_contains":
+                texts = [t for t in texts if kp[1] in t]
+            elif kp[0] == "text_eq":
+                texts = [t for t in texts if t == kp[1]]
+            elif kp[0] == "text_neq":
+                texts = [t for t in texts if t != kp[1]]
+            elif kp[0] == "normspace":
+                texts = [t for t in texts if t.strip()]
+            else:  # unreachable: compile gates the pred set
+                raise AssertionError(kp[0])
+        return texts
+
+    @staticmethod
+    def _comment_candidates(n: Node, axis: str, deep: bool) -> list[str]:
+        """comment() node candidates: the context node's own comment
+        children (child axis) or every comment in its subtree (the
+        ``//comment()`` reading)."""
+        if axis in ("following-sibling", "preceding-sibling", "parent"):
+            raise ValueError(f"comment() not supported on axis {axis}")
+        if deep or axis in ("descendant", "descendant-or-self"):
+            return [c for x in n.iter_nodes() for c in x.comments]
+        return list(n.comments)
+
+    @staticmethod
     def _text_candidates(n: Node, axis: str, deep: bool) -> list[str]:
         """text() node candidates for one context node under an axis:
         child (default), descendant (the ``//text()`` reading), or the
@@ -545,8 +631,27 @@ class XPathSelector:
     def select(self, root: Node) -> list:
         out: list = []
         seen: set[int] = set()
-        for steps in self.paths:
-            for v in self._eval_path(root, steps):
+        for steps, flat_preds, normspace, tail_steps in self.paths:
+            vals = self._eval_path(root, steps)
+            for kp in flat_preds:  # (path)[N]: filter the FLAT result
+                if kp[0] in ("pos", "pos_last", "pos_cmp") or not any(
+                    isinstance(v, Node) for v in vals
+                ):
+                    vals = self._filter_strings(vals, [kp])
+                else:
+                    vals = [v for v in vals if _xp_pred_matches(kp, v)]
+            if tail_steps:  # (path)[N]/more — continue from the picks
+                vals = self._eval_path(
+                    [v for v in vals if isinstance(v, Node)], tail_steps
+                )
+            if normspace:
+                # XPath string function: string value of the first
+                # result (empty node-set → ''), whitespace-normalized
+                v = vals[0] if vals else ""
+                s = v.text() if isinstance(v, Node) else str(v)
+                out.append(re.sub(r"\s+", " ", s).strip())
+                continue
+            for v in vals:
                 key = id(v) if isinstance(v, Node) else ("s", len(out), v)
                 if isinstance(v, Node):
                     if key in seen:
@@ -562,7 +667,10 @@ class XPathSelector:
 
 def is_xpath(expr: str) -> bool:
     e = expr.strip()
-    return e.startswith(("/", "./", ".//")) or bool(re.match(r"^\(*//", e))
+    return (
+        e.startswith(("/", "./", ".//", "normalize-space(", "@"))
+        or bool(re.match(r"^\(*//", e))
+    )
 
 
 def compile_selector(expr: str):

@@ -304,3 +304,56 @@ def test_port_hmresidential_selector_set():
     # map coordinates script (215)
     (js,) = select(root, './/script[contains(text(),"mapOptions")]/text()')
     assert "54.97" in js
+
+
+NS_PAGE = """
+<html><head><title> Big   House </title>
+<!-- header: v2 -->
+<meta name="description" content="  Nice   place  ">
+</head><body>
+<h1><span>
+   </span><span>Villa  Aurora </span></h1>
+<h2 class="a">first</h2>
+<h2>second</h2>
+<div id="x"><p>one</p></div>
+<div id="y">plain</div>
+<ul><li><a href="/1">l1</a></li><li>bare</li></ul>
+<!-- price: 950 -->
+</body></html>
+"""
+
+
+def test_normalize_space_and_flat_position():
+    """Round-4 tier-3 subset: normalize-space() function + predicate,
+    the parenthesized (path)[N] flat-position form, [*] / [tag] /
+    [not(@a)] element predicates and the comment() node test — the
+    remaining selector shapes the reference corpus uses (784 distinct
+    selectors; 97.6% now compile, 99.3% occurrence-weighted)."""
+    root = parse_html(NS_PAGE)
+    # normalize-space(path): string value of the FIRST result,
+    # whitespace-collapsed (XPath 1.0 §4.2)
+    assert select(root, "normalize-space(//title/text())") == ["Big House"]
+    assert select(root, "normalize-space(//h1)") == ["Villa Aurora"]
+    assert select(root, 'normalize-space(//meta[@name="description"]/@content)') \
+        == ["Nice place"]
+    # empty node-set → '' (not no-result)
+    assert select(root, "normalize-space(//h9/text())") == [""]
+    # [normalize-space()] predicate drops whitespace-only text nodes:
+    # the corpus's most common residual form //h1/span//text()[normalize-space()]
+    assert select(root, "//h1/span//text()[normalize-space()]") == ["Villa  Aurora "]
+    # (path)[N]: position over the FLAT document-order result list —
+    # //h2[1] would take the first h2 per PARENT; (//h2)[1] takes one
+    assert select(root, "(//h2/text())[1]") == ["first"]
+    assert select(root, "(//h2)[last()]/text()") == ["second"]
+    # composition seen in the corpus: normalize-space((//title//text())[1])
+    assert select(root, "normalize-space((//title//text())[1])") == ["Big House"]
+    # [*]: has at least one element child; [tag]: has that child
+    assert select(root, "//div[*]/@id") == ["x"]
+    assert select(root, "//div[p]/@id") == ["x"]
+    assert select(root, "//li[a]/a/@href") == ["/1"]
+    assert select(root, "//h2[not(@class)]/text()") == ["second"]
+    # comment(): bodies are reachable, and never leak into text()
+    assert select(root, "//comment()") == [" header: v2 ", " price: 950 "]
+    assert select(root, "/html/head//comment()") == [" header: v2 "]
+    body_text = parse_html(NS_PAGE).text()
+    assert "price" not in body_text and "header" not in body_text
