@@ -255,6 +255,8 @@ class Selector:
 #   [contains(following-sibling::text(),'v')]              (r4)
 #   text()[contains(.,'v')] / text()[N]                    (r4)
 #   [normalize-space()] [not(@a)] [*] [tag]                (r4)
+#   [p OR q] / [p AND q] over the atoms above (quote- and
+#   paren-aware split, e.g. [contains(.,'a (x)') or contains(.,'b')])
 #   normalize-space(path) — string value of first result   (r4)
 #   (path)[N] — position over the FLAT result list         (r4)
 #   comment() — final step; bodies kept off text()         (r4)
@@ -307,8 +309,38 @@ _POS_OPS = {
 }
 
 
+def _split_bool(p: str, op: str) -> list[str]:
+    """Split a predicate body on top-level ``' or '``/``' and '``,
+    quote-aware (never inside '...'/"...") and paren-aware."""
+    parts, depth, q, start = [], 0, "", 0
+    i = 0
+    while i < len(p):
+        ch = p[i]
+        if q:
+            if ch == q:
+                q = ""
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and p.startswith(f" {op} ", i):
+            parts.append(p[start:i])
+            i += len(op) + 2
+            start = i
+            continue
+        i += 1
+    parts.append(p[start:])
+    return parts
+
+
 def _xp_parse_pred(p: str):
     p = p.strip()
+    for op, kind in (("or", "bool_or"), ("and", "bool_and")):
+        parts = _split_bool(p, op)
+        if len(parts) > 1:
+            return (kind, tuple(_xp_parse_pred(x) for x in parts))
     for kind, rx in _XP_PRED_RES:
         m = rx.match(p)
         if m:
@@ -319,6 +351,10 @@ def _xp_parse_pred(p: str):
 
 def _xp_pred_matches(kind_args, n: Node) -> bool:
     kind = kind_args[0]
+    if kind == "bool_or":
+        return any(_xp_pred_matches(sub, n) for sub in kind_args[1])
+    if kind == "bool_and":
+        return all(_xp_pred_matches(sub, n) for sub in kind_args[1])
     if kind == "attr_eq":
         return n.attrs.get(kind_args[1]) == kind_args[2]
     if kind == "attr_has":
@@ -356,6 +392,21 @@ def _xp_pred_matches(kind_args, n: Node) -> bool:
         ) if i is not None else ""
         return kind_args[1] in first
     raise AssertionError(kind)
+
+
+_TEXT_PRED_ATOMS = {"text_contains", "text_eq", "text_neq", "normspace"}
+
+
+def _text_pred_ok(kp, allow_pos: bool = True) -> bool:
+    """Predicates usable on text()/comment() string nodes; positional
+    atoms only at the top level (per-string position inside a boolean
+    has no XPath reading we support)."""
+    k = kp[0]
+    if k in ("bool_or", "bool_and"):
+        return all(_text_pred_ok(s, allow_pos=False) for s in kp[1])
+    if k in ("pos", "pos_last", "pos_cmp"):
+        return allow_pos
+    return k in _TEXT_PRED_ATOMS
 
 
 def _xp_split_steps(path: str) -> list[tuple[bool, str]]:
@@ -455,10 +506,8 @@ class XPathSelector:
                     f"predicates not supported on {test}: {raw!r}"
                 )
             if test in ("text()", "comment()"):
-                ok = {"pos", "pos_last", "pos_cmp", "text_contains",
-                      "text_eq", "text_neq", "normspace"}
                 for kp in preds:
-                    if kp[0] not in ok:
+                    if not _text_pred_ok(kp):
                         raise ValueError(
                             f"unsupported predicate on {test}: {raw!r}"
                         )
@@ -586,17 +635,27 @@ class XPathSelector:
                 op = _POS_OPS[kp[1]]
                 lim = int(kp[2])
                 texts = [t for i, t in enumerate(texts, 1) if op(i, lim)]
-            elif kp[0] == "text_contains":
-                texts = [t for t in texts if kp[1] in t]
-            elif kp[0] == "text_eq":
-                texts = [t for t in texts if t == kp[1]]
-            elif kp[0] == "text_neq":
-                texts = [t for t in texts if t != kp[1]]
-            elif kp[0] == "normspace":
-                texts = [t for t in texts if t.strip()]
-            else:  # unreachable: compile gates the pred set
-                raise AssertionError(kp[0])
+            else:
+                texts = [t for t in texts
+                         if XPathSelector._string_pred(t, kp)]
         return texts
+
+    @staticmethod
+    def _string_pred(t: str, kp) -> bool:
+        k = kp[0]
+        if k == "bool_or":
+            return any(XPathSelector._string_pred(t, s) for s in kp[1])
+        if k == "bool_and":
+            return all(XPathSelector._string_pred(t, s) for s in kp[1])
+        if k == "text_contains":
+            return kp[1] in t
+        if k == "text_eq":
+            return t == kp[1]
+        if k == "text_neq":
+            return t != kp[1]
+        if k == "normspace":
+            return bool(t.strip())
+        raise AssertionError(k)  # unreachable: compile gates the set
 
     @staticmethod
     def _comment_candidates(n: Node, axis: str, deep: bool) -> list[str]:

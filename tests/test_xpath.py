@@ -357,3 +357,102 @@ def test_normalize_space_and_flat_position():
     assert select(root, "/html/head//comment()") == [" header: v2 "]
     body_text = parse_html(NS_PAGE).text()
     assert "price" not in body_text and "header" not in body_text
+
+
+PRESIDENCE_PAGE = """
+<html><body>
+<div class="swiper-container">
+  <div class="swiper-slide featured"><a href="/ficha/201">A</a></div>
+  <div class="swiper-slide"><a href="/ficha/202">B</a></div>
+</div>
+<a class="next" href="/alquiler?page=2">&gt;</a>
+<div id="etiqueta"><div><span>Alquilado</span></div></div>
+<div class="headerLeft">
+  <h1>Piso en Chamberí</h1>
+  <p>Ref: <span>PR-0042</span></p>
+</div>
+<div class="detallesFicha"><ul>
+  <li><b>Superficie Útil:</b>
+     82 m² </li>
+  <li><b>Habitaciones: </b> 3 </li>
+  <li><b>Baños:</b> 2 </li>
+  <li><b>Planta:</b> 4º </li>
+  <li><b>Ascensor:</b> Sí </li>
+  <li><b>Población:</b> Madrid </li>
+  <li><b>Zona:</b> Chamberí </li>
+  <li><b>Garaje:</b> Incluido </li>
+  <li><b>Calificación energética (consumo):</b> NO </li>
+  <li><b>Calificación energética (emisiones):</b> C </li>
+</ul></div>
+<p class="precio"><span>1.250 €/mes</span></p>
+<div id="descripcionFicha2"><p>Bonito piso <b>reformado</b> en Chamberí.</p></div>
+<div class="fotorama"><a href="/img/p1.jpg"></a><a href="/img/p2.jpg"></a></div>
+<div id="mapa" data-lat="40.43" data-lng="-3.70"></div>
+</body></html>
+"""
+
+
+def test_port_presidence_es_selector_set():
+    """Fourth real-spider port: pyspiders-master
+    spiders/presidence_es.py:49-160 verbatim — the corpus's heaviest
+    normalize-space() user, plus OR-disjunction element predicates
+    (with parens inside the quoted needles), chained text() predicates
+    ([normalize-space()][.!=' NO ']), and string-value equality on a
+    text() node filter."""
+    root = parse_html(PRESIDENCE_PAGE)
+    # listing loop (49) + pagination (53)
+    assert select(
+        root, "//div[contains(@class,'swiper-slide')]/a/@href"
+    ) == ["/ficha/201", "/ficha/202"]
+    assert select(root, "//a[@class='next']/@href") == ["/alquiler?page=2"]
+    # rented gate (66): exact string-value match on the text node
+    assert select(
+        root, "//div[@id='etiqueta']//span/text()[.='Alquilado']"
+    ) == ["Alquilado"]
+    # title / external_id (74-75)
+    assert select(root, "//div[@class='headerLeft']/h1/text()") \
+        == ["Piso en Chamberí"]
+    assert select(root, "//div[@class='headerLeft']/p/span/text()") \
+        == ["PR-0042"]
+    # square_meters (77): the li's own non-blank text node, not the <b>
+    (sq,) = select(
+        root,
+        "//div[@class='detallesFicha']//li[contains(.,'Útil')]/text()[normalize-space()]",
+    )
+    assert sq.strip() == "82 m²"
+    # rooms (87) — note the needle's trailing space survives Node.text()
+    (room,) = select(
+        root,
+        "//div[@class='detallesFicha']//li[contains(.,'Habitaciones: ')]/text()[normalize-space()]",
+    )
+    assert room.strip() == "3"
+    # rent (102): first text anywhere under the price paragraph
+    assert select(root, "//p[@class='precio']//text()")[0] == "1.250 €/mes"
+    # description (123): every text under the paragraph, joined
+    assert "".join(
+        select(root, "//div[@id='descripcionFicha2']/p//text()")
+    ) == "Bonito piso reformado en Chamberí."
+    # address (127): OR over two row labels, in document order
+    addr = [t.strip() for t in select(
+        root,
+        "//div[@class='detallesFicha']//li[contains(.,'Población') or contains(.,'Zona') ]/text()[normalize-space()]",
+    )]
+    assert addr == ["Madrid", "Chamberí"]
+    # parking (139): OR where only one branch matches
+    (park,) = select(
+        root,
+        "//div[@class='detallesFicha']//li[contains(.,'Parking') or contains(.,'Garaje')]/text()[normalize-space()]",
+    )
+    assert park.strip() == "Incluido"
+    # energy label (147): OR with parens inside the quoted needles +
+    # chained text() predicates — the ' NO ' consumo row is skipped
+    (label,) = select(
+        root,
+        "//div[@class='detallesFicha']//li[contains(.,'energética (consumo)') or contains(.,'energética (emisiones)')]/text()[normalize-space()][.!=' NO ']",
+    )
+    assert label.strip() == "C"
+    # images (151) and map coordinates (159-160)
+    assert select(root, "//div[@class='fotorama']//a/@href") \
+        == ["/img/p1.jpg", "/img/p2.jpg"]
+    assert select(root, "//div[@id='mapa']/@data-lat") == ["40.43"]
+    assert select(root, "//div[@id='mapa']/@data-lng") == ["-3.70"]
