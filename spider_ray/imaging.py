@@ -6,9 +6,11 @@ whose rows must satisfy a decode invariant: decoded-pixel allclose
 recompute match. The container has no image codec library (no PIL /
 cv2 / imagehash), so this module implements from public specs:
 
-  * a minimal PNG encoder/decoder (RFC 2083 / W3C PNG spec): 8-bit RGB,
-    filter type 0, zlib-compressed IDAT — enough for a deterministic,
-    lossless round-trip of synthetic pixels;
+  * a PNG encoder (RFC 2083 / W3C PNG spec: 8-bit RGB, filter type 0,
+    zlib IDAT — deterministic lossless round trip of synthetic pixels)
+    and a FULL-SPEC decoder (round 4): bit depths 1/2/4/8, all five
+    color types (palette/gray/alpha), all five scanline filters and
+    Adam7 interlace — foreign web PNGs decode, not just our own;
   * a "lossy" re-encode stand-in ``FMT_QPNG``: uniform quantization to
     step 4 (PSNR ≥ 42.1 dB worst-case) then PNG-stored;
   * real baseline JPEG (round 3): :mod:`spider_ray.jpeg` implements
@@ -72,32 +74,169 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
     )
 
 
+# channels per PNG color type (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (spec §9.4) over single byte values."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (spec §9): raw is
+    (h, 1+rowbytes) uint8 with the filter byte leading each line →
+    (h, rowbytes) recon; ``bpp`` is the left-neighbor byte offset.
+
+    Sub (1) vectorizes to a mod-256 prefix sum per byte lane; Up (2)
+    is a plain row add; Average (3) and Paeth (4) keep a left
+    dependency through a nonlinearity, so those lines walk bytes in
+    Python — this path decodes FOREIGN PNGs for parity (the synthetic
+    world writes filter 0 and never pays it)."""
+    if not raw[:, 0].any():  # all filter 0 (our encoder's output):
+        return raw[:, 1:].copy()  # one slice, no per-row walk
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:]
+        prev = out[y - 1] if y else np.zeros(rowbytes, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: recon[i] = line[i] + recon[i-bpp]
+            lanes = line.reshape(rowbytes // bpp, bpp).astype(np.uint64)
+            out[y] = (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f == 3:  # Average
+            rec = out[y]
+            for i in range(rowbytes):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for i in range(rowbytes):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(line[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} is invalid")
+    return out
+
+
+def _expand_depth(recon: np.ndarray, h: int, w: int, depth: int,
+                  scale: bool) -> np.ndarray:
+    """(h, ceil(w*depth/8)) packed rows → (h, w) uint8 samples.
+    ``scale`` maps sub-byte sample values to full 0-255 range (gray);
+    palette indices are NOT scaled (spec §11.2.2)."""
+    if depth == 8:
+        return recon[:, :w]
+    bits = np.unpackbits(recon, axis=1)
+    vals = np.zeros((h, w), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, :w]
+    if scale:
+        vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return vals
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes (as produced by :func:`encode_png`) → (H, W, 3) uint8."""
+    """PNG bytes → (H, W, 3) uint8, per the W3C PNG spec (third
+    edition) / RFC 2083: bit depths 1/2/4/8, all five color types
+    (palette via PLTE; gray scaled to full range; alpha channels
+    DROPPED — samples returned as stored, no backdrop compositing,
+    which is a renderer choice the spec leaves open), all five
+    scanline filters, and Adam7 interlace. 16-bit depth raises
+    NotImplementedError (never silently truncated)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
-    w = h = 0
+    w = h = depth = ctype = interlace = 0
     idat = b""
+    plte: np.ndarray | None = None
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, _inter = struct.unpack(
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or ctype != 2:
-                raise NotImplementedError("only 8-bit RGB PNGs supported")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"invalid PNG color type {ctype}")
+            if depth == 16:
+                raise NotImplementedError("16-bit PNG not supported")
+            if depth not in (1, 2, 4, 8):
+                raise ValueError(f"invalid PNG bit depth {depth}")
+            if depth < 8 and ctype not in (0, 3):
+                raise ValueError("sub-byte depth only valid for gray/palette")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
-    if not (raw[:, 0] == 0).all():
-        raise NotImplementedError("only filter type 0 supported")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    nch = _PNG_CHANNELS[ctype]
+    stream = zlib.decompress(idat)
+
+    def decode_rect(buf: memoryview, rw: int, rh: int) -> np.ndarray:
+        """One (sub)image: filtered scanlines → (rh, rw, nch) samples."""
+        rowbytes = (rw * nch * depth + 7) // 8
+        raw = np.frombuffer(
+            buf[: rh * (1 + rowbytes)], dtype=np.uint8
+        ).reshape(rh, 1 + rowbytes)
+        bpp = max(1, nch * depth // 8)
+        recon = _unfilter(raw, rh, rowbytes, bpp)
+        if depth < 8:
+            samples = _expand_depth(recon, rh, rw, depth, scale=ctype == 0)
+            return samples.reshape(rh, rw, 1)
+        return recon.reshape(rh, rowbytes)[:, : rw * nch].reshape(rh, rw, nch)
+
+    if interlace == 0:
+        img = decode_rect(memoryview(stream), w, h)
+    elif interlace == 1:  # Adam7
+        img = np.zeros((h, w, nch if depth == 8 else 1), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            rw = (w - x0 + dx - 1) // dx
+            rh = (h - y0 + dy - 1) // dy
+            if rw == 0 or rh == 0:
+                continue
+            rowbytes = (rw * nch * depth + 7) // 8
+            img[y0::dy, x0::dx] = decode_rect(
+                memoryview(stream)[off:], rw, rh
+            )
+            off += rh * (1 + rowbytes)
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx].copy()
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:  # gray + alpha: replicate luma, drop alpha
+        return np.repeat(img[..., :1], 3, axis=2).copy()
+    # ctype 2 (RGB) or 6 (RGBA, alpha dropped)
+    return img[..., :3].copy()
 
 
 def encode_qpng(pixels: np.ndarray, level: int = 6) -> bytes:
