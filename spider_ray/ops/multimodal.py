@@ -111,8 +111,12 @@ class AudioFeatures:
     (n_samples, duration_ms, rms, peak, zero_crossings). REAL for PCM
     WAV (spider_ray.audio, RIFF spec), FLAC (spider_ray.flac, RFC 9639
     — r3), and lossy IMA ADPCM (spider_ray.audio, IMA rev 3.00 / WAVE
-    tag 17 — r4); remaining compressed formats (mp3/ogg) are stubs
-    behind an import-try, same plumbing."""
+    tag 17 — r4). mp3/ogg rows get REAL container metadata — n_samples
+    and duration_ms from the MPEG frame-header walk / Ogg page walk
+    (spider_ray.audio_meta, late r4) — while their SAMPLE decode stays
+    the one honest stub (``decode_ok=False``, signal features 0): a
+    conformant polyphase/MDCT decoder is out of proportion to audio's
+    role here."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict
@@ -125,6 +129,7 @@ class AudioFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..audio import FMT_ADPCM, FMT_WAV, audio_features, decode_wav
+        from ..audio_meta import FMT_MP3, FMT_OGG, mp3_meta, ogg_meta
         from ..flac import FMT_FLAC, decode_flac
 
         n = batch.num_rows
@@ -141,6 +146,12 @@ class AudioFeatures:
                 for k, v in audio_features(samples, sr).items():
                     feats[k][j] = v
                 ok[j] = True
+            elif fmts[j] in (FMT_MP3, FMT_OGG):
+                # container metadata is real (header walk); the sample
+                # decode is the stub — decode_ok stays False
+                meta = (mp3_meta if fmts[j] == FMT_MP3 else ogg_meta)(blobs[j])
+                feats["n_samples"][j] = meta["n_samples"]
+                feats["duration_ms"][j] = meta["duration_ms"]
             elif self.has_codecs:  # pragma: no cover
                 raise NotImplementedError("compressed-audio path not wired")
             elif self.strict:

@@ -493,12 +493,26 @@ FROM orders
 """
 
 
+# One spec-correct CBR mp3 frame: 128 kbps, 44.1 kHz, stereo Layer III
+# (ISO/IEC 11172-3 header; frame length 144*128000//44100 = 417 bytes).
+# The payload is deterministic FILLER — only the container walk
+# (spider_ray.audio_meta.mp3_meta) is exercised; no sample is claimed.
+_MP3_FRAME = (
+    b"\xff\xfb\x90\x00"
+    + bytes((7 * i + 13) % 256 for i in range(417 - 4))
+)
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal AUDIO path (real codecs: PCM WAV + lossy IMA ADPCM
-    via spider_ray.audio, FLAC via spider_ray.flac): a deterministic
+    via spider_ray.audio, FLAC via spider_ray.flac; mp3 container
+    metadata via spider_ray.audio_meta — late r4): a deterministic
     corpus derived from order keys is round-tripped through the
-    container encoders (k%3==0 FLAC square wave, k%3==1 WAV square
-    wave, k%3==2 IMA ADPCM constant signal — r4) and the AudioFeatures
+    container encoders (k%4==0 FLAC square wave, k%4==1 WAV square
+    wave, k%4==2 IMA ADPCM constant signal, k%4==3 an mp3 frame stream
+    of 8+k%7 CBR frames whose payload is filler — the frame-header
+    walk yields REAL n_samples/duration while rms/peak/crossings stay
+    0, the honest no-sample-decode contract) and the AudioFeatures
     actor-pool stage; integer features hash-match a closed-form SQL
     oracle. Square wave of amplitude A: rms = peak = A, alternating
     sign → n-1 zero crossings. Constant A is BIT-EXACT through the
@@ -506,8 +520,9 @@ def q_audio_features(sf_dir: str):
     code 0 at step index 0 reconstructs a 0 diff — the property
     tests/test_adpcm.py::test_constant_signal_exact pins), so rms =
     peak = A with 0 crossings — container-independent, and a
-    mis-decode in any of the three codecs breaks the hash."""
+    mis-decode in any of the codecs breaks the hash."""
     from ..audio import FMT_ADPCM, FMT_WAV, encode_adpcm_wav, encode_wav
+    from ..audio_meta import FMT_MP3
     from ..flac import FMT_FLAC, encode_flac
     from ..ops.multimodal import AudioFeatures
 
@@ -520,14 +535,19 @@ def q_audio_features(sf_dir: str):
         for k in keys:
             n = 800 + int(k) % 50
             amp = 1000 + int(k) % 100
+            m = int(k) % 4
+            if m == 3:
+                blobs.append(_MP3_FRAME * (8 + int(k) % 7))
+                fmts.append(FMT_MP3)
+                continue
             t = np.arange(n)
-            if int(k) % 3 == 2:
+            if m == 2:
                 samples = np.full(n, amp, dtype=np.int16)
                 blobs.append(encode_adpcm_wav(samples, sample_rate=8000))
                 fmts.append(FMT_ADPCM)
                 continue
             samples = (amp * np.where(t % 2 == 0, 1, -1)).astype(np.int16)
-            if int(k) % 3 == 0:
+            if m == 0:
                 blobs.append(encode_flac(samples, sample_rate=8000))
                 fmts.append(FMT_FLAC)
             else:
@@ -562,16 +582,19 @@ def q_audio_features(sf_dir: str):
 SQL_AUDIO_FEATURES = """
 WITH a AS (
   SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         o_orderkey % 4 AS m,
          800 + o_orderkey % 50 AS n,
-         1000 + o_orderkey % 100 AS amp
+         1000 + o_orderkey % 100 AS amp,
+         (8 + o_orderkey % 7) * 1152 AS mp3n
   FROM orders
 )
 SELECT o_orderkey,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CAST(amp AS BIGINT) AS rms,
-       CAST(amp AS BIGINT) AS peak,
-       CAST(CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE n - 1 END AS BIGINT)
+       CAST(CASE WHEN m = 3 THEN mp3n ELSE n END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN m = 3 THEN mp3n * 1000 // 44100
+                 ELSE n * 1000 // 8000 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN m = 3 THEN 0 ELSE amp END AS BIGINT) AS rms,
+       CAST(CASE WHEN m = 3 THEN 0 ELSE amp END AS BIGINT) AS peak,
+       CAST(CASE WHEN m >= 2 THEN 0 ELSE n - 1 END AS BIGINT)
          AS zero_crossings
 FROM a
 """
