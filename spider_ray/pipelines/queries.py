@@ -503,6 +503,29 @@ _MP3_FRAME = (
 )
 
 
+def _ogg_stream(n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A minimal two-page Ogg/Vorbis stream (RFC 3533): BOS page
+    carrying a real Vorbis identification header, then an EOS page
+    whose granule position IS the total sample count. Data payload is
+    filler — only the page walk + CRC + id header are exercised."""
+    import struct as _st
+
+    from ..audio_meta import ogg_crc
+
+    def page(body: bytes, granule: int, seq: int, htype: int) -> bytes:
+        hdr = bytearray(b"OggS\x00")
+        hdr.append(htype)
+        hdr += _st.pack("<qIII", granule, 7, seq, 0)
+        hdr += bytes([1, len(body)])
+        raw = bytes(hdr) + body
+        return raw[:22] + _st.pack("<I", ogg_crc(raw)) + raw[26:]
+
+    ident = (b"\x01vorbis" + _st.pack("<IBI", 0, 1, sample_rate)
+             + _st.pack("<iii", 0, 64000, 0) + b"\xb8\x01")
+    return (page(ident, 0, 0, 0x02)
+            + page(b"\x05filler", n_samples, 1, 0x04))
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal AUDIO path (real codecs: PCM WAV + lossy IMA ADPCM
     via spider_ray.audio, FLAC via spider_ray.flac; mp3 container
@@ -522,7 +545,7 @@ def q_audio_features(sf_dir: str):
     peak = A with 0 crossings — container-independent, and a
     mis-decode in any of the codecs breaks the hash."""
     from ..audio import FMT_ADPCM, FMT_WAV, encode_adpcm_wav, encode_wav
-    from ..audio_meta import FMT_MP3
+    from ..audio_meta import FMT_MP3, FMT_OGG
     from ..flac import FMT_FLAC, encode_flac
     from ..ops.multimodal import AudioFeatures
 
@@ -537,8 +560,12 @@ def q_audio_features(sf_dir: str):
             amp = 1000 + int(k) % 100
             m = int(k) % 4
             if m == 3:
-                blobs.append(_MP3_FRAME * (8 + int(k) % 7))
-                fmts.append(FMT_MP3)
+                if int(k) % 8 == 3:  # mp3 frame stream
+                    blobs.append(_MP3_FRAME * (8 + int(k) % 7))
+                    fmts.append(FMT_MP3)
+                else:  # k%8 == 7: Ogg/Vorbis page stream
+                    blobs.append(_ogg_stream(4800 + 6 * (int(k) % 50)))
+                    fmts.append(FMT_OGG)
                 continue
             t = np.arange(n)
             if m == 2:
@@ -585,12 +612,14 @@ WITH a AS (
          o_orderkey % 4 AS m,
          800 + o_orderkey % 50 AS n,
          1000 + o_orderkey % 100 AS amp,
-         (8 + o_orderkey % 7) * 1152 AS mp3n
+         CASE WHEN o_orderkey % 8 = 3 THEN (8 + o_orderkey % 7) * 1152
+              ELSE 4800 + 6 * (o_orderkey % 50) END AS mp3n,
+         CASE WHEN o_orderkey % 8 = 3 THEN 44100 ELSE 8000 END AS crate
   FROM orders
 )
 SELECT o_orderkey,
        CAST(CASE WHEN m = 3 THEN mp3n ELSE n END AS BIGINT) AS n_samples,
-       CAST(CASE WHEN m = 3 THEN mp3n * 1000 // 44100
+       CAST(CASE WHEN m = 3 THEN mp3n * 1000 // crate
                  ELSE n * 1000 // 8000 END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN m = 3 THEN 0 ELSE amp END AS BIGINT) AS rms,
        CAST(CASE WHEN m = 3 THEN 0 ELSE amp END AS BIGINT) AS peak,
