@@ -29,7 +29,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .proxy import ProxyConfig, select_proxy
 from .synth import RETRY_HTTP_CODES, World, WorldConfig
+
+# module-level default (immutable); a deployment overrides via
+# spider_ray.proxy.ProxyConfig in its own fetch wrapper
+_PROXY_CFG = ProxyConfig()
 
 # a compact stand-in for the reference's 73-entry UA list
 # (python_spiders/user_agents.py) — rotation mechanics are identical
@@ -127,4 +132,17 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
         [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],
         pa.string(),
     )
+    if _PROXY_CFG.enabled and "host" in batch.column_names:
+        # ST6: per-country proxy selection + rotate-on-retry (pure
+        # function — see spider_ray.proxy for why no mutable health)
+        pairs = [
+            select_proxy(_PROXY_CFG, h, uh, rc or 0)
+            for h, uh, rc in zip(
+                batch["host"].to_pylist(),
+                batch["url_hash"].to_pylist(),
+                retries,
+            )
+        ]
+        cols["proxy"] = pa.array([p for p, _ in pairs], pa.string())
+        cols["proxy_zone"] = pa.array([z for _, z in pairs], pa.string())
     return pa.table(cols)

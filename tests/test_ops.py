@@ -380,8 +380,17 @@ def test_wav_roundtrip_and_audio_features(ray_session):
     assert out["rms"].iloc[1] == 500
 
     af = AudioFeatures(strict=True)
-    with pytest.raises(NotImplementedError):
+    # mp3 rows get REAL container metadata (late r4) but stay
+    # decode_ok=False — the sample decode is still the stub
+    frame = b"\xff\xfb\x90\x00" + bytes(417 - 4)  # 128kbps 44.1kHz L3
+    got = af(pa.table({"bytes": [frame * 5], "fmt": ["mp3"]}))
+    assert got["n_samples"].to_pylist() == [5 * 1152]
+    assert got["decode_ok"].to_pylist() == [False]
+    assert got["rms"].to_pylist() == [0]
+    with pytest.raises(ValueError):  # garbage mp3 → rejected
         af(pa.table({"bytes": [b"ID3..."], "fmt": ["mp3"]}))
+    with pytest.raises(NotImplementedError):  # truly undecodable fmt
+        af(pa.table({"bytes": [b"\x00"], "fmt": ["aac"]}))
     with pytest.raises(ValueError):
         decode_wav(b"not a wav")
 
