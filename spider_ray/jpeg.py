@@ -8,10 +8,16 @@ Annex K.3, and the libjpeg/IJG quality→scale-factor convention (a
 public de-facto standard). Scope is the subset the engine needs:
 
   * encoder: 3-component YCbCr, 4:4:4 (no subsampling), one
-    interleaved scan, no restart markers;
-  * decoder: exactly that subset (it rejects progressive SOFs,
-    subsampled components and restart intervals with
-    ``NotImplementedError`` rather than mis-decoding them).
+    interleaved scan, no restart markers (the vectorized fast form;
+    :mod:`spider_ray.jpeg2` adds progressive / 4:2:0 / 4:2:2 /
+    grayscale / restart-interval encoders);
+  * decoder: a vectorized fast path for exactly that subset; streams
+    needing more — progressive SOF2, extended-sequential SOF1,
+    subsampled components, restart intervals, grayscale, multi-scan
+    sequential — DELEGATE to the general decoder in
+    :mod:`spider_ray.jpeg2` (late r4). Lossless/hierarchical/
+    arithmetic SOFs and 12-bit precision remain rejected, never
+    mis-decoded.
 
 Everything heavy is vectorized: the FDCT/quantization/zigzag and the
 run-length symbol construction are whole-image numpy (the entropy
@@ -490,25 +496,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 sp += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if nc == 1:  # grayscale → general decoder
+                from .jpeg2 import decode_jpeg_general
+
+                return decode_jpeg_general(data)
             if prec != 8 or nc != 3:
                 raise NotImplementedError("only 8-bit 3-component baseline")
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c - 0], seg[7 + 3 * c], seg[8 + 3 * c]
                 del cid
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
+                if samp != 0x11:  # subsampled → general decoder
+                    from .jpeg2 import decode_jpeg_general
+
+                    return decode_jpeg_general(data)
                 comp_q.append(tq)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC2):  # extended seq / progressive
+            from .jpeg2 import decode_jpeg_general
+
+            return decode_jpeg_general(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline SOF")
+            raise NotImplementedError("lossless/hierarchical/arithmetic SOF")
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", seg, 0)
-            if ri:
-                raise NotImplementedError("restart intervals")
+            if ri:  # restart intervals → general decoder
+                from .jpeg2 import decode_jpeg_general
+
+                return decode_jpeg_general(data)
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
             ns = seg[0]
-            if ns != 3:
-                raise NotImplementedError("expected 3-component scan")
+            if ns != 3:  # non-interleaved sequential → general decoder
+                from .jpeg2 import decode_jpeg_general
+
+                return decode_jpeg_general(data)
             for c in range(ns):
                 tsel = seg[2 + 2 * c]
                 comp_dc_ac.append((tsel >> 4, tsel & 15))
@@ -627,13 +647,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             q = qtabs[comp_q[c]].astype(np.float64)
         except KeyError as exc:
             raise ValueError("missing quant table") from exc
-        deq = coefs[c].astype(np.float64) * q[ZIGZAG][np.newaxis, :]
-        nat = np.zeros_like(deq)
-        nat[:, ZIGZAG] = deq  # zigzag order → natural order
-        blocks = nat.reshape(-1, 8, 8)
-        spat = np.matmul(np.matmul(_D8.T, blocks), _D8)
-        chans.append(_from_blocks(spat, h8, w8)[:h, :w] + 128.0)
-    y, cb_, cr = chans
+        chans.append(idct_channel(coefs[c], q, h8, w8)[:h, :w])
+    return ycbcr_to_rgb(*chans)
+
+
+def idct_channel(zz_coefs: np.ndarray, qtab: np.ndarray,
+                 h8: int, w8: int) -> np.ndarray:
+    """(nb, 64) zigzag-order quantized coefficients + natural-order
+    quant table → (h8, w8) float64 spatial samples (level-shifted to
+    0..255). Shared by the baseline fast path and the general
+    (progressive/subsampled) decoder in :mod:`spider_ray.jpeg2`."""
+    deq = zz_coefs.astype(np.float64) * qtab[ZIGZAG][np.newaxis, :]
+    nat = np.zeros_like(deq)
+    nat[:, ZIGZAG] = deq  # zigzag order → natural order
+    blocks = nat.reshape(-1, 8, 8)
+    spat = np.matmul(np.matmul(_D8.T, blocks), _D8)
+    return _from_blocks(spat, h8, w8) + 128.0
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb_: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF/T.871 inverse color transform over float64 planes."""
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr - 128.0)
     bch = y + 1.772 * (cb_ - 128.0)

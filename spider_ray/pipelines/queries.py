@@ -685,7 +685,10 @@ def q_video_frames(sf_dir: str):
                     [_gif_clip_frame(k, i, w, h) for i in range(nf)]
                 ))
                 fmts.append(FMT_GIF_ANIM)
-            else:  # odd keys: MJPEG-in-AVI clip of solid-color frames
+            else:  # odd keys: MJPEG-in-AVI clip of solid-color frames;
+                # k%4==3 clips carry 4:2:0-subsampled frames (exact on
+                # solid color — chroma is constant) so the general
+                # decoder (spider_ray.jpeg2) runs inside the gate too
                 cols = [
                     np.array(
                         [(37 * k + 11 * i) % 256, (53 * k + 7 * i) % 256,
@@ -694,9 +697,15 @@ def q_video_frames(sf_dir: str):
                     )
                     for i in range(nf)
                 ]
+                if k % 4 == 3:
+                    from ..jpeg2 import encode_jpeg_seq
+
+                    enc = lambda px: encode_jpeg_seq(px, 90, "4:2:0")  # noqa: E731
+                else:
+                    enc = lambda px: encode_jpeg(px, quality=90)  # noqa: E731
                 blobs.append(encode_avi_mjpeg(
-                    [encode_jpeg(np.broadcast_to(c, (h, w, 3)).copy(),
-                                 quality=90) for c in cols],
+                    [enc(np.broadcast_to(c, (h, w, 3)).copy())
+                     for c in cols],
                     w, h, fps=10,
                 ))
                 fmts.append(FMT_AVI_MJPEG)

@@ -101,6 +101,12 @@ class WorldConfig:
     images_per_detail: int = 2
     lossy_pct: int = 50  # % of images lossy-encoded (jpeg or qpng)
     jpeg_pct: int = 34  # % OF THE LOSSY images that are real baseline JPEG
+    # % OF THE JPEG images served as progressive (SOF2, libjpeg default
+    # scan script — spider_ray.jpeg2). Same quantized coefficients as
+    # the baseline layout ⇒ bit-identical decoded pixels, so the sink
+    # PSNR/phash invariants are untouched; only the byte layout (and
+    # the decoder path exercised) changes.
+    jpeg_prog_pct: int = 20
     gif_pct: int = 25  # % OF THE LOSSLESS images that are palette-born GIF89a
     fail_pct: int = 5  # % of detail pages 503-ing on first attempt
     notfound_pct: int = 2  # % of detail pages permanently 404
@@ -251,7 +257,12 @@ def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]
     # invariant requires ≥ 40), with ~15% fewer Huffman symbols to
     # decode than q98 — the scan loop is the whole decode cost.
     if fmt == FMT_JPEG:
-        data = encode_jpeg(px, quality=96)
+        if _h(cfg, "imgprog", image_key) % 100 < cfg.jpeg_prog_pct:
+            from .jpeg2 import encode_jpeg_progressive
+
+            data = encode_jpeg_progressive(px, quality=96)
+        else:
+            data = encode_jpeg(px, quality=96)
     elif fmt == FMT_GIF:
         data = encode_gif(px)  # palette-born pixels → lossless round trip
     elif fmt == FMT_QPNG:

@@ -99,16 +99,20 @@ def test_corruption_flips_validation():
 
 
 def test_rejects_unsupported_subsets():
+    # progressive/subsampled streams now route to the general decoder
+    # (spider_ray.jpeg2, tests/test_jpeg2.py); what remains rejected is
+    # arithmetic coding, lossless/hierarchical SOFs and 12-bit samples
     data = bytearray(encode_jpeg(_cases()["tiny"], 90))
     sof = bytes(data).find(b"\xff\xc0")
-    prog = bytearray(data)
-    prog[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
-    sub = bytearray(data)
-    sub[sof + 11] = 0x22  # comp 0 sampling byte (seg offset 7) → 2x2 (4:2:0)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(sub))
+    arith = bytearray(data)
+    arith[sof + 1] = 0xC9  # arithmetic-coded sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
+    deep = bytearray(data)
+    deep[sof + 1] = 0xC2   # progressive general path...
+    deep[sof + 4] = 12     # ...but 12-bit precision
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
 
