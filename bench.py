@@ -48,7 +48,10 @@ BENCH_WORLD = dict(
     round_window_ms=600_000,  # ample budget: politeness on, no deferral tail
     fetch_batch_size=512,
     world_overrides=dict(images_per_detail=3, img_min_side=64, img_max_side=128,
-                         api_host_pct=25),  # a quarter of hosts paginate via POST
+                         api_host_pct=25,  # a quarter of hosts paginate via POST
+                         # A/B knob for the progressive-JPEG world share
+                         jpeg_prog_pct=int(os.environ.get(
+                             "GRAFT_BENCH_JPEG_PROG", "20"))),
 )
 
 BENCH_QUERIES = [

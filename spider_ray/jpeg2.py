@@ -739,32 +739,46 @@ def encode_jpeg_noninterleaved(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
-# the libjpeg default progression script for YCbCr (public de-facto
-# standard): [(comp_indices, Ss, Se, Ah, Al)]
-_PROG_SCRIPT = [
-    ((0, 1, 2), 0, 0, 0, 1),
-    ((0,), 1, 5, 0, 2),
-    ((2,), 1, 63, 0, 1),
-    ((1,), 1, 63, 0, 1),
-    ((0,), 6, 63, 0, 2),
-    ((0,), 1, 63, 2, 1),
-    ((0, 1, 2), 0, 0, 1, 0),
-    ((2,), 1, 63, 1, 0),
-    ((1,), 1, 63, 1, 0),
-    ((0,), 1, 63, 1, 0),
-]
+# progression scripts: [(comp_indices, Ss, Se, Ah, Al)].
+# "full" is the libjpeg default for YCbCr (successive approximation +
+# spectral selection — the hardest decode path); "spectral" is the
+# equally-legal spectral-selection-only form (4 scans, no SA) that
+# many encoders emit — cheaper on both sides, so the synthetic world
+# serves it while tests drive the full script.
+_PROG_SCRIPTS = {
+    "full": [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ],
+    "spectral": [
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+    ],
+}
 
 
-def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Progressive DCT encoder (4:4:4, the libjpeg default scan
-    script): DC first/refine, AC spectral-selection first scans with
-    EOB runs, AC successive-approximation refinement with buffered
-    correction bits (T.81 §G.1)."""
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, script: str = "full"
+) -> bytes:
+    """Progressive DCT encoder (4:4:4): DC first/refine, AC
+    spectral-selection first scans with EOB runs, AC successive-
+    approximation refinement with buffered correction bits (T.81
+    §G.1). ``script`` picks the progression (see _PROG_SCRIPTS)."""
     h, w, _ = pixels.shape
     hv = [(1, 1)] * 3
     comps, _tq, mcux, mcuy = _quantized_components(pixels, quality, hv)
     out = _headers(h, w, quality, hv, progressive=True)
-    for comp_idx, ss, se, ah, al in _PROG_SCRIPT:
+    for comp_idx, ss, se, ah, al in _PROG_SCRIPTS[script]:
         sel = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
                for ci in comp_idx]
         out += _sos(sel, ss, se, ah, al)

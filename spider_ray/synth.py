@@ -260,7 +260,10 @@ def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]
         if _h(cfg, "imgprog", image_key) % 100 < cfg.jpeg_prog_pct:
             from .jpeg2 import encode_jpeg_progressive
 
-            data = encode_jpeg_progressive(px, quality=96)
+            # spectral-selection-only script: the cheap common form;
+            # the full SA script is exercised by tests/test_jpeg2.py
+            data = encode_jpeg_progressive(px, quality=96,
+                                           script="spectral")
         else:
             data = encode_jpeg(px, quality=96)
     elif fmt == FMT_GIF:

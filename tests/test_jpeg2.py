@@ -46,11 +46,12 @@ def test_progressive_equals_baseline_exactly():
                     (64, 48, 96)]:
         px = _image(h, w)
         base = decode_jpeg(encode_jpeg(px, quality=q))
-        data = encode_jpeg_progressive(px, quality=q)
-        assert data[3] == 0xE0 and b"\xff\xc2" in data  # SOF2 present
-        prog = decode_jpeg(data)  # fast path delegates to jpeg2
-        assert (prog == base).all(), (h, w, q)
-        assert jpeg_dims(data) == (w, h)
+        for script in ("full", "spectral"):
+            data = encode_jpeg_progressive(px, quality=q, script=script)
+            assert data[3] == 0xE0 and b"\xff\xc2" in data  # SOF2 present
+            prog = decode_jpeg(data)  # fast path delegates to jpeg2
+            assert (prog == base).all(), (h, w, q, script)
+            assert jpeg_dims(data) == (w, h)
 
 
 def test_noninterleaved_and_restarts_equal_baseline():
