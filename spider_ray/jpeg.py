@@ -434,6 +434,8 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker (B.1.1.2)
         marker = data[pos + 1]
         if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -467,6 +469,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker (B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -86,6 +86,8 @@ class _Scan:
     se: int
     ah: int
     al: int
+    ri: int = 0  # restart interval in force AT THIS SCAN (DRI may
+    # legally change between scans — snapshotted at SOS time)
     segments: list = field(default_factory=list)  # entropy bytes split at RSTn
 
 
@@ -134,6 +136,8 @@ def _parse(data: bytes) -> _Frame:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker (B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -190,7 +194,7 @@ def _parse(data: bytes) -> _Frame:
                     raise ValueError("scan names unknown component")
                 scomps.append((by_id[cs], tsel >> 4, tsel & 15))
             ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-            scan = _Scan(scomps, ss, se, a >> 4, a & 15)
+            scan = _Scan(scomps, ss, se, a >> 4, a & 15, ri=f.ri)
             scan.segments, pos = _split_entropy(data, pos)
             f.scans.append(scan)
         # APPn/COM skipped
@@ -313,14 +317,14 @@ def _decode_scan(f: _Frame, scan: _Scan) -> None:
         luts[ci] = (dc_lut, ac_lut)
 
     blocks = list(_scan_block_order(f, scan))
-    if len(scan.segments) > 1 and not f.ri:
+    if len(scan.segments) > 1 and not scan.ri:
         raise ValueError("restart markers present but DRI is zero")
     seg_iter = iter(scan.segments)
     r = _BitReader(next(seg_iter))
     for c in f.comps:
         c.pred = 0
         c.eobrun = 0
-    ri = f.ri
+    ri = scan.ri
     prev_unit = 0
     units_done = 0
     for ci, bi, unit in blocks:
@@ -622,30 +626,8 @@ def encode_jpeg_seq(
                 for v in range(vs):
                     for u in range(hs):
                         blk = comps[ci][(my * vs + v) * cbw + mx * hs + u]
-                        diff = int(blk[0]) - preds[ci]
-                        preds[ci] = int(blk[0])
-                        s = _csize(diff)
-                        _put_sym(bw, dct, s)
-                        if s:
-                            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                        run = 0
-                        last = 63
-                        while last > 0 and blk[last] == 0:
-                            last -= 1
-                        for k in range(1, last + 1):
-                            v_ = int(blk[k])
-                            if v_ == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                _put_sym(bw, act, 0xF0)
-                                run -= 16
-                            s = _csize(v_)
-                            _put_sym(bw, act, (run << 4) | s)
-                            bw.put(v_ if v_ >= 0 else v_ + (1 << s) - 1, s)
-                            run = 0
-                        if last < 63:
-                            _put_sym(bw, act, 0x00)
+                        preds[ci] = _encode_block(bw, blk, dct, act,
+                                                  preds[ci])
     out += bw.bytes()
     out += b"\xff\xd9"
     return bytes(out)
@@ -685,6 +667,37 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def _encode_block(bw: _BitWriter, blk, dct, act, pred: int) -> int:
+    """Sequential-encode one block (DC diff + RLE AC); returns the new
+    DC predictor. The single shared emission body for every
+    sequential-encode caller."""
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    s = _csize(diff)
+    _put_sym(bw, dct, s)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and blk[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v_ = int(blk[k])
+        if v_ == 0:
+            run += 1
+            continue
+        while run > 15:
+            _put_sym(bw, act, 0xF0)
+            run -= 16
+        s = _csize(v_)
+        _put_sym(bw, act, (run << 4) | s)
+        bw.put(v_ if v_ >= 0 else v_ + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        _put_sym(bw, act, 0x00)
+    return pred
+
+
 def _encode_blocks_seq(bw: _BitWriter, coefs: np.ndarray, ci: int,
                        order, pred_start: int = 0) -> int:
     """Sequential-encode blocks of one component in the given order;
@@ -693,31 +706,7 @@ def _encode_blocks_seq(bw: _BitWriter, coefs: np.ndarray, ci: int,
     act = _ENC_TABLES[0x10 if ci == 0 else 0x11]
     pred = pred_start
     for b in order:
-        blk = coefs[b]
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        s = _csize(diff)
-        _put_sym(bw, dct, s)
-        if s:
-            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        run = 0
-        last = 63
-        while last > 0 and blk[last] == 0:
-            last -= 1
-        for k in range(1, last + 1):
-            v_ = int(blk[k])
-            if v_ == 0:
-                run += 1
-                continue
-            while run > 15:
-                _put_sym(bw, act, 0xF0)
-                run -= 16
-            s = _csize(v_)
-            _put_sym(bw, act, (run << 4) | s)
-            bw.put(v_ if v_ >= 0 else v_ + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            _put_sym(bw, act, 0x00)
+        pred = _encode_block(bw, coefs[b], dct, act, pred)
     return pred
 
 

@@ -181,3 +181,22 @@ def test_fast_path_still_fast_path():
                     side_effect=AssertionError("fast path delegated")):
         out = decode_jpeg(data)
     assert out.shape == (16, 16, 3)
+
+
+def test_fill_bytes_and_per_scan_dri():
+    """Spec-legal oddities: 0xFF fill bytes before markers (B.1.1.2)
+    and a DRI that changes between scans must not desynchronize the
+    parse — the restart interval is snapshotted per scan."""
+    px = _image(24, 24)
+    base = decode_jpeg(encode_jpeg(px, quality=90))
+    data = encode_jpeg_seq(px, quality=90, restart_interval=2)
+    # splice fill bytes before the DHT and SOS markers
+    for marker in (b"\xff\xc4", b"\xff\xda"):
+        i = data.index(marker)
+        data = data[:i] + b"\xff\xff" + data[i:]
+    assert (decode_jpeg(data) == base).all()
+    # a second DRI after the scan (value 0) must not retroactively
+    # apply to the first scan's restart markers
+    eoi = data.rindex(b"\xff\xd9")
+    data2 = data[:eoi] + b"\xff\xdd" + struct.pack(">HH", 4, 0) + data[eoi:]
+    assert (decode_jpeg(data2) == base).all()
