@@ -456,3 +456,85 @@ def test_port_presidence_es_selector_set():
         == ["/img/p1.jpg", "/img/p2.jpg"]
     assert select(root, "//div[@id='mapa']/@data-lat") == ["40.43"]
     assert select(root, "//div[@id='mapa']/@data-lng") == ["-3.70"]
+
+
+WHB_PAGE = """
+<html><head>
+<meta name="viewport" content="width=device-width">
+<title> 2 bed flat, Norwich </title>
+</head><body>
+<a class="property-image" href="/property/p1"></a>
+<a class="property-image" href="/property/p2"></a>
+<div id="renderbody-content">
+  <!-- {"postcode": "NR1 1AA"} -->
+  <!-- {"state": "let agreed"} -->
+  <p>body</p>
+</div>
+<div title="Bedrooms"><span>2</span></div>
+<div title="Bathrooms"><span>1</span></div>
+<div class="price-container"><b class="price">£895</b>
+  <i class="text-light text-muted">pcm</i></div>
+<ul class="clear key-features"><li>Garden</li><li>Parking</li></ul>
+<a class="phone-link" href="tel:01603111222">call</a>
+<img class="brand-logo" alt="William H Brown">
+<ul><li>2 Bathrooms</li><li>650 sqft</li></ul>
+<div class="property-description">Spacious <b>flat</b>.</div>
+<img itemprop="image" src="/img/w1.jpg">
+<p>Reference: <span>WHB-042</span></p>
+</body></html>
+"""
+
+
+def test_port_williamhbrown_selector_set():
+    """Fifth real-spider port: pyspiders-master
+    spiders/williamhbrown_co_uk.py:83-277 verbatim — the corpus's
+    comment() user: structured data hidden in HTML comments is pulled
+    with OR-contains predicates over comment bodies, plus sibling-axis
+    title text and wildcard attribute lookups."""
+    root = parse_html(WHB_PAGE)
+    # listing loop (83)
+    assert select(root, './/*[@class="property-image"]/@href') \
+        == ["/property/p1", "/property/p2"]
+    # presence gate (96): element-valued select
+    assert len(select(root, './/*[@class="property-image"]')) == 2
+    # structured data in comments (113)
+    comments = select(root, './/*[@id="renderbody-content"]/comment()')
+    assert len(comments) == 2 and "postcode" in comments[0]
+    # address from a filtered comment (142)
+    (addr,) = select(
+        root,
+        '//div[@id="renderbody-content"]//comment()'
+        '[contains(., "postcode") or contains(., "state")][1]',
+    )
+    assert "NR1 1AA" in addr
+    # room/bath/rent/period (117-122)
+    assert select(root, './/*[@title="Bedrooms"]/span/text()') == ["2"]
+    assert select(root, './/*[@title="Bathrooms"]/span/text()') == ["1"]
+    assert select(
+        root, './/*[@class="price-container"]/*[@class="price"]/text()'
+    ) == ["£895"]
+    assert select(
+        root,
+        './/*[@class="price-container"]/*[@class="text-light text-muted"]/text()',
+    ) == ["pcm"]
+    # contacts (129-130)
+    assert select(root, './/*[@class="phone-link"]/@href') == ["tel:01603111222"]
+    assert select(root, './/*[@class="brand-logo"]/@alt') == ["William H Brown"]
+    # features (131)
+    assert select(root, './/*[@class="clear key-features"]//li/text()') \
+        == ["Garden", "Parking"]
+    # title via following-sibling from the meta (185)
+    (title,) = select(
+        root, './/meta[@name="viewport"]/following-sibling::title/text()'
+    )
+    assert title.strip() == "2 bed flat, Norwich"
+    # sqft row with OR (201)
+    (sq,) = select(root, "//li[contains(.,'Sq') or contains(.,'sq')]//text()")
+    assert sq == "650 sqft"
+    # description + images + external id (267-277)
+    assert "".join(
+        select(root, './/*[contains(@class,"property-description")]//text()')
+    ) == "Spacious flat."
+    assert select(root, './/*[@itemprop="image"]/@src') == ["/img/w1.jpg"]
+    assert select(root, './/*[contains(text(),"Reference")]/span/text()') \
+        == ["WHB-042"]
