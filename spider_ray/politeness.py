@@ -36,6 +36,7 @@ rows through the shuffle instead of 10^7.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -49,22 +50,68 @@ AUTOTHROTTLE_START_DELAY_MS = 100  # settings.py:76 (0.1 s)
 _RULES_CACHE: dict = {}  # per-process robots cache, keyed by WorldConfig
 
 
+_PAT_CACHE: dict = {}
+
+
+def _robots_pattern(pat: str):
+    """Compile a robots path pattern per RFC 9309 §2.2.3: ``*`` matches
+    any run of characters, a trailing ``$`` anchors the end; otherwise
+    the pattern is a prefix match."""
+    rx = _PAT_CACHE.get(pat)
+    if rx is None:
+        core, anchor = (pat[:-1], True) if pat.endswith("$") else (pat, False)
+        body = ".*".join(re.escape(p) for p in core.split("*"))
+        rx = re.compile(body + ("$" if anchor else ""))
+        _PAT_CACHE[pat] = rx
+    return rx
+
+
 @dataclass
 class RobotsRules:
     crawl_delay_ms: int
-    disallow: tuple[str, ...] = ()
+    # (is_allow, pattern) pairs of the group that governs our agent
+    rules: tuple[tuple[bool, str], ...] = ()
 
     def allows(self, path: str) -> bool:
-        return not any(path.startswith(p) for p in self.disallow if p)
+        """RFC 9309 §2.2.2 precedence: the matching rule with the
+        LONGEST pattern wins; on a tie, Allow wins; no match ⇒ allowed."""
+        best_len = -1
+        best_allow = True
+        for is_allow, pat in self.rules:
+            if len(pat) >= best_len and _robots_pattern(pat).match(path):
+                if len(pat) > best_len:
+                    best_len, best_allow = len(pat), is_allow
+                elif is_allow:
+                    best_allow = True
+        return best_allow
+
+    @property
+    def disallow(self) -> tuple[str, ...]:
+        """Back-compat view: the group's Disallow patterns."""
+        return tuple(p for ia, p in self.rules if not ia)
 
 
-def parse_robots(body: bytes, default_delay_ms: int = AUTOTHROTTLE_START_DELAY_MS) -> RobotsRules:
-    """Minimal robots.txt parser: ``User-agent: *`` section's
-    ``Crawl-delay`` and ``Disallow`` lines (public robots exclusion
-    protocol; enough for the synthetic world's grammar)."""
-    delay = default_delay_ms
-    disallow: list[str] = []
-    active = True  # single-section files; '*' assumed until another UA seen
+def parse_robots(body: bytes, default_delay_ms: int = AUTOTHROTTLE_START_DELAY_MS,
+                 agent: str = "spider-ray") -> RobotsRules:
+    """robots.txt parser per RFC 9309: groups of consecutive
+    ``User-agent`` lines followed by ``Allow``/``Disallow`` rules
+    (wildcards + ``$`` anchors), plus the de-facto ``Crawl-delay``.
+    The governing group is the one whose agent token is the longest
+    prefix of ``agent`` (case-insensitive), falling back to ``*``;
+    an empty Disallow contributes no rule (allow-all)."""
+    # groups: [(agents, rules, delay)]
+    groups: list[tuple[list[str], list[tuple[bool, str]], list[int]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    cur_delay: list[int] = []
+    in_agents = False  # consecutive UA lines extend the same group
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], []
+
     for line in body.decode("utf-8", "replace").splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -72,15 +119,39 @@ def parse_robots(body: bytes, default_delay_ms: int = AUTOTHROTTLE_START_DELAY_M
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            active = val == "*"
-        elif active and key == "crawl-delay":
-            try:
-                delay = int(float(val) * 1000)
-            except ValueError:
-                pass
-        elif active and key == "disallow" and val:
-            disallow.append(val)
-    return RobotsRules(delay, tuple(disallow))
+            if not in_agents:
+                flush()
+                in_agents = True
+            cur_agents.append(val.lower())
+        else:
+            in_agents = False
+            if key == "crawl-delay":
+                try:
+                    cur_delay.append(int(float(val) * 1000))
+                except ValueError:
+                    pass
+            elif key in ("allow", "disallow") and val:
+                cur_rules.append((key == "allow", val))
+    flush()
+
+    # governing group: longest agent token that prefixes ours; else '*'
+    agent = agent.lower()
+    best: tuple[int, list, list] | None = None
+    star: tuple[list, list] | None = None
+    for agents, rules, delays in groups:
+        for a in agents:
+            if a == "*":
+                star = (rules, delays)
+            elif agent.startswith(a) and (best is None or len(a) > best[0]):
+                best = (len(a), rules, delays)
+    if best is not None:
+        rules, delays = best[1], best[2]
+    elif star is not None:
+        rules, delays = star
+    else:
+        rules, delays = [], []
+    delay = delays[0] if delays else default_delay_ms
+    return RobotsRules(delay, tuple(rules))
 
 
 AUTOTHROTTLE_MAX_DELAY_MS = 2000  # settings.py:77 (2 s)

@@ -354,3 +354,53 @@ def test_sorted_set64_memory_and_semantics():
     rt = SortedSet64.from_array(s.to_array())
     assert len(rt) == len(ref)
     assert rt.contains_many(sample).all()
+
+
+def test_robots_rfc9309_semantics():
+    """RFC 9309: Allow/Disallow longest-match precedence (Allow wins
+    ties), * wildcards, $ end anchors, group selection by longest
+    matching agent token, consecutive User-agent lines."""
+    body = b"""
+User-agent: *
+Disallow: /private/
+Allow: /private/listing/
+Disallow: /*.pdf$
+Disallow: /search*sort=
+Crawl-delay: 0.5
+"""
+    r = parse_robots(body)
+    assert r.crawl_delay_ms == 500
+    assert not r.allows("/private/x")
+    # Allow's longer pattern beats the shorter Disallow
+    assert r.allows("/private/listing/42")
+    # wildcard + anchor: only .pdf at the END is blocked
+    assert not r.allows("/docs/brochure.pdf")
+    assert r.allows("/docs/brochure.pdf.html")
+    assert not r.allows("/search?page=2&sort=price")
+    assert r.allows("/searching")  # 'sort=' never appears
+
+    # tie between Allow and Disallow of equal length → Allow wins
+    tie = parse_robots(b"User-agent: *\nDisallow: /a/\nAllow: /a/\n")
+    assert tie.allows("/a/x")
+
+    # group selection: the longest agent token prefixing ours governs
+    body2 = b"""
+User-agent: spider
+User-agent: otherbot
+Disallow: /spider-blocked/
+
+User-agent: spider-ray
+Disallow: /ray-blocked/
+
+User-agent: *
+Disallow: /
+"""
+    r2 = parse_robots(body2, agent="spider-ray")
+    assert not r2.allows("/ray-blocked/x")
+    assert r2.allows("/spider-blocked/x") and r2.allows("/anything")
+    # an agent matching only the shorter token gets THAT group
+    r3 = parse_robots(body2, agent="spiderling")
+    assert not r3.allows("/spider-blocked/x") and r3.allows("/ray-blocked/x")
+    # unknown agent falls back to *
+    r4 = parse_robots(body2, agent="curl")
+    assert not r4.allows("/anything")
