@@ -551,7 +551,13 @@ _RE_SM_LOC = re.compile(rb"<loc>\s*(.*?)\s*</loc>", re.DOTALL)
 def parse_sitemap(body: bytes) -> tuple[str, list[str]]:
     """S5 — sitemaps.org protocol documents (SitemapSpider analog):
     returns ('index' | 'urlset', loc URLs). A sitemapindex's children
-    are further sitemaps; a urlset's children are content URLs."""
+    are further sitemaps; a urlset's children are content URLs.
+    Gzip-compressed sitemaps (.xml.gz, allowed by the protocol and
+    the dominant form for large sites) are decompressed first."""
+    if body[:2] == b"\x1f\x8b":  # gzip magic
+        import gzip
+
+        body = gzip.decompress(body)
     kind = "index" if b"<sitemapindex" in body else "urlset"
     return kind, [m.decode("utf-8", "replace") for m in _RE_SM_LOC.findall(body)]
 

@@ -448,6 +448,70 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker found")
 
 
+def jpeg_exif_orientation(data: bytes) -> int:
+    """EXIF orientation (1-8) from the APP1 segment's TIFF IFD0 (tag
+    0x0112, SHORT) — the field real crawled photos carry and image
+    pipelines must honor. Returns 1 (upright) when absent/malformed;
+    never raises on tag soup."""
+    pos = 2
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return 1
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            marker = data[pos + 1]
+            if marker in (0xD8, 0xD9, 0xDA) or 0xD0 <= marker <= 0xD7:
+                if marker == 0xDA:
+                    return 1  # entropy data: no APP1 follows
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = data[pos + 10 : pos + 2 + seglen]
+                if tiff[:2] == b"II":
+                    end = "<"
+                elif tiff[:2] == b"MM":
+                    end = ">"
+                else:
+                    return 1
+                (ifd0,) = struct.unpack_from(end + "I", tiff, 4)
+                (nent,) = struct.unpack_from(end + "H", tiff, ifd0)
+                for i in range(nent):
+                    off = ifd0 + 2 + 12 * i
+                    tag, typ, _cnt = struct.unpack_from(end + "HHI", tiff, off)
+                    if tag == 0x0112 and typ == 3:  # SHORT
+                        (o,) = struct.unpack_from(end + "H", tiff, off + 8)
+                        return o if 1 <= o <= 8 else 1
+                return 1
+            pos += 2 + seglen
+    except (struct.error, IndexError):
+        return 1
+    return 1
+
+
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Map decoded pixels to upright display per the EXIF orientation
+    values (TIFF 6.0 §Image orientation): 1 identity, 2 mirror-H,
+    3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW,
+    7 transverse, 8 rotate 90 CCW."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return px.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return px.transpose(1, 0, 2)[::-1]
+    return px
+
+
 # ---------------------------------------------------------------------
 # decoder
 

@@ -404,3 +404,22 @@ Disallow: /
     # unknown agent falls back to *
     r4 = parse_robots(body2, agent="curl")
     assert not r4.allows("/anything")
+
+
+def test_parse_sitemap_gzip():
+    """sitemaps.org allows gzip-compressed documents (.xml.gz) — the
+    dominant form for large sites; both kinds decompress and parse."""
+    import gzip
+
+    from spider_ray.extract import parse_sitemap
+
+    urlset = (b'<?xml version="1.0"?><urlset><url><loc>http://h0.test/d/1'
+              b'</loc></url><url><loc>http://h0.test/d/2</loc></url></urlset>')
+    index = (b'<sitemapindex><sitemap><loc>http://h0.test/sm1.xml.gz</loc>'
+             b'</sitemap></sitemapindex>')
+    assert parse_sitemap(urlset) == (
+        "urlset", ["http://h0.test/d/1", "http://h0.test/d/2"])
+    assert parse_sitemap(gzip.compress(urlset)) == (
+        "urlset", ["http://h0.test/d/1", "http://h0.test/d/2"])
+    assert parse_sitemap(gzip.compress(index)) == (
+        "index", ["http://h0.test/sm1.xml.gz"])

@@ -200,3 +200,46 @@ def test_fill_bytes_and_per_scan_dri():
     eoi = data.rindex(b"\xff\xd9")
     data2 = data[:eoi] + b"\xff\xdd" + struct.pack(">HH", 4, 0) + data[eoi:]
     assert (decode_jpeg(data2) == base).all()
+
+
+def test_exif_orientation():
+    """EXIF orientation parse (APP1/TIFF IFD0 tag 0x0112, both byte
+    orders) + the 8 upright mappings; absent/garbage EXIF → 1."""
+    from spider_ray.jpeg import (apply_exif_orientation, encode_jpeg,
+                                 jpeg_exif_orientation)
+
+    px = _image(10, 8)
+    data = encode_jpeg(px, quality=90)
+    assert jpeg_exif_orientation(data) == 1  # no EXIF emitted
+
+    def with_exif(orientation, end):
+        # TIFF: header + one-entry IFD0
+        if end == "<":
+            tiff = (b"II*\x00" + struct.pack("<I", 8)
+                    + struct.pack("<H", 1)
+                    + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+                    + struct.pack("<I", 0))
+        else:
+            tiff = (b"MM\x00*" + struct.pack(">I", 8)
+                    + struct.pack(">H", 1)
+                    + struct.pack(">HHIHH", 0x0112, 3, 1, orientation, 0)
+                    + struct.pack(">I", 0))
+        app1 = b"Exif\x00\x00" + tiff
+        seg = b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+        return data[:2] + seg + data[2:]
+
+    for o in range(1, 9):
+        assert jpeg_exif_orientation(with_exif(o, "<")) == o
+        assert jpeg_exif_orientation(with_exif(o, ">")) == o
+
+    # mappings: round-tripping through the inverse pairs restores px
+    for o, inv in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 8),
+                   (7, 7), (8, 6)]:
+        up = apply_exif_orientation(px, o)
+        assert (apply_exif_orientation(up, inv) == px).all(), o
+    # rotations change shape; mirrors don't
+    assert apply_exif_orientation(px, 6).shape == (8, 10, 3)
+    assert apply_exif_orientation(px, 2).shape == px.shape
+    # malformed EXIF never raises
+    broken = data[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + data[2:]
+    assert jpeg_exif_orientation(broken) == 1
