@@ -552,12 +552,18 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     status = batch["status"].to_numpy(zero_copy_only=False)
     retry_count = batch["retry_count"].to_numpy(zero_copy_only=False)
     ok_mask = status == 200
+    # 3xx: the Location (carried in the body column) becomes a normal
+    # next-round link — Scrapy RedirectMiddleware semantics. The seen
+    # set is the loop guard: a cycle's second visit dedups away.
+    redirect_mask = np.isin(status, np.array([301, 302, 303, 307, 308],
+                                             dtype=status.dtype))
     retry_mask = (
         ~ok_mask
+        & ~redirect_mask
         & np.isin(status, np.array(sorted(RETRY_HTTP_CODES), dtype=status.dtype))
         & (retry_count < MAX_RETRIES)
     )
-    fail_mask = ~ok_mask & ~retry_mask
+    fail_mask = ~ok_mask & ~retry_mask & ~redirect_mask
 
     # --- retries: pure column carry + bump (ST4 — retry middleware);
     # re-injected with dont_filter semantics (skip_dedup=True)
@@ -611,6 +617,21 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     link_raw: list[tuple] = []  # (url, base, depth, seq_parent, seq_link,
     #                              callback, caption, form_body, m_page, m_skip, m_take)
     image_rows: list[dict] = []
+    if redirect_mask.any():
+        rd = batch.filter(pa.array(redirect_mask))
+        for loc, base, depth, sp, cb, cap in zip(
+            rd["body"].to_pylist(),
+            rd["canonical_url"].to_pylist(),
+            rd["depth"].to_pylist(),
+            rd["seq"].to_pylist(),
+            rd["callback"].to_pylist(),
+            rd["caption"].to_pylist(),
+        ):
+            # target keeps the source's depth/callback; ordering key is
+            # (round+1, host, source seq, 0) like any emitted link
+            link_raw.append((loc.decode("utf-8", "replace"), base,
+                             int(depth), int(sp), 0, cb, cap,
+                             None, None, None, None))
     if ok_mask.any():
         okt = batch.filter(pa.array(ok_mask))
         z = {

@@ -173,6 +173,13 @@ class OracleCrawler:
                 res.fetch_log.append((r, c.canonical, c.fingerprint))
                 page = self.world.resolve(c.canonical, attempt=c.retry_count,
                                           form_body=c.form_body)
+                if page.status in (301, 302, 303, 307, 308):
+                    # redirect: the Location (body column) becomes a
+                    # normal next-round link carrying the source's
+                    # depth/callback — mirrors frontier._parse_fn
+                    target = page.body.decode("utf-8", "replace")
+                    nxt.append(self._child(c, target, c.callback, c.depth, 0, c.caption))
+                    continue
                 if page.status != 200:
                     if page.status in RETRY_HTTP_CODES and c.retry_count < MAX_RETRIES:
                         c.retry_count += 1

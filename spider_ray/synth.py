@@ -109,6 +109,12 @@ class WorldConfig:
     jpeg_prog_pct: int = 20
     gif_pct: int = 25  # % OF THE LOSSLESS images that are palette-born GIF89a
     fail_pct: int = 5  # % of detail pages 503-ing on first attempt
+    # % of (non-private) detail links emitted as /go/{k} alias URLs
+    # that 301-redirect to the canonical /prop/{k} — the Scrapy
+    # RedirectMiddleware surface. Default 0 keeps the long-stable
+    # crawl outputs byte-identical; engine+oracle support is
+    # equivalence-tested at nonzero pct in tests/test_frontier.py.
+    redirect_pct: int = 0
     notfound_pct: int = 2  # % of detail pages permanently 404
     private_pct: int = 10  # % of detail pages under the robots-disallowed path
     min_crawl_delay_ms: int = 100  # AutoThrottle band, settings.py:76-78
@@ -276,6 +282,18 @@ def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]
 
 
 # ------------------------------------------------------------------ detail fields
+
+def detail_href(cfg: WorldConfig, k: int) -> str:
+    """The href a listing/API/sitemap emits for detail ``k``: the
+    /private prefix when robots-gated, else possibly a /go/{k} alias
+    that 301-redirects to the canonical /prop/{k} (redirect_pct)."""
+    if _h(cfg, "priv", k) % 100 < cfg.private_pct:
+        return f"/private/prop/{k}"
+    if cfg.redirect_pct and _h(cfg, "redir", k) % 100 < cfg.redirect_pct:
+        return f"/go/{k}"
+    return f"/prop/{k}"
+
+
 def detail_key(host_index: int, page: int, slot: int, cfg: WorldConfig) -> int:
     """Global detail ordinal, unique across the world."""
     return (
@@ -437,8 +455,7 @@ class World:
             results = []
             for off in range(skip, min(skip + take, total)):
                 k = base_k + off
-                pfx = "/private" if _h(cfg, "priv", k) % 100 < cfg.private_pct else ""
-                results.append(f"{pfx}/prop/{k}")
+                results.append(detail_href(cfg, k))
             body = _json.dumps(
                 {"results": results, "skip": skip, "take": take,
                  "has_more": skip + take < total}
@@ -470,8 +487,8 @@ class World:
             urls = []
             for slot in range(cfg.details_per_page):
                 k = detail_key(i, page, slot, cfg)
-                pfx = "/private" if _h(cfg, "priv", k) % 100 < cfg.private_pct else ""
-                urls.append(f"  <url><loc>http://{host}{pfx}/prop/{k}</loc></url>")
+                urls.append(
+                    f"  <url><loc>http://{host}{detail_href(cfg, k)}</loc></url>")
             body = (
                 '<?xml version="1.0" encoding="UTF-8"?>\n'
                 '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
@@ -496,8 +513,7 @@ class World:
             links = []
             for slot in range(cfg.details_per_page):
                 k = detail_key(i, page, slot, cfg)
-                pfx = "/private" if _h(cfg, "priv", k) % 100 < cfg.private_pct else ""
-                links.append(f"{pfx}/prop/{k}")
+                links.append(detail_href(cfg, k))
             body_links = "\n".join(
                 f'<a class="listing" href="{u}">listing</a>' for u in links
             )
@@ -508,6 +524,17 @@ class World:
             )
             body = f"<html><body>{body_links}\n{nxt}</body></html>".encode()
             return Page(url, 200, "listing", body, "text/html", latency)
+
+        if path.startswith("/go/"):
+            # alias URL: 301 to the canonical detail; the Location
+            # value travels in the body column (no schema change)
+            try:
+                k = int(path.rpartition("/")[2])
+            except ValueError:
+                return Page(url, 404, "missing", latency_ms=latency)
+            target = f"http://{host}/prop/{k}"
+            return Page(url, 301, "redirect", target.encode(),
+                        "text/plain", latency)
 
         if path.startswith("/prop/") or path.startswith("/private/prop/"):
             k_str = path.rpartition("/")[2]

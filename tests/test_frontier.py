@@ -299,3 +299,45 @@ def test_retried_task_reproduces_winner_mask(ray_session):
     d.register_arrays(h, sp, sl, round_no=2)
     assert not d.winner_mask_arrays(h, sp, sl, round_no=2).any()
     d.shutdown()
+
+
+def test_redirects_match_oracle(ray_session):
+    """301 alias links (redirect_pct > 0): the engine follows the
+    Location into the next round's frontier exactly like the
+    sequential oracle — fetch sets (which now include the alias
+    fetches), seen set and sink rows all agree; redirect targets
+    dedup normally (a target reached twice is fetched once)."""
+    from spider_ray.synth import World, detail_href
+
+    cfg = _cfg(redirect_pct=40, fail_pct=0, notfound_pct=0)
+    # the world really emits aliases and 301s at this pct
+    w = World(cfg, CAPTIONS)
+    aliases = [k for k in range(60) if detail_href(cfg, k).startswith("/go/")]
+    assert aliases, "redirect_pct did not produce alias links"
+    page = w.resolve(f"http://h0.test/go/{aliases[0]}")
+    assert page.status == 301 and page.body.startswith(b"http://h0.test/prop/")
+
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    img = eng.images_table().to_pydict()
+    eng_rows = {
+        i: (c, f, p)
+        for i, c, f, p in zip(img["image_id"], img["caption"], img["fmt"],
+                              img["phash"])
+    }
+    ora_rows = {r["image_id"]: (r["caption"], r["fmt"], r["phash"])
+                for r in ora.images}
+    assert eng_rows == ora_rows
+    # the alias fetches really happened (strictly more fetches than a
+    # no-redirect world over the same content)
+    plain = OracleCrawler(_cfg(redirect_pct=0, fail_pct=0, notfound_pct=0),
+                          CAPTIONS).crawl(cfg.seeds())
+    assert len(ora.fetch_log) > len(plain.fetch_log)
+    # ...but the same DETAIL content is reached: identical sink rows
+    plain_rows = {r["image_id"] for r in plain.images}
+    assert {r["image_id"] for r in ora.images} == plain_rows

@@ -211,3 +211,20 @@ def test_carry_blocks_are_host_aligned(ray_session, tmp_path):
         sc.crawl(cfg.seeds())
         assert seen_round, "no multi-block carry was ever checked"
         sc.close()
+
+
+def test_streaming_redirects_equal_driver(ray_session, tmp_path):
+    """The streaming mode follows 301 aliases identically to the
+    driver mode (shared parse kernel) — on the pure at-scale path
+    (threshold 0: distributed sort every round)."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15,
+                      redirect_pct=40)
+    dc, dres, dseen = _driver_run(cfg)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, small_round_threshold=0)
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["images"] == dres["images"]
+    d_admits = [row["rows_admitted"] for row in dc.lineage]
+    s_admits = [row["rows_admitted"] for row in sc.lineage]
+    assert s_admits == d_admits
