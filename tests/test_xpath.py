@@ -109,12 +109,16 @@ def test_dispatch_and_compile_errors():
     assert type(compile_selector("div.price")).__name__ == "Selector"
     for bad in (
         "//div[count(a)=2]",          # unsupported function
-        "//div[a/b='x']",             # nested path predicate
+        "//td/text()/preceding::i",   # text() not final
         "//text()/div",               # text() not final
-        "//@href/div",                # @ not final
+        "//@href/div",                # @ followed by a non-parent step
+        "concat(//a/text(),'x')",     # concat() unsupported
     ):
         with pytest.raises(ValueError):
             XPathSelector(bad)
+    # r4 tier-5: nested path predicates now compile
+    XPathSelector("//div[a/b='x']")
+    XPathSelector("//li[span[contains(.,'Prezzo')]]/span[2]/text()")
 
 
 def test_rules_dsl_takes_xpath():
@@ -538,3 +542,185 @@ def test_port_williamhbrown_selector_set():
     assert select(root, './/*[@itemprop="image"]/@src') == ["/img/w1.jpg"]
     assert select(root, './/*[contains(text(),"Reference")]/span/text()') \
         == ["WHB-042"]
+
+
+GENOVAREAL_PAGE = """
+<html><body>
+<div class="gx-risultato"><a href="/immobile/501">…</a></div>
+<div class="gx-risultato"><a href="/immobile/502">…</a></div>
+<div class="gx-printable gx-scheda-testo"><h1>Trilocale in Via Roma</h1></div>
+<h3 class="gx-printable-indirizzo gx-item">Via Roma 12, Genova</h3>
+<ul>
+  <li><span>Prezzo </span><span>1.200 €</span></li>
+  <li><span>Superficie </span><span>80 mq</span></li>
+</ul>
+<ul>
+  <li class="gx-row-details"><label>tipologia:</label><span>Appartamento</span></li>
+  <li class="gx-row-details"><label>locali:</label><span>3</span></li>
+  <li class="gx-row-details"><label>bagni:</label><span>2</span></li>
+  <li class="gx-row-details"><label>spese condominiali:</label><span>50</span></li>
+  <li class="gx-row-details"><label>piani:</label><span>4</span></li>
+  <li class="gx-row-details"><label>classe energetica:</label><span>C</span></li>
+  <li class="gx-row-details"><label>balconi:</label><span>0</span></li>
+  <li class="gx-row-details"><label>ascensori:</label><span>1</span></li>
+</ul>
+<label>posti auto:</label> <label>terrazzi:</label>
+<div class="descrizione-lunga">Luminoso <b>trilocale</b> ristrutturato.</div>
+<div class="gx-gallery-slide" style="background-image:url(/img/g1.jpg)"></div>
+<div class="gx-gallery-slide" style="background-image:url(/img/g2.jpg)"></div>
+<div class="gx-printable-img gx-item gx-div-thumb-bottom" style="background-image:url(/img/plan.jpg)"></div>
+</body></html>
+"""
+
+
+def test_port_genovareal_it_selector_set():
+    """Sixth real-spider port: pyspiders-master
+    spiders/genovareal_it.py:49-173 verbatim — the corpus's heaviest
+    NESTED-predicate user ([label[contains(.,'x')]] /
+    [span[contains(.,'x')]]), combined with flat-position groups,
+    chained text() filters and //@style attribute harvesting."""
+    root = parse_html(GENOVAREAL_PAGE)
+    # listing loop (49)
+    assert select(root, "//div[@class='gx-risultato']/a/@href") \
+        == ["/immobile/501", "/immobile/502"]
+    # property type (69): nested predicate + flat position
+    assert select(
+        root, "(//li[label[contains(.,'tipologia')]]/span/text())[1]"
+    ) == ["Appartamento"]
+    # title (74) and address (84)
+    assert select(
+        root, "//div[@class='gx-printable gx-scheda-testo']/h1/text()"
+    ) == ["Trilocale in Via Roma"]
+    assert select(
+        root, "//h3[contains(@class,'gx-printable-indirizzo')]/text()"
+    ) == ["Via Roma 12, Genova"]
+    # rent (77) / square meters (123): nested span predicate, second span
+    assert select(root, "//li[span[contains(.,'Prezzo')]]/span[2]/text()") \
+        == ["1.200 €"]
+    assert select(
+        root, "//li[span[contains(.,'Superficie')]]/span[2]/text()"
+    ) == ["80 mq"]
+    # rooms (103) / bathrooms (119) / utilities (127) / floor (132)
+    assert select(root, "(//li[label[contains(.,'locali')]]/span/text())[1]") \
+        == ["3"]
+    assert select(root, "(//li[label[contains(.,'bagni')]]/span/text())[1]") \
+        == ["2"]
+    assert select(root, "(//li[label[contains(.,'spese')]]/span/text())[1]") \
+        == ["50"]
+    assert select(root, "(//li[label[contains(.,'piani')]]/span/text())[1]") \
+        == ["4"]
+    # energy label (140): nested string-value equality
+    assert select(
+        root, "(//li[label[.='classe energetica:']]/span/text())[1]"
+    ) == ["C"]
+    # balcony (144): the '0' span is filtered by the chained [.!='0'] —
+    # empty, exactly what the spider's if-None branch expects
+    assert select(
+        root, "(//li[label[contains(.,'balcon')]]/span/text()[.!='0'])[1]"
+    ) == []
+    # elevator (148): same shape, non-zero value survives
+    assert select(
+        root, "(//li[label[contains(.,'ascensori')]]/span/text()[.!='0'])[1]"
+    ) == ["1"]
+    # parking/terrace (151/154): whole-label string equality
+    assert select(root, "//label[.='posti auto:']/text()") == ["posti auto:"]
+    # description (136)
+    assert "".join(
+        select(root, "//div[contains(@class,'descrizione')]//text()")
+    ) == "Luminoso trilocale ristrutturato."
+    # gallery + floor plan (169/173): //@style harvesting
+    assert [
+        x.split("(")[1].split(")")[0]
+        for x in select(root, "//div[@class='gx-gallery-slide']//@style")
+    ] == ["/img/g1.jpg", "/img/g2.jpg"]
+    assert [
+        x.split("(")[1].split(")")[0] for x in select(
+            root,
+            "//div[@class='gx-printable-img gx-item gx-div-thumb-bottom']//@style",
+        )
+    ] == ["/img/plan.jpg"]
+    # the spider's line 115 is malformed XPath (unbalanced paren) —
+    # the engine rejects it at compile time instead of mis-reading it
+    with pytest.raises(ValueError):
+        XPathSelector(
+            "normalize-space(//ul/li[@class='gx-row-details']"
+            "/label[contains(.,'locali')]/following-sibling::span/text()"
+        )
+
+
+def test_tier5_forms():
+    """r4 tier-5: the residual corpus forms — attribute-step
+    predicates, not(), last()-N, no-space or, path comparisons,
+    document-order axes, substring-after/-before, parent-recovery."""
+    html = """
+    <body>
+    <div class="pagination"><a href="/1">1</a><a href="/2">2</a><a href="/3">3</a><a href="/n">»</a></div>
+    <table><tr><th>Surface habitable (m²)</th><th>85</th></tr>
+    <tr><td>Superficie habitable</td><td>70 m²</td></tr></table>
+    <div class="container-xs"><a href="tel:+333">Call</a><a href="mailto:x@y">Mail</a></div>
+    <iframe src="https://maps.example/embed"></iframe><iframe src="https://video.example/v"></iframe>
+    <img class="img-dpe" src="/dpe/dpe_C.png"><img class="img-dpe" src="/img/empty.png">
+    <link rel="shortlink" href="https://x.example/?p=991">
+    <script>var m = L.marker([48.85, 2.35]);</script>
+    <div><dt>Floor</dt><dd>3rd</dd></div>
+    <img src="/garage.png"><ul><li><span class="critere-value">ok</span></li></ul>
+    <td>Heizkosten:</td><td>120</td>
+    <div id="desc"><h3>Header</h3></div>
+    </body>"""
+    root = parse_html(html)
+    # last()-N
+    assert select(
+        root, "//div[contains(@class,'pagination')]/a[last()-1]/text()"
+    ) == ["3"]
+    # existential path = comparison
+    assert select(root, "//tr[th='Surface habitable (m²)']/th[2]/text()") \
+        == ["85"]
+    # no-space 'or' + text() != filter with stray spaces
+    assert select(
+        root,
+        "//tr[contains(.,'Superficie habitable')or contains( .,'Superficie' )]"
+        "/td[2]/text()[ . !='0 m²']",
+    ) == ["70 m²"]
+    # @attr[preds] + parent:: owner-element recovery
+    assert select(
+        root,
+        "//div[@class='container-xs']/a/@href[contains(.,'tel')]/parent::a/text()",
+    ) == ["Call"]
+    # @attr string predicates, positive and not()
+    assert select(root, "//iframe/@src[contains(.,'map')]") \
+        == ["https://maps.example/embed"]
+    assert select(
+        root, "//img[contains(@class,'img-dpe')]//@src[not(contains(.,'empty'))]"
+    ) == ["/dpe/dpe_C.png"]
+    # substring-after / -before, composed
+    assert select(root, "substring-after(//link[@rel='shortlink']/@href,'=')") \
+        == ["991"]
+    assert select(
+        root,
+        "substring-before(substring-after(//link[@rel='shortlink']/@href,'?'),'991')",
+    ) == ["p="]
+    # bracket inside a quoted needle no longer breaks step splitting
+    assert select(root, "//script[contains(.,'L.marker([')]/text()") \
+        == ["var m = L.marker([48.85, 2.35]);"]
+    # contains() over a nested path (string value of FIRST node)
+    assert select(root, ".//div[contains(.//dt//text(), 'Floor')]/dd//text()") \
+        == ["3rd"]
+    # document-order axes
+    assert select(
+        root,
+        "//ul/li/span[@class='critere-value']//preceding::img/@src[contains(.,'garage')]",
+    ) == ["/garage.png"]
+    assert select(root, "//td[contains(text(),'Heizkosten:')]/following::td/text()") \
+        == ["120"]
+    # parenthesized predicate + whitespace before the bracket
+    assert select(root, './/*[(@id="desc")]/h3/text()') == ["Header"]
+    assert select(root, "//div [@id='desc']/h3/text()") == ["Header"]
+    # relative XPath without a leading axis marker routes to XPath
+    assert is_xpath("div[@class='x']//a") and is_xpath("td//text()")
+    tr = select(root, "//tr")[1]
+    assert compile_selector("td//text()").select(tr) \
+        == ["Superficie habitable", "70 m²"]
+    # string() wrapper and redundant self step
+    assert select(root, "normalize-space(string(.//div[@id='desc']))") \
+        == ["Header"]
+    assert select(root, ".//div[@id='desc']//.//h3/text()") == ["Header"]
