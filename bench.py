@@ -51,7 +51,16 @@ BENCH_WORLD = dict(
                          api_host_pct=25,  # a quarter of hosts paginate via POST
                          # A/B knob for the progressive-JPEG world share
                          jpeg_prog_pct=int(os.environ.get(
-                             "GRAFT_BENCH_JPEG_PROG", "20"))),
+                             "GRAFT_BENCH_JPEG_PROG", "20")),
+                         # share of text pages served Content-Encoding
+                         # compressed (gzip/deflate wire + transparent
+                         # decode in the fetch stage)
+                         gzip_pct=int(os.environ.get(
+                             "GRAFT_BENCH_GZIP", "60")),
+                         # share of detail pages served windows-1252
+                         # with a meta charset tag (sniffed client-side)
+                         latin1_pct=int(os.environ.get(
+                             "GRAFT_BENCH_LATIN1", "30"))),
 )
 
 BENCH_QUERIES = [

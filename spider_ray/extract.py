@@ -533,9 +533,50 @@ _RE_JSONLD = re.compile(
 )
 
 
+_RE_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([\w-]+)""", re.IGNORECASE
+)
+_CHARSET_ALIASES = {
+    "windows-1252": "cp1252", "iso-8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "us-ascii": "ascii", "utf8": "utf-8",
+}
+
+
+def detect_and_decode(body: bytes, content_type: str = "") -> str:
+    """Charset sniffing + decode — the w3lib ``html_to_unicode``
+    semantics Scrapy's response.text uses (reference spiders parse
+    non-UTF-8 European sites through it). Resolution order: BOM →
+    Content-Type header param → <meta charset> in the first 1024
+    bytes → UTF-8 attempt → cp1252 fallback (the browsers' de-facto
+    latin-1 superset)."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace")
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16", "replace")
+    name = None
+    if content_type:
+        mh = re.search(r"charset\s*=\s*[\"']?([\w-]+)", content_type,
+                       re.IGNORECASE)
+        name = mh.group(1) if mh else None
+    if name is None:
+        mb = _RE_META_CHARSET.search(body[:1024])
+        if mb:
+            name = mb.group(1).decode("ascii", "replace")
+    if name:
+        codec = _CHARSET_ALIASES.get(name.lower(), name.lower())
+        try:
+            return body.decode(codec, "replace")
+        except LookupError:
+            pass  # unknown label: fall through to content sniff
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("cp1252", "replace")
+
+
 def parse_listing_links(body: bytes) -> tuple[list[str], str | None]:
     """Listing page → (detail hrefs, next-page href or None)."""
-    text = body.decode("utf-8", "replace")
+    text = detect_and_decode(body)
     details, nxt = [], None
     for kind, href in _RE_HREF.findall(text):
         if kind == "listing":
@@ -565,7 +606,7 @@ def parse_sitemap(body: bytes) -> tuple[str, list[str]]:
 def parse_detail_page(body: bytes) -> dict:
     """Detail page → raw field dict (strings; normalization is a later
     stage). JSON-LD lat/long via M21 (spiders/123wonen_nl.py:170-173)."""
-    text = body.decode("utf-8", "replace")
+    text = detect_and_decode(body)
     fields = dict(_RE_DIV.findall(text))
     m = _RE_TITLE.search(text)
     title = m.group(1).strip() if m else None

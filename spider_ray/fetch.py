@@ -53,6 +53,29 @@ MAX_RETRIES = 3  # settings.py:98 RETRY_TIMES
 _SESSION_CACHE: dict = {}
 
 
+def decode_http_body(body: bytes, encoding: str) -> bytes:
+    """Transparent HTTP content-coding decode — the Scrapy
+    HttpCompressionMiddleware analog (RFC 9110 §8.4.1 semantics).
+    gzip/x-gzip and deflate are supported; deflate falls back to a
+    raw (headerless) inflate because some servers send RFC 1951
+    streams under the "deflate" token, the same tolerance the real
+    middleware ships."""
+    if not encoding:
+        return body
+    if encoding in ("gzip", "x-gzip"):
+        import gzip
+
+        return gzip.decompress(body)
+    if encoding == "deflate":
+        import zlib
+
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return zlib.decompress(body, -15)
+    raise ValueError(f"unsupported Content-Encoding: {encoding!r}")
+
+
 def get_world(cfg: WorldConfig, captions_ref=None) -> World:
     key = (cfg, captions_ref.hex() if captions_ref is not None else None)
     w = _SESSION_CACHE.get(key)
@@ -106,14 +129,18 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
     kinds: list[str] = []
     bodies: list[bytes] = []
     fmts: list[str] = []
+    encodings: list[str] = []
     latencies = np.empty(len(urls), dtype=np.int32)
     total_sleep = 0.0
     for j, (u, rc, fb) in enumerate(zip(urls, retries, bodies_in)):
         page = world.resolve(u, attempt=rc or 0, form_body=fb)
         statuses[j] = page.status
         kinds.append(page.kind)
-        bodies.append(page.body)
+        # downloader-middleware decode: parse stages always see the
+        # identity form; the wire coding is recorded for lineage
+        bodies.append(decode_http_body(page.body, page.content_encoding))
         fmts.append(page.fmt)
+        encodings.append(page.content_encoding)
         latencies[j] = page.latency_ms
         total_sleep += page.latency_ms / 1000.0
     if simulate_latency and total_sleep:
@@ -127,6 +154,7 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
     cols["kind"] = pa.array(kinds, pa.string())
     cols["body"] = pa.array(bodies, pa.large_binary())
     cols["fmt"] = pa.array(fmts, pa.string())
+    cols["content_encoding"] = pa.array(encodings, pa.string())
     cols["latency_ms"] = pa.array(latencies, pa.int32())
     cols["ua"] = pa.array(
         [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],

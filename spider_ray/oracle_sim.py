@@ -29,6 +29,7 @@ from urllib.parse import urlsplit
 
 from spider_ray.canon import canonicalize, host_of, request_fingerprint
 from spider_ray.extract import parse_detail_page, parse_listing_links
+from spider_ray.fetch import decode_http_body
 from spider_ray.hashing import xxh64
 from spider_ray.imaging import decode, phash
 from spider_ray.politeness import (
@@ -173,6 +174,10 @@ class OracleCrawler:
                 res.fetch_log.append((r, c.canonical, c.fingerprint))
                 page = self.world.resolve(c.canonical, attempt=c.retry_count,
                                           form_body=c.form_body)
+                # client-stack mirror: the engine's fetch stage decodes
+                # Content-Encoding before parsing (fetch.decode_http_body)
+                page.body = decode_http_body(page.body,
+                                             page.content_encoding)
                 if page.status in (301, 302, 303, 307, 308):
                     # redirect: the Location (body column) becomes a
                     # normal next-round link carrying the source's

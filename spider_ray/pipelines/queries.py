@@ -2040,6 +2040,19 @@ def _dump_oracle(name: str, tbl: pa.Table) -> None:
     os.replace(tmp, f"{_ORACLE_DUMP_DIR}/{name}.parquet")
 
 
+def _run_crawl_world(sf_dir: str, world: dict):
+    """``run_crawl()`` takes the core sizing kwargs directly and other
+    world knobs via ``world_overrides``; the oracle path passes the
+    same dict straight to ``WorldConfig`` — keep ONE dict per query
+    and split it here so engine and oracle worlds can't drift."""
+    from .crawl import run_crawl
+
+    core = ("num_hosts", "max_pages_per_host", "details_per_page")
+    over = {k: v for k, v in world.items() if k not in core}
+    return run_crawl(sf_dir, **{k: world[k] for k in core if k in world},
+                     world_overrides=over or None)
+
+
 def _oracle_crawl(sf_dir: str, **world_kw):
     from ..oracle_sim import OracleCrawler
     from ..synth import WorldConfig, load_captions_from_documents
@@ -2057,7 +2070,8 @@ def ensure_crawl_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
     dump from an earlier run at a different scale)."""
     from ..imaging import phash as _phash
 
-    world_a = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3)
+    world_a = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
+                 gzip_pct=35, latin1_pct=35)
     _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world_a))
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world_a)
     _dump_oracle(
@@ -2126,9 +2140,10 @@ def q_crawl_items(sf_dir: str):
     simulator's items via the parquet-dump oracle."""
     from .crawl import run_crawl
 
-    world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3)
+    world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
+                 gzip_pct=35, latin1_pct=35)
     _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world))
-    crawler, _ = run_crawl(sf_dir, **world)
+    crawler, _ = _run_crawl_world(sf_dir, world)
     return crawler.items_table().select(_CRAWL_ITEM_COLS)
 
 
@@ -2144,7 +2159,8 @@ def q_crawl_images(sf_dir: str):
     verify_sink query; byte-level equality is pytest-asserted)."""
     from .crawl import run_crawl
 
-    world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3)
+    world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
+                 gzip_pct=35, latin1_pct=35)
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world)
     _dump_oracle(
         "crawl_images",
@@ -2160,7 +2176,7 @@ def q_crawl_images(sf_dir: str):
             }
         ),
     )
-    crawler, _ = run_crawl(sf_dir, **world)
+    crawler, _ = _run_crawl_world(sf_dir, world)
     return crawler.images_table().select(
         ["image_id", "w", "h", "fmt", "caption", "phash", "src_url"]
     )

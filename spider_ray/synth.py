@@ -109,6 +109,20 @@ class WorldConfig:
     jpeg_prog_pct: int = 20
     gif_pct: int = 25  # % OF THE LOSSLESS images that are palette-born GIF89a
     fail_pct: int = 5  # % of detail pages 503-ing on first attempt
+    # % of 200 text responses (listing/detail/api/sitemap) served with
+    # HTTP Content-Encoding (gzip 3/4, zlib-deflate 1/4) — the wire
+    # form real servers send back for the reference spiders'
+    # "Accept-Encoding: gzip, deflate, br" request header. Default 0
+    # keeps long-stable crawl outputs byte-identical; the decode path
+    # is equivalence-tested at nonzero pct in tests/test_frontier.py.
+    gzip_pct: int = 0
+    # % of detail pages served windows-1252-encoded with a declaring
+    # <meta charset> tag (the web's dominant non-UTF-8 coding). Only
+    # pages whose text round-trips losslessly through cp1252 convert —
+    # others stay UTF-8 — so parsed content is identical either way;
+    # the client-side sniffing lives in extract.detect_and_decode (the
+    # Scrapy/w3lib html_to_unicode analog). Default 0 = byte-stable.
+    latin1_pct: int = 0
     # % of (non-private) detail links emitted as /go/{k} alias URLs
     # that 301-redirect to the canonical /prop/{k} — the Scrapy
     # RedirectMiddleware surface. Default 0 keeps the long-stable
@@ -190,6 +204,7 @@ class Page:
     content_type: str = "text/html"
     latency_ms: int = 0
     fmt: str = ""  # image pages only
+    content_encoding: str = ""  # "" | "gzip" | "deflate" (wire coding)
 
 
 def _h(cfg: WorldConfig, *parts) -> int:
@@ -402,6 +417,21 @@ def detail_html(cfg: WorldConfig, host: str, k: int, caption: str) -> str:
 </body></html>"""
 
 
+def encode_page(cfg: WorldConfig, url: str, html: str) -> tuple[bytes, str]:
+    """Server-side charset selection: a ``latin1_pct`` share of pages
+    goes out windows-1252 with a declaring ``<meta charset>`` tag
+    (skipped when the text doesn't fit cp1252 — real servers don't
+    mojibake their own content); everything else is UTF-8."""
+    if cfg.latin1_pct and _h(cfg, "charset", url) % 100 < cfg.latin1_pct:
+        tagged = html.replace(
+            "<head>", '<head><meta charset="windows-1252">', 1)
+        try:
+            return tagged.encode("cp1252"), "windows-1252"
+        except UnicodeEncodeError:
+            pass
+    return html.encode("utf-8"), "utf-8"
+
+
 # ------------------------------------------------------------------ resolver
 class World:
     """Pure-function URL → Page resolver.
@@ -429,6 +459,38 @@ class World:
 
     def resolve(self, url: str, attempt: int = 0,
                 form_body: bytes | None = None) -> Page:
+        """Server-side resolution + HTTP content coding: when
+        ``cfg.gzip_pct`` > 0, that share of 200 text responses goes
+        out gzip- (3/4) or zlib-deflate- (1/4) compressed with
+        ``content_encoding`` set, exactly like real servers answering
+        the reference spiders' ``Accept-Encoding: gzip, deflate``
+        headers (e.g. spiders/stonebridgelondon_co_uk.py:23). The
+        client side — transparent decode before parsing — lives in
+        :func:`spider_ray.fetch.decode_http_body` (the Scrapy
+        HttpCompressionMiddleware analog)."""
+        page = self._resolve_plain(url, attempt, form_body)
+        cfg = self.cfg
+        if (
+            cfg.gzip_pct
+            and page.status == 200
+            and page.kind in ("listing", "detail", "api", "sitemap")
+        ):
+            roll = _h(cfg, "enc", page.url)
+            if roll % 100 < cfg.gzip_pct:
+                import gzip as _gzip
+                import zlib as _zlib
+
+                if (roll >> 7) % 4 == 0:
+                    page.body = _zlib.compress(page.body)
+                    page.content_encoding = "deflate"
+                else:
+                    # mtime=0 keeps the member header deterministic
+                    page.body = _gzip.compress(page.body, mtime=0)
+                    page.content_encoding = "gzip"
+        return page
+
+    def _resolve_plain(self, url: str, attempt: int = 0,
+                       form_body: bytes | None = None) -> Page:
         cfg = self.cfg
         from urllib.parse import parse_qs, urlsplit
 
@@ -546,8 +608,10 @@ class World:
                 return Page(url, PERMANENT_CODE, "missing", latency_ms=latency)
             if attempt == 0 and _h(cfg, "flaky", k) % 100 < cfg.fail_pct:
                 return Page(url, TRANSIENT_CODE, "detail", latency_ms=latency)
-            body = detail_html(cfg, host, k, self.caption_for(k)).encode()
-            return Page(url, 200, "detail", body, "text/html", latency)
+            body, cs = encode_page(
+                cfg, url, detail_html(cfg, host, k, self.caption_for(k)))
+            return Page(url, 200, "detail", body,
+                        f"text/html; charset={cs}", latency)
 
         if path.startswith("/img/"):
             key = path.rpartition("/")[2]

@@ -423,3 +423,69 @@ def test_parse_sitemap_gzip():
         "urlset", ["http://h0.test/d/1", "http://h0.test/d/2"])
     assert parse_sitemap(gzip.compress(index)) == (
         "index", ["http://h0.test/sm1.xml.gz"])
+
+
+def test_decode_http_body():
+    """fetch.decode_http_body: gzip, zlib-deflate and raw-deflate wire
+    forms all decode to the identity bytes; unknown codings raise."""
+    import gzip
+    import zlib
+
+    import pytest
+
+    from spider_ray.fetch import decode_http_body
+
+    data = b"<html><body>" + b"x" * 500 + b"</body></html>"
+    assert decode_http_body(data, "") == data
+    assert decode_http_body(gzip.compress(data, mtime=0), "gzip") == data
+    assert decode_http_body(gzip.compress(data, mtime=0), "x-gzip") == data
+    assert decode_http_body(zlib.compress(data), "deflate") == data
+    # some servers send raw RFC 1951 streams under the deflate token
+    raw = zlib.compressobj(wbits=-15)
+    assert decode_http_body(raw.compress(data) + raw.flush(), "deflate") == data
+    with pytest.raises(ValueError):
+        decode_http_body(data, "br")
+
+
+def test_detect_and_decode():
+    """extract.detect_and_decode: BOM → header charset → meta charset
+    → UTF-8 attempt → cp1252 fallback (w3lib html_to_unicode order)."""
+    from spider_ray.extract import detect_and_decode
+
+    s = "café — 80 m²"
+    assert detect_and_decode(s.encode("utf-8")) == s
+    assert detect_and_decode(b"\xef\xbb\xbf" + s.encode("utf-8")) == s
+    # meta charset declaration wins over the utf-8 attempt
+    page = f'<html><head><meta charset="windows-1252"></head><body>{s}</body></html>'
+    assert s in detect_and_decode(page.encode("cp1252"))
+    meta_http = (b'<meta http-equiv="Content-Type" '
+                 b'content="text/html; charset=ISO-8859-1">caf\xe9')
+    assert detect_and_decode(meta_http).endswith("caf\xe9")
+    # header param wins without any meta tag
+    assert detect_and_decode(s.encode("cp1252"),
+                             "text/html; charset=windows-1252") == s
+    # undeclared cp1252 bytes: utf-8 decode fails, fallback kicks in
+    assert detect_and_decode("café".encode("cp1252")) == "café"
+    # unknown label falls through to the content sniff
+    assert detect_and_decode(b'<meta charset="bogus-999">ok').endswith("ok")
+
+
+def test_encode_page_charset_world():
+    """synth.encode_page: deterministic cp1252 share, lossless-only
+    conversion, meta tag injected exactly when converted."""
+    from spider_ray.synth import WorldConfig, encode_page
+
+    cfg = WorldConfig(latin1_pct=100)
+    html = "<html><head><title>x</title></head><body>café</body></html>"
+    body, cs = encode_page(cfg, "http://h0.test/prop/1", html)
+    assert cs == "windows-1252" and b'charset="windows-1252"' in body
+    assert b"caf\xe9" in body  # really cp1252 on the wire
+    again, _ = encode_page(cfg, "http://h0.test/prop/1", html)
+    assert again == body
+    # text outside cp1252 stays utf-8, no misleading meta tag
+    body2, cs2 = encode_page(cfg, "http://h0.test/prop/2",
+                             html.replace("café", "寿司"))
+    assert cs2 == "utf-8" and b"charset=" not in body2
+    # pct=0 worlds never convert
+    b3, c3 = encode_page(WorldConfig(), "http://h0.test/prop/1", html)
+    assert c3 == "utf-8" and b3 == html.encode()

@@ -341,3 +341,86 @@ def test_redirects_match_oracle(ray_session):
     # ...but the same DETAIL content is reached: identical sink rows
     plain_rows = {r["image_id"] for r in plain.images}
     assert {r["image_id"] for r in ora.images} == plain_rows
+
+
+def test_content_encoding_matches_oracle(ray_session):
+    """HTTP compression (gzip_pct > 0): the world serves gzip/deflate
+    wire bodies; the fetch stage's transparent decode (the Scrapy
+    HttpCompressionMiddleware analog) hands parse identical bytes, so
+    engine and oracle agree — and the whole crawl output matches the
+    uncompressed world's output exactly."""
+    import gzip as _gzip
+
+    from spider_ray.synth import World
+
+    cfg = _cfg(gzip_pct=50, fail_pct=0, notfound_pct=0)
+    # the world really compresses at this pct, deterministically
+    w = World(cfg, CAPTIONS)
+    encs = set()
+    for p in range(1, 3):
+        page = w.resolve(f"http://h0.test/list?page={p}")
+        encs.add(page.content_encoding)
+        if page.content_encoding == "gzip":
+            assert page.body[:2] == b"\x1f\x8b"
+            assert _gzip.decompress(page.body).startswith(b"<html>")
+        again = w.resolve(f"http://h0.test/list?page={p}")
+        assert again.body == page.body  # deterministic member header
+    probe = [w.resolve(f"http://h0.test/prop/{k}").content_encoding
+             for k in range(40)]
+    assert "gzip" in set(probe) | encs, "gzip_pct produced no gzip pages"
+
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    img = eng.images_table().to_pydict()
+    eng_rows = {
+        i: (c, f, p)
+        for i, c, f, p in zip(img["image_id"], img["caption"], img["fmt"],
+                              img["phash"])
+    }
+    ora_rows = {r["image_id"]: (r["caption"], r["fmt"], r["phash"])
+                for r in ora.images}
+    assert eng_rows == ora_rows
+    # the coding is wire-only: identical crawl to the identity world
+    plain_eng, plain_res = _run_engine(
+        _cfg(gzip_pct=0, fail_pct=0, notfound_pct=0))
+    assert _fetch_sets(eng) == _fetch_sets(plain_eng)
+    assert res["images"] == plain_res["images"]
+    assert res["items"] == plain_res["items"]
+
+
+def test_charset_world_matches_oracle(ray_session):
+    """windows-1252 detail pages (latin1_pct > 0): the shared parse
+    kernel sniffs the meta charset and decodes, so engine and oracle
+    agree — and extracted items/captions equal the all-UTF-8 world's
+    (the coding is representation-only)."""
+    from spider_ray.synth import World
+
+    caps = [f"légère caption {i} — 80 m²" for i in range(5)]
+    cfg = _cfg(latin1_pct=60, fail_pct=0, notfound_pct=0)
+    w = World(cfg, caps)
+    # the world really serves cp1252 bytes at this pct
+    hit = [w.resolve(f"http://h0.test/prop/{k}") for k in range(24)]
+    cp = [p for p in hit if p.status == 200
+          and b'charset="windows-1252"' in p.body]
+    assert cp, "latin1_pct produced no cp1252 pages"
+    assert any(b"l\xe9g\xe8re" in p.body for p in cp)  # true cp1252 bytes
+
+    c1 = Crawler(cfg, caps, num_dedup_shards=4, obey_robots=True,
+                 round_window_ms=60_000)
+    c1.crawl(cfg.seeds())
+    ora = OracleCrawler(cfg, caps).crawl(cfg.seeds())
+    assert _fetch_sets(c1) == _oracle_fetch_sets(ora)
+    img = c1.images_table().to_pydict()
+    eng_rows = {i: c for i, c in zip(img["image_id"], img["caption"])}
+    ora_rows = {r["image_id"]: r["caption"] for r in ora.images}
+    assert eng_rows == ora_rows
+    assert any("légère" in c for c in eng_rows.values())
+    # identical content to the all-utf-8 world
+    c0 = Crawler(_cfg(latin1_pct=0, fail_pct=0, notfound_pct=0), caps,
+                 num_dedup_shards=4, obey_robots=True,
+                 round_window_ms=60_000)
+    c0.crawl(cfg.seeds())
+    img0 = c0.images_table().to_pydict()
+    assert eng_rows == {i: c for i, c in zip(img0["image_id"],
+                                             img0["caption"])}

@@ -228,3 +228,16 @@ def test_streaming_redirects_equal_driver(ray_session, tmp_path):
     d_admits = [row["rows_admitted"] for row in dc.lineage]
     s_admits = [row["rows_admitted"] for row in sc.lineage]
     assert s_admits == d_admits
+
+
+def test_streaming_content_encoding_equal_driver(ray_session, tmp_path):
+    """Compressed worlds (gzip_pct > 0) crawl identically in both
+    modes — the decode lives in the shared fetch kernel."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15,
+                      gzip_pct=60)
+    dc, dres, dseen = _driver_run(cfg)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, small_round_threshold=0)
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["images"] == dres["images"]
