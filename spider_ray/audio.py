@@ -27,6 +27,8 @@ import numpy as np
 
 FMT_WAV = "wav"
 FMT_ADPCM = "adpcm"  # IMA ADPCM in a RIFF/WAVE container (format tag 0x11)
+FMT_ULAW = "ulaw"  # ITU-T G.711 µ-law in a RIFF/WAVE container (tag 7)
+FMT_ALAW = "alaw"  # ITU-T G.711 A-law in a RIFF/WAVE container (tag 6)
 
 # IMA ADPCM tables (IMA rec. practices rev 3.00; RFC 3551 §4.5.1)
 _IMA_INDEX = np.array(
@@ -144,6 +146,114 @@ def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 8000,
     )
 
 
+# ------------------------------------------------------------ G.711
+# ITU-T G.711 companding (µ-law §4.1 Table 2a/2b, A-law Table 1a/1b),
+# in the common 16-bit-PCM convention (13/14-bit code values scaled
+# by 4/8 — what WAVE tags 6/7 carry). Encode is vectorized bit math;
+# decode is a 256-entry table built from the scalar formulas.
+
+_G711_CLIP = 32635
+_ULAW_BIAS = 0x84  # 132
+
+
+def _ulaw_encode_scalar(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    s = min(s, _G711_CLIP) + _ULAW_BIAS
+    exponent = s.bit_length() - 8  # MSB position above the 7-bit floor
+    mantissa = (s >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def _ulaw_decode_scalar(u: int) -> int:
+    u = ~u & 0xFF
+    exponent = (u >> 4) & 0x7
+    s = (((u & 0x0F) << 3) + _ULAW_BIAS) << exponent
+    s -= _ULAW_BIAS
+    return -s if u & 0x80 else s
+
+
+def _alaw_encode_scalar(s: int) -> int:
+    mask = 0xD5 if s >= 0 else 0x55
+    if s < 0:
+        s = -s
+    s = min(s, _G711_CLIP)
+    if s >= 256:
+        exponent = (s >> 8).bit_length()  # segment 1..7
+        mantissa = (s >> (exponent + 3)) & 0x0F
+        code = (exponent << 4) | mantissa
+    else:
+        code = s >> 4
+    return code ^ mask
+
+
+def _alaw_decode_scalar(a: int) -> int:
+    a ^= 0x55
+    t = ((a & 0x0F) << 4) + 8  # mid-tread reconstruction (+half step)
+    seg = (a & 0x70) >> 4
+    if seg:
+        t = (t + 0x100) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_DECODE_TABLE = np.array(
+    [_ulaw_decode_scalar(u) for u in range(256)], np.int16
+)
+_ALAW_DECODE_TABLE = np.array(
+    [_alaw_decode_scalar(a) for a in range(256)], np.int16
+)
+
+
+def g711_encode(samples: np.ndarray, law: str = "mu") -> bytes:
+    """int16 → 8-bit G.711 codes, vectorized (one pass of bit math)."""
+    x = np.asarray(samples, np.int64)
+    neg = x < 0
+    mag = np.minimum(np.abs(x), _G711_CLIP)
+    if law == "mu":
+        m = mag + _ULAW_BIAS
+        hi = m >> 7  # in [1, 255] → exponent = bit_length(hi) - 1
+        exponent = np.zeros_like(m)
+        for b in range(1, 8):
+            exponent = np.where(hi >= (1 << b), b, exponent)
+        mantissa = (m >> (exponent + 3)) & 0x0F
+        code = ~(np.where(neg, 0x80, 0) | (exponent << 4) | mantissa) & 0xFF
+    elif law == "a":
+        mask = np.where(neg, 0x55, 0xD5)
+        seg_in = mag >> 8
+        exponent = np.zeros_like(mag)
+        for b in range(7):  # bit_length of a 7-bit value
+            exponent = np.where(seg_in >= (1 << b), b + 1, exponent)
+        mantissa = (mag >> (exponent + 3)) & 0x0F
+        hi = (exponent << 4) | mantissa
+        code = np.where(mag >= 256, hi, mag >> 4) ^ mask
+    else:
+        raise ValueError(f"unknown G.711 law: {law!r}")
+    return code.astype(np.uint8).tobytes()
+
+
+def g711_decode(codes: bytes, law: str = "mu") -> np.ndarray:
+    table = _ULAW_DECODE_TABLE if law == "mu" else _ALAW_DECODE_TABLE
+    return table[np.frombuffer(codes, np.uint8)]
+
+
+def encode_g711_wav(samples: np.ndarray, sample_rate: int = 8000,
+                    law: str = "mu") -> bytes:
+    """int16 mono → G.711 in a RIFF/WAVE container (format tag 7
+    µ-law / 6 A-law, 8 bits per sample, mandatory fact chunk)."""
+    codes = g711_encode(np.asarray(samples, np.int16), law)
+    tag = 7 if law == "mu" else 6
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    fact = struct.pack("<I", len(codes))
+    riff_sz = 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(codes))
+    return (
+        b"RIFF" + struct.pack("<I", riff_sz) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+
+
 def _decode_ima_blocks(payload: bytes, block_align: int, spb: int,
                        total: int) -> np.ndarray:
     out = np.empty(total, dtype=np.int16)
@@ -205,9 +315,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 if channels != 1 or bits != 4:
                     raise NotImplementedError("only 4-bit mono IMA ADPCM supported")
                 spb = struct.unpack_from("<H", payload, 18)[0]
+            elif audio_fmt in (6, 7):  # G.711 A-law / µ-law
+                if channels != 1 or bits != 8:
+                    raise NotImplementedError("only 8-bit mono G.711 supported")
             else:
                 raise NotImplementedError(
-                    "only PCM16 (tag 1) and IMA ADPCM (tag 17) supported"
+                    "only PCM16 (tag 1), G.711 (tags 6/7) and IMA ADPCM "
+                    "(tag 17) supported"
                 )
         elif tag == b"fact":
             (fact_n,) = struct.unpack_from("<I", payload)
@@ -221,6 +335,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if fact_n is None:  # fact is mandatory per spec, but be tolerant
             fact_n = (len(pcm) // block_align) * spb
         return _decode_ima_blocks(pcm, block_align, spb, fact_n), sample_rate
+    if audio_fmt in (6, 7):
+        codes = pcm if fact_n is None else pcm[:fact_n]
+        return g711_decode(codes, "mu" if audio_fmt == 7 else "a"), sample_rate
     return np.frombuffer(pcm, dtype="<i2").astype(np.int16), sample_rate
 
 

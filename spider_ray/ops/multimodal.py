@@ -128,7 +128,8 @@ class AudioFeatures:
             self.has_codecs = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..audio import FMT_ADPCM, FMT_WAV, audio_features, decode_wav
+        from ..audio import (FMT_ADPCM, FMT_ALAW, FMT_ULAW, FMT_WAV,
+                             audio_features, decode_wav)
         from ..audio_meta import FMT_MP3, FMT_OGG, mp3_meta, ogg_meta
         from ..flac import FMT_FLAC, decode_flac
 
@@ -139,8 +140,10 @@ class AudioFeatures:
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         for j in range(n):
-            if fmts[j] in (FMT_WAV, FMT_ADPCM, FMT_FLAC):
-                # FMT_ADPCM shares the WAVE container walker (tag 0x11)
+            if fmts[j] in (FMT_WAV, FMT_ADPCM, FMT_ULAW, FMT_ALAW,
+                           FMT_FLAC):
+                # ADPCM/G.711 share the WAVE container walker
+                # (tags 0x11 / 7 / 6)
                 samples, sr = (decode_flac if fmts[j] == FMT_FLAC
                                else decode_wav)(blobs[j])
                 for k, v in audio_features(samples, sr).items():

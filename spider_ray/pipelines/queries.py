@@ -531,20 +531,24 @@ def q_audio_features(sf_dir: str):
     via spider_ray.audio, FLAC via spider_ray.flac; mp3 container
     metadata via spider_ray.audio_meta — late r4): a deterministic
     corpus derived from order keys is round-tripped through the
-    container encoders (k%4==0 FLAC square wave, k%4==1 WAV square
-    wave, k%4==2 IMA ADPCM constant signal, k%4==3 an mp3 frame stream
-    of 8+k%7 CBR frames whose payload is filler — the frame-header
-    walk yields REAL n_samples/duration while rms/peak/crossings stay
-    0, the honest no-sample-decode contract) and the AudioFeatures
-    actor-pool stage; integer features hash-match a closed-form SQL
-    oracle. Square wave of amplitude A: rms = peak = A, alternating
-    sign → n-1 zero crossings. Constant A is BIT-EXACT through the
-    lossy ADPCM codec (the block header carries the first sample and
-    code 0 at step index 0 reconstructs a 0 diff — the property
-    tests/test_adpcm.py::test_constant_signal_exact pins), so rms =
-    peak = A with 0 crossings — container-independent, and a
-    mis-decode in any of the codecs breaks the hash."""
-    from ..audio import FMT_ADPCM, FMT_WAV, encode_adpcm_wav, encode_wav
+    container encoders (k%4==0 FLAC square wave, k%8==1 PCM WAV square
+    wave, k%8==5 G.711 µ-law square at a µ-law-exact amplitude
+    924+64·(k%16), k%8==2 IMA ADPCM constant signal, k%8==6 G.711
+    A-law square at an A-law-exact amplitude 1056+64·(k%16), k%8==3
+    an mp3 frame stream of 8+k%7 CBR frames whose payload is filler —
+    the frame-header walk yields REAL n_samples/duration while
+    rms/peak/crossings stay 0, the honest no-sample-decode contract)
+    and the AudioFeatures actor-pool stage; integer features
+    hash-match a closed-form SQL oracle. Square wave of amplitude A:
+    rms = peak = A, alternating sign → n-1 zero crossings. Constant A
+    is BIT-EXACT through the lossy ADPCM codec (the block header
+    carries the first sample and code 0 at step index 0 reconstructs
+    a 0 diff — tests/test_adpcm.py::test_constant_signal_exact pins),
+    and the G.711 amplitudes sit exactly on companding decode levels
+    (±A in the codecs' decode-table image — tests/test_g711.py pins),
+    so a mis-decode in any of the five codecs breaks the hash."""
+    from ..audio import (FMT_ADPCM, FMT_ALAW, FMT_ULAW, FMT_WAV,
+                         encode_adpcm_wav, encode_g711_wav, encode_wav)
     from ..audio_meta import FMT_MP3, FMT_OGG
     from ..flac import FMT_FLAC, encode_flac
     from ..ops.multimodal import AudioFeatures
@@ -559,8 +563,9 @@ def q_audio_features(sf_dir: str):
             n = 800 + int(k) % 50
             amp = 1000 + int(k) % 100
             m = int(k) % 4
+            e = int(k) % 8
             if m == 3:
-                if int(k) % 8 == 3:  # mp3 frame stream
+                if e == 3:  # mp3 frame stream
                     blobs.append(_MP3_FRAME * (8 + int(k) % 7))
                     fmts.append(FMT_MP3)
                 else:  # k%8 == 7: Ogg/Vorbis page stream
@@ -568,15 +573,25 @@ def q_audio_features(sf_dir: str):
                     fmts.append(FMT_OGG)
                 continue
             t = np.arange(n)
-            if m == 2:
+            if m == 2 and e == 2:
                 samples = np.full(n, amp, dtype=np.int16)
                 blobs.append(encode_adpcm_wav(samples, sample_rate=8000))
                 fmts.append(FMT_ADPCM)
                 continue
+            if e == 5:  # G.711 µ-law square at a µ-law-exact amplitude
+                amp = 924 + 64 * (int(k) % 16)
+            elif e == 6:  # G.711 A-law square at an A-law-exact amplitude
+                amp = 1056 + 64 * (int(k) % 16)
             samples = (amp * np.where(t % 2 == 0, 1, -1)).astype(np.int16)
             if m == 0:
                 blobs.append(encode_flac(samples, sample_rate=8000))
                 fmts.append(FMT_FLAC)
+            elif e == 5:
+                blobs.append(encode_g711_wav(samples, 8000, "mu"))
+                fmts.append(FMT_ULAW)
+            elif e == 6:
+                blobs.append(encode_g711_wav(samples, 8000, "a"))
+                fmts.append(FMT_ALAW)
             else:
                 blobs.append(encode_wav(samples, sample_rate=8000))
                 fmts.append(FMT_WAV)
@@ -610,8 +625,11 @@ SQL_AUDIO_FEATURES = """
 WITH a AS (
   SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
          o_orderkey % 4 AS m,
+         o_orderkey % 8 AS e,
          800 + o_orderkey % 50 AS n,
-         1000 + o_orderkey % 100 AS amp,
+         CASE WHEN o_orderkey % 8 = 5 THEN 924 + 64 * (o_orderkey % 16)
+              WHEN o_orderkey % 8 = 6 THEN 1056 + 64 * (o_orderkey % 16)
+              ELSE 1000 + o_orderkey % 100 END AS amp,
          CASE WHEN o_orderkey % 8 = 3 THEN (8 + o_orderkey % 7) * 1152
               ELSE 4800 + 6 * (o_orderkey % 50) END AS mp3n,
          CASE WHEN o_orderkey % 8 = 3 THEN 44100 ELSE 8000 END AS crate
@@ -623,7 +641,7 @@ SELECT o_orderkey,
                  ELSE n * 1000 // 8000 END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN m = 3 THEN 0 ELSE amp END AS BIGINT) AS rms,
        CAST(CASE WHEN m = 3 THEN 0 ELSE amp END AS BIGINT) AS peak,
-       CAST(CASE WHEN m >= 2 THEN 0 ELSE n - 1 END AS BIGINT)
+       CAST(CASE WHEN m = 3 OR e = 2 THEN 0 ELSE n - 1 END AS BIGINT)
          AS zero_crossings
 FROM a
 """
