@@ -109,3 +109,17 @@ def add_frontier_keys(batch: pa.Table, url_col: str = "url") -> pa.Table:
     cols["url_hash"] = pa.array(uh, pa.uint64())
     cols["host_hash"] = pa.array(hh, pa.uint64())
     return pa.table(cols)
+
+
+def url_is_from_any_domain(host: str, domains) -> bool:
+    """Scrapy OffsiteMiddleware host check (w3lib url_is_from_any_domain
+    semantics): the host matches when it equals a domain or is a
+    subdomain of one (dot-suffix match). Reference spiders declare
+    ``allowed_domains`` per spider (e.g. spiders/wredevelopment.py:11);
+    the middleware drops extracted links to any other host."""
+    h = (host or "").lower()
+    for d in domains:
+        d = d.lower()
+        if h == d or h.endswith("." + d):
+            return True
+    return False

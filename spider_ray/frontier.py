@@ -731,7 +731,36 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         for j, l in enumerate(link_raw):
             if l[7]:
                 uh[j] = np.uint64(canon.request_fingerprint(canon_urls[j], l[7]))
-        if dedup is not None:
+        # OffsiteMiddleware analog: drop extracted links whose host is
+        # outside the spider's allowed_domains (suffix match, the w3lib
+        # url_is_from_any_domain rule). Filtered links never register
+        # with the dedup shards (they are not "seen" — Scrapy logs and
+        # drops, it does not fingerprint them into the dupefilter);
+        # thin 'offsite' marker rows ride back for lineage counts.
+        if cfg.allowed_domains:
+            allowed = np.fromiter(
+                (canon.url_is_from_any_domain(h, cfg.allowed_domains)
+                 for h in hosts),
+                dtype=bool, count=len(hosts),
+            )
+            if not allowed.all():
+                n_off = int((~allowed).sum())
+                parts.append(
+                    _as_parse_table(
+                        {
+                            "rowtype": pa.array(["offsite"] * n_off),
+                            "url_hash": pa.array(uh[~allowed], pa.uint64()),
+                        },
+                        n_off,
+                    )
+                )
+                keep_idx = np.flatnonzero(allowed)
+                link_raw = [link_raw[j] for j in keep_idx]
+                canon_urls = [canon_urls[j] for j in keep_idx]
+                hosts = [hosts[j] for j in keep_idx]
+                uh = uh[allowed]
+                hh = hh[allowed]
+        if link_raw and dedup is not None:
             dedup.register_arrays(
                 uh,
                 np.array([l[3] for l in link_raw], dtype=np.int64),
@@ -1062,6 +1091,7 @@ class Crawler:
         _t = _time.perf_counter
         _marks = [("start", _t())]
         frontier = self.frontier
+        self._last_offsite = 0
         rows_in = frontier.num_rows
         use_local = rows_in <= self.prefilter_threshold
         if use_local:
@@ -1287,6 +1317,9 @@ class Crawler:
         images_part = parsed.filter(pc.equal(rowtype, "image"))
         n_retries = int(pc.sum(pc.equal(rowtype, "retry")).as_py() or 0)
         rows_failed = int(pc.sum(pc.equal(rowtype, "fail")).as_py() or 0)
+        self._last_offsite = int(
+            pc.sum(pc.equal(rowtype, "offsite")).as_py() or 0
+        )
 
         items_tbl = items_part if items_part.num_rows else None
         if items_tbl is not None:
@@ -1370,6 +1403,9 @@ class Crawler:
             "rows_failed": int(failed),
             "items_emitted": int(items),
             "images_written": int(images),
+            # OffsiteMiddleware drops this round (Scrapy's
+            # offsite/filtered stat counter analog)
+            "rows_offsite": int(getattr(self, "_last_offsite", 0)),
             "checkpoint_path": self._round_dir(r) if self.checkpoint_dir else "",
         }
         self.lineage.append(row)

@@ -27,7 +27,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
-from spider_ray.canon import canonicalize, host_of, request_fingerprint
+from spider_ray.canon import (
+    canonicalize,
+    host_of,
+    request_fingerprint,
+    url_is_from_any_domain,
+)
 from spider_ray.extract import parse_detail_page, parse_listing_links
 from spider_ray.fetch import decode_http_body
 from spider_ray.hashing import xxh64
@@ -250,6 +255,17 @@ class OracleCrawler:
                         }
                     )
                     res.pixels[image_id] = px
+            # OffsiteMiddleware mirror: extracted links (incl. redirect
+            # targets) to hosts outside allowed_domains are dropped and
+            # never reach the dupefilter; retry re-injections
+            # (dont_filter) bypass, like Scrapy's middleware does
+            if self.world.cfg.allowed_domains:
+                nxt = [
+                    c for c in nxt
+                    if c.skip_dedup
+                    or url_is_from_any_domain(
+                        c.host, self.world.cfg.allowed_domains)
+                ]
             frontier = nxt
             r += 1
         res.rounds = r

@@ -123,6 +123,18 @@ class WorldConfig:
     # the client-side sniffing lives in extract.detect_and_decode (the
     # Scrapy/w3lib html_to_unicode analog). Default 0 = byte-stable.
     latin1_pct: int = 0
+    # % chance, per listing-page detail slot, of an ADDITIONAL external
+    # link to an off-domain host (partner/ad/social hosts — what real
+    # listing pages carry). The engine's OffsiteMiddleware analog must
+    # drop these at link-extraction time: every reference spider
+    # declares ``allowed_domains`` (spiders/wredevelopment.py:11) and
+    # Scrapy filters extracted requests to any other host. Default 0 =
+    # byte-stable crawl outputs.
+    offsite_pct: int = 0
+    # the spider's allowed_domains (OffsiteMiddleware config). Suffix
+    # match per w3lib url_is_from_any_domain: every world host
+    # h{i}.test matches ("test",), so the default changes nothing.
+    allowed_domains: tuple = ("test",)
     # % of (non-private) detail links emitted as /go/{k} alias URLs
     # that 301-redirect to the canonical /prop/{k} — the Scrapy
     # RedirectMiddleware surface. Default 0 keeps the long-stable
@@ -576,6 +588,15 @@ class World:
             for slot in range(cfg.details_per_page):
                 k = detail_key(i, page, slot, cfg)
                 links.append(detail_href(cfg, k))
+            if cfg.offsite_pct:
+                # external partner/ad links, same anchor class so the
+                # link extractor (which, like Scrapy's LinkExtractor,
+                # knows nothing about domains) picks them up; dropping
+                # them is the offsite filter's job
+                for slot in range(cfg.details_per_page):
+                    k = detail_key(i, page, slot, cfg)
+                    if _h(cfg, "offsite", host, page, slot) % 100 < cfg.offsite_pct:
+                        links.append(f"http://partner{slot}.example/promo/{k}")
             body_links = "\n".join(
                 f'<a class="listing" href="{u}">listing</a>' for u in links
             )

@@ -424,3 +424,59 @@ def test_charset_world_matches_oracle(ray_session):
     img0 = c0.images_table().to_pydict()
     assert eng_rows == {i: c for i, c in zip(img0["image_id"],
                                              img0["caption"])}
+
+
+def test_offsite_filter_matches_oracle(ray_session):
+    """Offsite links (offsite_pct > 0): listing pages carry external
+    partner links; the OffsiteMiddleware analog drops every extracted
+    link outside allowed_domains BEFORE it reaches the dedup shards —
+    engine and oracle agree, and the crawl's per-round fetch sets are
+    byte-identical to a world with no offsite links at all (only a
+    working filter does that: a broken one fetches partner URLs)."""
+    from spider_ray.extract import parse_listing_links
+    from spider_ray.synth import World
+
+    cfg = _cfg(offsite_pct=50, fail_pct=0, notfound_pct=0)
+    w = World(cfg, CAPTIONS)
+    links, _nxt = parse_listing_links(
+        w.resolve("http://h0.test/list?page=1").body)
+    assert any(".example/" in u for u in links), \
+        "offsite_pct did not emit external links"
+
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    # the filter really fired (lineage counts the Scrapy
+    # offsite/filtered stat) ...
+    assert sum(row["rows_offsite"] for row in eng.lineage) > 0
+    # ... and dropped links are NOT "seen" (never fingerprinted into
+    # the dupefilter): a second extraction of the same partner URL is
+    # dropped again, not dedup-skipped
+    from spider_ray.canon import canonicalize
+    from spider_ray.hashing import xxh64
+    off_hash = xxh64(canonicalize("http://partner0.example/promo/0"))
+    assert off_hash not in eng_seen
+    # identical crawl to the no-offsite world over the same content
+    plain, _ = _run_engine(_cfg(offsite_pct=0, fail_pct=0, notfound_pct=0))
+    assert _fetch_sets(eng) == _fetch_sets(plain)
+    img_a = set(eng.images_table()["image_id"].to_pylist())
+    img_b = set(plain.images_table()["image_id"].to_pylist())
+    assert img_a == img_b
+
+
+def test_url_is_from_any_domain():
+    from spider_ray.canon import url_is_from_any_domain as f
+
+    assert f("h3.test", ("test",))
+    assert f("a.b.test", ("test",))
+    assert f("wredevelopment.ca", ("wredevelopment.ca",))
+    assert f("www.wredevelopment.ca", ("wredevelopment.ca",))
+    assert not f("xtest", ("test",))          # suffix needs a dot
+    assert not f("partner0.example", ("test",))
+    assert not f("test.example", ("test",))   # domain as a LABEL prefix
+    assert f("H3.TEST", ("test",)) and f("h3.test", ("TEST",))  # case-folded
+    assert not f("", ("test",)) and not f("h3.test", ())

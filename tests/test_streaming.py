@@ -241,3 +241,18 @@ def test_streaming_content_encoding_equal_driver(ray_session, tmp_path):
     assert sseen == dseen
     assert sres["fetched"] == dres["fetched"]
     assert sres["images"] == dres["images"]
+
+
+def test_streaming_offsite_equal_driver(ray_session, tmp_path):
+    """Offsite worlds (offsite_pct > 0) crawl identically in both
+    modes — the OffsiteMiddleware filter lives in the shared parse
+    kernel, so dropped partner links never enter either frontier."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15,
+                      offsite_pct=50)
+    dc, dres, dseen = _driver_run(cfg)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, small_round_threshold=0)
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["images"] == dres["images"]
+    assert sum(row["rows_offsite"] for row in dc.lineage) > 0
