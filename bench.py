@@ -60,7 +60,21 @@ BENCH_WORLD = dict(
                          # share of detail pages served windows-1252
                          # with a meta charset tag (sniffed client-side)
                          latin1_pct=int(os.environ.get(
-                             "GRAFT_BENCH_LATIN1", "30"))),
+                             "GRAFT_BENCH_LATIN1", "30")),
+                         # offsite partner links on listing pages
+                         # (dropped by the allowed_domains filter) and
+                         # session-cookie-gated hosts (CookiesMiddleware
+                         # jar) — both leave the fetch/image/item counts
+                         # IDENTICAL, so the headline metric stays
+                         # comparable across rounds while the middleware
+                         # runs on every page. Redirects (which add
+                         # fetches) stay opt-in: GRAFT_BENCH_REDIRECT.
+                         offsite_pct=int(os.environ.get(
+                             "GRAFT_BENCH_OFFSITE", "25")),
+                         cookie_host_pct=int(os.environ.get(
+                             "GRAFT_BENCH_COOKIE", "40")),
+                         redirect_pct=int(os.environ.get(
+                             "GRAFT_BENCH_REDIRECT", "0"))),
 )
 
 BENCH_QUERIES = [

@@ -96,24 +96,37 @@ class Fetcher:
     ``ray.put`` — resolved ONCE here, not per batch.
     """
 
-    def __init__(self, cfg: WorldConfig, captions_ref=None, simulate_latency: bool = False):
+    def __init__(self, cfg: WorldConfig, captions_ref=None, simulate_latency: bool = False,
+                 cookies: dict | None = None):
         import ray
 
         captions = ray.get(captions_ref) if captions_ref is not None else None
         self.world = World(cfg, captions)
         self.simulate_latency = simulate_latency
+        self.cookies = cookies
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _fetch_table(self.world, batch, self.simulate_latency)
+        return _fetch_table(self.world, batch, self.simulate_latency,
+                            self.cookies)
 
 
 def fetch_batch(batch: pa.Table, *, cfg: WorldConfig, captions_ref=None,
-                simulate_latency: bool = False) -> pa.Table:
-    """Stateless-task fetch body (session held in the per-process cache)."""
-    return _fetch_table(get_world(cfg, captions_ref), batch, simulate_latency)
+                simulate_latency: bool = False,
+                cookies: dict | None = None) -> pa.Table:
+    """Stateless-task fetch body (session held in the per-process cache).
+
+    ``cookies`` is the round's cookie jar snapshot {host: cookie} —
+    the CookiesMiddleware analog. The jar is tiny per-host metadata
+    (one short string per session-gated host), re-broadcast by the
+    round loop each round; cookies discovered DURING a round apply
+    from the next round (deterministic at any parallelism — a
+    wall-clock-ordered jar would make output depend on task timing)."""
+    return _fetch_table(get_world(cfg, captions_ref), batch, simulate_latency,
+                        cookies)
 
 
-def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Table:
+def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
+                 cookies: dict | None = None) -> pa.Table:
     urls = batch["canonical_url"].to_pylist()
     retries = (
         batch["retry_count"].to_pylist()
@@ -125,15 +138,24 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
         if "form_body" in batch.column_names
         else [None] * len(urls)
     )
+    hosts_in = (
+        batch["host"].to_pylist()
+        if cookies and "host" in batch.column_names
+        else [None] * len(urls)
+    )
     statuses = np.empty(len(urls), dtype=np.int32)
     kinds: list[str] = []
     bodies: list[bytes] = []
     fmts: list[str] = []
     encodings: list[str] = []
+    set_cookies: list[str] = []
     latencies = np.empty(len(urls), dtype=np.int32)
     total_sleep = 0.0
-    for j, (u, rc, fb) in enumerate(zip(urls, retries, bodies_in)):
-        page = world.resolve(u, attempt=rc or 0, form_body=fb)
+    for j, (u, rc, fb, ho) in enumerate(zip(urls, retries, bodies_in, hosts_in)):
+        page = world.resolve(
+            u, attempt=rc or 0, form_body=fb,
+            cookie=cookies.get(ho) if cookies and ho else None,
+        )
         statuses[j] = page.status
         kinds.append(page.kind)
         # downloader-middleware decode: parse stages always see the
@@ -141,6 +163,7 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
         bodies.append(decode_http_body(page.body, page.content_encoding))
         fmts.append(page.fmt)
         encodings.append(page.content_encoding)
+        set_cookies.append(page.set_cookie)
         latencies[j] = page.latency_ms
         total_sleep += page.latency_ms / 1000.0
     if simulate_latency and total_sleep:
@@ -155,6 +178,7 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool) -> pa.Ta
     cols["body"] = pa.array(bodies, pa.large_binary())
     cols["fmt"] = pa.array(fmts, pa.string())
     cols["content_encoding"] = pa.array(encodings, pa.string())
+    cols["set_cookie"] = pa.array(set_cookies, pa.string())
     cols["latency_ms"] = pa.array(latencies, pa.int32())
     cols["ua"] = pa.array(
         [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],

@@ -335,7 +335,8 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
                           obey_robots: bool, round_no: int, captions_ref,
                           images_out_dir: str | None,
                           items_out_dir: str | None,
-                          fetch_batch_size: int) -> pa.Table:
+                          fetch_batch_size: int,
+                          cookies: dict | None = None) -> pa.Table:
     """ONE task per host-aligned block for the whole round body:
     winner filter → politeness admission → seen-commit → fetch →
     parse. Fusing what were two Ray Data executions per round (admit,
@@ -380,7 +381,8 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
     parts: list[pa.Table] = []
     for off in range(0, admitted.num_rows, max(fetch_batch_size, 1)):
         sl = admitted.slice(off, fetch_batch_size)
-        fetched = fetch_batch(sl, cfg=cfg, captions_ref=captions_ref)
+        fetched = fetch_batch(sl, cfg=cfg, captions_ref=captions_ref,
+                              cookies=cookies)
         parts.append(
             _parse_fn(fetched, cfg=cfg, images_out_dir=images_out_dir,
                       round_no=round_no, dedup=dedup,
@@ -493,6 +495,10 @@ PARSE_SCHEMA = pa.schema(
         ("meta_skip", pa.int32()),
         ("meta_take", pa.int32()),
         ("status", pa.int32()),  # retry/fail markers
+        # 'cookie' marker rows: Set-Cookie values harvested from
+        # responses (host column carries the host) — the round loop
+        # merges them into the jar for the NEXT round's fetches
+        ("cookie_value", pa.string()),
         # carried frontier state (retry rows are self-contained: the next
         # frontier rebuilds them without joining back to the input)
         ("priority", pa.int32()),
@@ -551,6 +557,28 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     n = batch.num_rows
     status = batch["status"].to_numpy(zero_copy_only=False)
     retry_count = batch["retry_count"].to_numpy(zero_copy_only=False)
+
+    # CookiesMiddleware harvest: distinct (host, Set-Cookie) pairs ride
+    # back as thin 'cookie' marker rows; the round loop merges them into
+    # the jar AFTER the round so cookie visibility is round-aligned
+    # (deterministic at any parallelism), like the oracle's staged merge
+    if cfg.cookie_host_pct and "set_cookie" in batch.column_names:
+        sc = batch["set_cookie"].to_numpy(zero_copy_only=False)
+        nonempty = np.flatnonzero(sc != "")
+        if len(nonempty):
+            hosts_np = batch["host"].to_numpy(zero_copy_only=False)
+            pairs = sorted({(hosts_np[j], sc[j]) for j in nonempty})
+            parts.append(
+                _as_parse_table(
+                    {
+                        "rowtype": pa.array(["cookie"] * len(pairs)),
+                        "host": pa.array([p[0] for p in pairs], pa.string()),
+                        "cookie_value": pa.array([p[1] for p in pairs],
+                                                 pa.string()),
+                    },
+                    len(pairs),
+                )
+            )
     ok_mask = status == 200
     # 3xx: the Location (carried in the body column) becomes a normal
     # next-round link — Scrapy RedirectMiddleware semantics. The seen
@@ -977,6 +1005,12 @@ class Crawler:
             ray.cluster_resources().get("CPU", 32)
         )
         self.lineage: list[dict] = []
+        # CookiesMiddleware jar: {host: cookie} learned from responses.
+        # Tiny per-host metadata, snapshot-shipped to the round's fetch
+        # tasks; at fleet scale it would shard by host_hash beside the
+        # robots cache (host-aligned blocks already co-locate a host's
+        # rows with its jar entry).
+        self.cookie_jar: dict[str, str] = {}
         self.items_tables: list[pa.Table] = []
         self.images_tables: list[pa.Table] = []
         self.fetched_hashes: list[np.ndarray] = []
@@ -1040,7 +1074,11 @@ class Crawler:
             p = os.path.join(self.checkpoint_dir, d, "lineage.json")
             if os.path.exists(p):
                 with open(p) as f:
-                    self.lineage.append(json.load(f))
+                    row = json.load(f)
+                self.lineage.append(row)
+                # restore the cookie jar (the resumed loop must not
+                # re-fetch listing pages just to re-learn sessions)
+                self.cookie_jar.update(row.get("cookies_learned") or {})
             for name, acc in (("items.parquet", self.items_tables),
                               ("images.parquet", self.images_tables)):
                 fp = os.path.join(self.checkpoint_dir, d, name)
@@ -1092,6 +1130,7 @@ class Crawler:
         _marks = [("start", _t())]
         frontier = self.frontier
         self._last_offsite = 0
+        self._last_cookies = {}
         rows_in = frontier.num_rows
         use_local = rows_in <= self.prefilter_threshold
         if use_local:
@@ -1163,6 +1202,7 @@ class Crawler:
                         "images_out_dir": self.images_out_dir,
                         "items_out_dir": None,
                         "fetch_batch_size": self.fetch_batch_size,
+                        "cookies": dict(self.cookie_jar) or None,
                     },
                     batch_format="pyarrow",
                     batch_size=None,  # whole host-aligned block per call
@@ -1275,7 +1315,8 @@ class Crawler:
                     shutil.rmtree(part_dir)  # incomplete prior attempt
             if inline:
                 fetched = fetch_batch(
-                    admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref
+                    admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref,
+                    cookies=dict(self.cookie_jar) or None,
                 )
                 parsed = _parse_fn(
                     fetched, cfg=self.cfg, images_out_dir=self.images_out_dir,
@@ -1292,6 +1333,7 @@ class Crawler:
                         fn_kwargs={
                             "cfg": self.cfg,
                             "captions_ref": self.captions_ref,
+                            "cookies": dict(self.cookie_jar) or None,
                         },
                         batch_format="pyarrow",
                         batch_size=self.fetch_batch_size,
@@ -1320,6 +1362,14 @@ class Crawler:
         self._last_offsite = int(
             pc.sum(pc.equal(rowtype, "offsite")).as_py() or 0
         )
+        # merge the round's harvested cookies AFTER the round (they
+        # apply to round r+1's fetches; round-aligned ⇒ deterministic)
+        cookie_tbl = parsed.filter(pc.equal(rowtype, "cookie"))
+        self._last_cookies = dict(
+            zip(cookie_tbl["host"].to_pylist(),
+                cookie_tbl["cookie_value"].to_pylist())
+        ) if cookie_tbl.num_rows else {}
+        self.cookie_jar.update(self._last_cookies)
 
         items_tbl = items_part if items_part.num_rows else None
         if items_tbl is not None:
@@ -1406,6 +1456,9 @@ class Crawler:
             # OffsiteMiddleware drops this round (Scrapy's
             # offsite/filtered stat counter analog)
             "rows_offsite": int(getattr(self, "_last_offsite", 0)),
+            # CookiesMiddleware: session cookies learned this round —
+            # riding in the lineage row makes the jar resumable
+            "cookies_learned": dict(getattr(self, "_last_cookies", {})),
             "checkpoint_path": self._round_dir(r) if self.checkpoint_dir else "",
         }
         self.lineage.append(row)

@@ -166,6 +166,7 @@ class _RoundStats:
     def __init__(self):
         self.rounds: dict[int, dict[str, int]] = {}
         self.seen: set = set()
+        self.cookies: dict[int, dict[str, str]] = {}
 
     def add(self, round_no: int, counts: dict, token=None) -> bool:
         if token is not None:
@@ -178,8 +179,25 @@ class _RoundStats:
             d[k] = d.get(k, 0) + int(v)
         return True
 
+    def add_cookies(self, round_no: int, pairs: list, token=None) -> bool:
+        """CookiesMiddleware harvest sink: (host, Set-Cookie) pairs
+        discovered by parse tasks. Last-write-wins per host is safe —
+        a host's session value is deterministic, so every task that
+        sees it pushes the same pair (idempotent by construction; the
+        token guard still dedups retried batches)."""
+        if token is not None:
+            key = (int(round_no), "ck", token)
+            if key in self.seen:
+                return True
+            self.seen.add(key)
+        self.cookies.setdefault(int(round_no), {}).update(dict(pairs))
+        return True
+
     def get(self, round_no: int) -> dict:
         return dict(self.rounds.get(int(round_no), {}))
+
+    def get_cookies(self, round_no: int) -> dict:
+        return dict(self.cookies.get(int(round_no), {}))
 
     def clear(self, round_no: int) -> bool:
         """Drop a completed round's counters + tokens (bounds actor
@@ -187,6 +205,7 @@ class _RoundStats:
         ``dedup.clear_round``)."""
         r = int(round_no)
         self.rounds.pop(r, None)
+        self.cookies.pop(r, None)
         self.seen = {k for k in self.seen if k[0] != r}
         return True
 
@@ -223,6 +242,16 @@ def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
     tok = _batch_token("parse", batch)
     if tok is not None and counts:
         ray.get(stats.add.remote(round_no, counts, tok))
+    if counts.get("cookie"):
+        # harvested Set-Cookie pairs ride the stats actor to the
+        # driver's jar (tiny per-host metadata, like the counters)
+        ck = out.filter(pc.equal(out["rowtype"], "cookie"))
+        ray.get(stats.add_cookies.remote(
+            round_no,
+            list(zip(ck["host"].to_pylist(),
+                     ck["cookie_value"].to_pylist())),
+            tok,
+        ))
     return _to_frontier_rows(out)
 
 
@@ -353,6 +382,8 @@ class StreamingCrawler:
         # streaming mode's small-round fast path
         self.small_round_threshold = small_round_threshold
         self.lineage: list[dict] = []
+        # CookiesMiddleware jar (see frontier.Crawler.cookie_jar)
+        self.cookie_jar: dict[str, str] = {}
         self._stats = _RoundStats.remote()
         # next round's frontier carried as materialized object-store
         # blocks — the parquet partition is only the CHECKPOINT (written
@@ -392,7 +423,9 @@ class StreamingCrawler:
             lp = os.path.join(self.work_dir, "lineage", d + ".json")
             if os.path.exists(lp):
                 with open(lp) as f:
-                    self.lineage.append(json.load(f))
+                    row = json.load(f)
+                self.lineage.append(row)
+                self.cookie_jar.update(row.get("cookies_learned") or {})
         return last + 1
 
     def close(self) -> None:
@@ -497,7 +530,8 @@ class StreamingCrawler:
         parse_mat = (
             admitted_ds.map_batches(
                 fetch_batch,
-                fn_kwargs={"cfg": self.cfg, "captions_ref": self.captions_ref},
+                fn_kwargs={"cfg": self.cfg, "captions_ref": self.captions_ref,
+                           "cookies": dict(self.cookie_jar) or None},
                 batch_format="pyarrow",
                 batch_size=self.fetch_batch_size,
             )
@@ -520,6 +554,8 @@ class StreamingCrawler:
             print(parse_mat.stats())
         self.dedup.clear_round(r)
         counts = ray.get(self._stats.get.remote(r))
+        new_cookies = ray.get(self._stats.get_cookies.remote(r))
+        self.cookie_jar.update(new_cookies)
         rows_admitted = int(counts.get("admitted", 0))
         blocked_n = int(counts.get("blocked", 0))
         rows_unique = int(counts.get("winner_rows", 0))
@@ -553,6 +589,8 @@ class StreamingCrawler:
             "rows_failed": int(counts.get("fail", 0)) + blocked_n,
             "items_emitted": int(counts.get("item", 0)),
             "images_written": int(counts.get("image", 0)),
+            "rows_offsite": int(counts.get("offsite", 0)),
+            "cookies_learned": dict(new_cookies),
             "next_rows": int(next_rows),
             "checkpoint_path": self._frontier_dir(r + 1),
         }

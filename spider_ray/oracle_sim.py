@@ -110,6 +110,12 @@ class OracleCrawler:
             )
         robots_cache: dict[str, object] = {}
         hh_cache: dict[str, int] = {}
+        # CookiesMiddleware jar: cookies learned DURING a round are
+        # staged and merged at round end (the engine's parallel fetch
+        # tasks cannot see each other's responses mid-round, so the
+        # oracle must not either — round-aligned visibility)
+        cookie_jar: dict[str, str] = {}
+        cookie_staged: dict[str, str] = {}
 
         def hh(c: _Cand) -> int:
             v = hh_cache.get(c.host)
@@ -178,7 +184,10 @@ class OracleCrawler:
             for c in admitted:
                 res.fetch_log.append((r, c.canonical, c.fingerprint))
                 page = self.world.resolve(c.canonical, attempt=c.retry_count,
-                                          form_body=c.form_body)
+                                          form_body=c.form_body,
+                                          cookie=cookie_jar.get(c.host))
+                if page.set_cookie:
+                    cookie_staged[c.host] = page.set_cookie
                 # client-stack mirror: the engine's fetch stage decodes
                 # Content-Encoding before parsing (fetch.decode_http_body)
                 page.body = decode_http_body(page.body,
@@ -266,6 +275,8 @@ class OracleCrawler:
                     or url_is_from_any_domain(
                         c.host, self.world.cfg.allowed_domains)
                 ]
+            cookie_jar.update(cookie_staged)
+            cookie_staged = {}
             frontier = nxt
             r += 1
         res.rounds = r

@@ -155,6 +155,16 @@ class WorldConfig:
     # SitemapSpider analog; sitemaps.org protocol: a /sitemap.xml index
     # pointing at per-page urlsets of detail URLs)
     sitemap_host_pct: int = 0
+    # % of plain listing hosts that are SESSION-GATED: their listing
+    # pages answer with a Set-Cookie session token and their detail
+    # pages 403 unless the request presents it — the surface Scrapy's
+    # CookiesMiddleware serves (on by default; reference settings.py:35
+    # leaves COOKIES_ENABLED at its default True, and spiders routinely
+    # pass cookies= on requests). The engine must LEARN the cookie from
+    # the listing response and replay it on later same-host requests;
+    # a crawler without a cookie jar loses every gated detail page.
+    # Default 0 = byte-stable crawl outputs.
+    cookie_host_pct: int = 0
     seed: int = 42
 
     def host(self, i: int) -> str:
@@ -169,6 +179,24 @@ class WorldConfig:
             and splitmix64(xxh64(f"sitemap:{self.seed}:{i}")) % 100
             < self.sitemap_host_pct
         )
+
+    def is_cookie_host(self, i: int) -> bool:
+        """Session-gated hosts: plain listing hosts only. API hosts
+        carry their session in the form body (ST10 meta) and
+        sitemap-discovered details never pass through a listing page
+        that could set the cookie, so both are excluded."""
+        return (
+            not self.is_api_host(i)
+            and not self.is_sitemap_host(i)
+            and splitmix64(xxh64(f"cookiehost:{self.seed}:{i}")) % 100
+            < self.cookie_host_pct
+        )
+
+    def session_cookie(self, host: str) -> str:
+        """The deterministic session token the host's listing pages
+        set. Server-side knowledge: the crawler must never compute
+        this — it has to learn it from the Set-Cookie response field."""
+        return f"sess={splitmix64(xxh64(f'cookie:{self.seed}:{host}')):016x}"
 
     def seeds(self) -> list:
         """Seed list. Plain hosts seed a GET listing URL (str); API hosts
@@ -217,6 +245,7 @@ class Page:
     latency_ms: int = 0
     fmt: str = ""  # image pages only
     content_encoding: str = ""  # "" | "gzip" | "deflate" (wire coding)
+    set_cookie: str = ""  # Set-Cookie response header (session gating)
 
 
 def _h(cfg: WorldConfig, *parts) -> int:
@@ -470,7 +499,8 @@ class World:
         return i if 0 <= i < self.cfg.num_hosts else -1
 
     def resolve(self, url: str, attempt: int = 0,
-                form_body: bytes | None = None) -> Page:
+                form_body: bytes | None = None,
+                cookie: str | None = None) -> Page:
         """Server-side resolution + HTTP content coding: when
         ``cfg.gzip_pct`` > 0, that share of 200 text responses goes
         out gzip- (3/4) or zlib-deflate- (1/4) compressed with
@@ -480,7 +510,7 @@ class World:
         client side — transparent decode before parsing — lives in
         :func:`spider_ray.fetch.decode_http_body` (the Scrapy
         HttpCompressionMiddleware analog)."""
-        page = self._resolve_plain(url, attempt, form_body)
+        page = self._resolve_plain(url, attempt, form_body, cookie)
         cfg = self.cfg
         if (
             cfg.gzip_pct
@@ -502,7 +532,8 @@ class World:
         return page
 
     def _resolve_plain(self, url: str, attempt: int = 0,
-                       form_body: bytes | None = None) -> Page:
+                       form_body: bytes | None = None,
+                       cookie: str | None = None) -> Page:
         cfg = self.cfg
         from urllib.parse import parse_qs, urlsplit
 
@@ -606,7 +637,12 @@ class World:
                 else ""
             )
             body = f"<html><body>{body_links}\n{nxt}</body></html>".encode()
-            return Page(url, 200, "listing", body, "text/html", latency)
+            page_out = Page(url, 200, "listing", body, "text/html", latency)
+            if cfg.is_cookie_host(i):
+                # session-gated host: every listing response (re)sets
+                # the session cookie its detail pages will demand
+                page_out.set_cookie = cfg.session_cookie(host)
+            return page_out
 
         if path.startswith("/go/"):
             # alias URL: 301 to the canonical detail; the Location
@@ -627,6 +663,9 @@ class World:
                 return Page(url, 404, "missing", latency_ms=latency)
             if _h(cfg, "gone", k) % 100 < cfg.notfound_pct:
                 return Page(url, PERMANENT_CODE, "missing", latency_ms=latency)
+            if cfg.is_cookie_host(i) and cookie != cfg.session_cookie(host):
+                # session gate: details demand the listing's cookie
+                return Page(url, 403, "detail", latency_ms=latency)
             if attempt == 0 and _h(cfg, "flaky", k) % 100 < cfg.fail_pct:
                 return Page(url, TRANSIENT_CODE, "detail", latency_ms=latency)
             body, cs = encode_page(

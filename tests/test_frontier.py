@@ -480,3 +480,63 @@ def test_url_is_from_any_domain():
     assert not f("test.example", ("test",))   # domain as a LABEL prefix
     assert f("H3.TEST", ("test",)) and f("h3.test", ("TEST",))  # case-folded
     assert not f("", ("test",)) and not f("h3.test", ())
+
+
+def test_cookie_jar_matches_oracle(ray_session):
+    """Session-gated hosts (cookie_host_pct > 0): listing pages set a
+    session cookie and detail pages 403 without it. The engine's
+    CookiesMiddleware analog learns the cookie from the listing
+    response (round-aligned visibility) and replays it on later
+    same-host fetches — engine equals oracle, and the crawl loses
+    NOTHING vs the ungated world (only a working jar does that: no
+    jar means every gated detail 403s through its retries and dies)."""
+    from spider_ray.synth import World
+
+    cfg = _cfg(cookie_host_pct=60, fail_pct=0, notfound_pct=0)
+    w = World(cfg, CAPTIONS)
+    gated = [i for i in range(cfg.num_hosts) if cfg.is_cookie_host(i)]
+    assert gated, "cookie_host_pct produced no gated hosts"
+    host = f"h{gated[0]}.test"
+    assert w.resolve(f"http://{host}/prop/0").status == 403
+    assert w.resolve(f"http://{host}/prop/0",
+                     cookie=cfg.session_cookie(host)).status == 200
+    assert w.resolve(f"http://{host}/list?page=1").set_cookie
+
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    # the jar learned exactly the gated hosts' sessions
+    assert eng.cookie_jar == {
+        f"h{i}.test": cfg.session_cookie(f"h{i}.test") for i in gated
+    }
+    # gating transparent: identical crawl to the ungated world
+    plain, pres = _run_engine(_cfg(cookie_host_pct=0, fail_pct=0,
+                                   notfound_pct=0))
+    assert res["items"] == pres["items"]
+    assert res["images"] == pres["images"]
+    assert _fetch_sets(eng) == _fetch_sets(plain)
+
+
+def test_cookie_jar_survives_resume(ray_session, tmp_path):
+    """The jar rides the lineage checkpoints: a resumed crawl replays
+    learned sessions without re-fetching listing pages — same fetch
+    sets and sink totals as the uninterrupted run."""
+    cfg = _cfg(num_hosts=3, cookie_host_pct=80)
+    full_eng, full_res = _run_engine(cfg)
+    assert full_eng.cookie_jar, "world produced no cookies"
+
+    ck = str(tmp_path / "ck")
+    _run_engine(cfg, checkpoint_dir=ck, max_rounds=2)
+    resumed = Crawler(cfg, CAPTIONS, checkpoint_dir=ck, num_dedup_shards=4,
+                      obey_robots=True, round_window_ms=60_000)
+    assert resumed.resume()
+    # restored BEFORE any crawling — from the checkpointed lineage rows
+    assert resumed.cookie_jar == full_eng.cookie_jar
+    res = resumed.crawl([])
+    assert res["fetched"] == full_res["fetched"]
+    assert res["images"] == full_res["images"]
+    assert _fetch_sets(resumed) == _fetch_sets(full_eng)

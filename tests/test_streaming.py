@@ -256,3 +256,23 @@ def test_streaming_offsite_equal_driver(ray_session, tmp_path):
     assert sres["fetched"] == dres["fetched"]
     assert sres["images"] == dres["images"]
     assert sum(row["rows_offsite"] for row in dc.lineage) > 0
+
+
+def test_streaming_cookies_equal_driver(ray_session, tmp_path):
+    """Session-gated worlds (cookie_host_pct > 0) crawl identically in
+    both modes: the streaming jar rides the stats actor (harvested
+    in-task, merged round-aligned) and must reproduce the driver
+    mode's fetch/image totals exactly."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15,
+                      cookie_host_pct=80)
+    gated = [i for i in range(cfg.num_hosts) if cfg.is_cookie_host(i)]
+    assert gated, "no gated hosts"
+    dc, dres, dseen = _driver_run(cfg)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, small_round_threshold=0)
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["images"] == dres["images"]
+    assert sres["items"] == dres["items"]
+    assert sc.cookie_jar == dc.cookie_jar
+    assert sum(len(row["cookies_learned"]) for row in sc.lineage) == len(gated)
