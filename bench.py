@@ -71,6 +71,11 @@ BENCH_WORLD = dict(
                          # fetches) stay opt-in: GRAFT_BENCH_REDIRECT.
                          offsite_pct=int(os.environ.get(
                              "GRAFT_BENCH_OFFSITE", "25")),
+                         # A/B knob for the lossless-WebP world share
+                         # (share of non-GIF lossless images served as
+                         # VP8L — real palette encode+decode per image)
+                         webp_pct=int(os.environ.get(
+                             "GRAFT_BENCH_WEBP", "20")),
                          cookie_host_pct=int(os.environ.get(
                              "GRAFT_BENCH_COOKIE", "40")),
                          redirect_pct=int(os.environ.get(

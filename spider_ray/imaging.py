@@ -267,6 +267,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(data)
+    if fmt == "webp":  # spider_ray.webp.FMT_WEBP (VP8L codec, round 4)
+        from .webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(f"no decoder for fmt={fmt!r} in this container")
 
 

@@ -27,9 +27,10 @@ import numpy as np
 import pyarrow as pa
 
 from ..gif import FMT_GIF
+from ..webp import FMT_WEBP
 from ..imaging import FMT_JPEG, FMT_PNG, FMT_QPNG, _resize_mean, decode, phash
 
-_DECODABLE = (FMT_PNG, FMT_QPNG, FMT_JPEG, FMT_GIF)
+_DECODABLE = (FMT_PNG, FMT_QPNG, FMT_JPEG, FMT_GIF, FMT_WEBP)
 
 
 class DecodeStats:

@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .gif import FMT_GIF, encode_gif
+from .webp import FMT_WEBP, encode_webp
 from .hashing import splitmix64, xxh64
 from .imaging import (
     FMT_JPEG,
@@ -108,6 +109,12 @@ class WorldConfig:
     # the decoder path exercised) changes.
     jpeg_prog_pct: int = 20
     gif_pct: int = 25  # % OF THE LOSSLESS images that are palette-born GIF89a
+    # % OF THE NON-GIF LOSSLESS images served as lossless WebP (VP8L,
+    # spider_ray.webp — RFC 9649): palette-born like the GIFs (web
+    # palette graphics are the dominant lossless-WebP population), so
+    # the encode→decode round trip is exact and the sink invariant is
+    # exact equality, like PNG/GIF.
+    webp_pct: int = 20
     fail_pct: int = 5  # % of detail pages 503-ing on first attempt
     # % of 200 text responses (listing/detail/api/sitemap) served with
     # HTTP Content-Encoding (gzip 3/4, zlib-deflate 1/4) — the wire
@@ -283,7 +290,7 @@ def image_pixels(cfg: WorldConfig, image_key: str) -> np.ndarray:
     h = cfg.img_min_side + ((k >> 16) & 0xFFFF) % (
         cfg.img_max_side - cfg.img_min_side + 1
     )
-    if image_fmt(cfg, image_key) == FMT_GIF:
+    if image_fmt(cfg, image_key) in (FMT_GIF, FMT_WEBP):
         return _palette_pixels(k, w, h)
     fx = 1 + ((k >> 32) & 7)
     fy = 1 + ((k >> 36) & 7)
@@ -297,11 +304,11 @@ def image_pixels(cfg: WorldConfig, image_key: str) -> np.ndarray:
 
 def image_fmt(cfg: WorldConfig, image_key: str) -> str:
     if _h(cfg, "imgfmt", image_key) % 100 >= cfg.lossy_pct:
-        return (
-            FMT_GIF
-            if _h(cfg, "imggif", image_key) % 100 < cfg.gif_pct
-            else FMT_PNG
-        )
+        if _h(cfg, "imggif", image_key) % 100 < cfg.gif_pct:
+            return FMT_GIF
+        if _h(cfg, "imgwebp", image_key) % 100 < cfg.webp_pct:
+            return FMT_WEBP
+        return FMT_PNG
     return (
         FMT_JPEG
         if _h(cfg, "imgjpeg", image_key) % 100 < cfg.jpeg_pct
@@ -330,6 +337,8 @@ def image_bytes(cfg: WorldConfig, image_key: str) -> tuple[bytes, str, int, int]
             data = encode_jpeg(px, quality=96)
     elif fmt == FMT_GIF:
         data = encode_gif(px)  # palette-born pixels → lossless round trip
+    elif fmt == FMT_WEBP:
+        data = encode_webp(px)  # palette path: indexed + packed + LZ77
     elif fmt == FMT_QPNG:
         data = encode_qpng(px, level=2)
     else:

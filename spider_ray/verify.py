@@ -30,7 +30,9 @@ import pyarrow as pa
 from .gif import FMT_GIF
 from .imaging import FMT_PNG, decode, phash, psnr
 
-_LOSSLESS = (FMT_PNG, FMT_GIF)  # exact compare; everything else PSNR ≥ 40
+from .webp import FMT_WEBP
+
+_LOSSLESS = (FMT_PNG, FMT_GIF, FMT_WEBP)  # exact; everything else PSNR ≥ 40
 from .synth import World, WorldConfig, image_pixels
 
 

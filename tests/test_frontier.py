@@ -94,7 +94,7 @@ def test_sink_row_invariants(ray_session):
     for image_id, data, fmt, ph in zip(d["image_id"], d["bytes"], d["fmt"], d["phash"]):
         ora_px = ora.pixels[image_id]
         px = decode(data, fmt)
-        if fmt in (FMT_PNG, "gif"):  # lossless formats round-trip exactly
+        if fmt in (FMT_PNG, "gif", "webp"):  # lossless round-trips exactly
             assert (px == ora_px).all()
         else:
             assert psnr(px, ora_px) >= 40.0 or (px == ora_px).all()

@@ -206,11 +206,13 @@ def test_multimodal_stubs_raise(ray_session):
     with pytest.raises(NotImplementedError):
         fs(pa.table({"video_id": ["v1"], "bytes": [b"xx"], "fmt": ["mp4"]}))
     dec = DecodeStats(strict=True)
-    # jpeg decodes for real since round 3; truly unknown formats still raise
+    # jpeg/webp decode for real (r3/r4); truly unknown formats still raise
     with pytest.raises(NotImplementedError):
-        dec(pa.table({"bytes": [b"xx"], "fmt": ["webp"]}))
+        dec(pa.table({"bytes": [b"xx"], "fmt": ["avif"]}))
     with pytest.raises(ValueError):  # jpeg path is live → garbage = ValueError
         dec(pa.table({"bytes": [b"xx"], "fmt": ["jpeg"]}))
+    with pytest.raises(ValueError):  # webp path is live too (round 4)
+        dec(pa.table({"bytes": [b"xx"], "fmt": ["webp"]}))
 
 
 def test_hyperloglog_accuracy_and_merge(ray_session):
