@@ -78,6 +78,18 @@ BENCH_WORLD = dict(
                              "GRAFT_BENCH_WEBP", "20")),
                          cookie_host_pct=int(os.environ.get(
                              "GRAFT_BENCH_COOKIE", "40")),
+                         # soft-401 details (handle_httpstatus_list
+                         # surface) add 3 retries per hit page, so the
+                         # knob stays opt-in like redirects: nonzero pct
+                         # changes the headline fetch count
+                         soft401_pct=int(os.environ.get(
+                             "GRAFT_BENCH_SOFT401", "0")),
+                         # the spider-side allowed-status list: parse
+                         # 401 bodies whenever the world serves them
+                         handle_httpstatus_list=(
+                             (401,)
+                             if int(os.environ.get("GRAFT_BENCH_SOFT401", "0"))
+                             else ()),
                          redirect_pct=int(os.environ.get(
                              "GRAFT_BENCH_REDIRECT", "0"))),
 )

@@ -591,6 +591,22 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         & np.isin(status, np.array(sorted(RETRY_HTTP_CODES), dtype=status.dtype))
         & (retry_count < MAX_RETRIES)
     )
+    # handle_httpstatus_list (njestates_co_uk.py:30 and 16 more
+    # spiders): listed non-200 statuses reach the parse callback
+    # instead of failing. Consulted AFTER retry/redirect classification
+    # — Scrapy's RetryMiddleware retries RETRY_HTTP_CODES first
+    # (``self._retry(...) or response``) and RedirectMiddleware follows
+    # 3xx, so only the retries-exhausted / non-redirect response
+    # continues to HttpErrorMiddleware's allowed-status check.
+    if cfg.handle_httpstatus_list:
+        handled_mask = (
+            ~ok_mask
+            & ~redirect_mask
+            & ~retry_mask
+            & np.isin(status, np.array(sorted(cfg.handle_httpstatus_list),
+                                       dtype=status.dtype))
+        )
+        ok_mask = ok_mask | handled_mask
     fail_mask = ~ok_mask & ~retry_mask & ~redirect_mask
 
     # --- retries: pure column carry + bump (ST4 — retry middleware);

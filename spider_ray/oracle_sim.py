@@ -204,7 +204,12 @@ class OracleCrawler:
                         c.retry_count += 1
                         c.skip_dedup = True
                         nxt.append(c)
-                    continue
+                        continue
+                    # handle_httpstatus_list mirror: a listed status
+                    # reaches the parse dispatch below (retries first,
+                    # like Scrapy's RetryMiddleware → HttpError order)
+                    if page.status not in self.world.cfg.handle_httpstatus_list:
+                        continue
                 if page.kind == "api":
                     import json as _json
 

@@ -2090,7 +2090,8 @@ def ensure_crawl_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     world_a = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                  gzip_pct=35, latin1_pct=35, redirect_pct=25,
-                 offsite_pct=35, cookie_host_pct=50)
+                 offsite_pct=35, cookie_host_pct=50,
+                 soft401_pct=30, handle_httpstatus_list=(401,))
     _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world_a))
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world_a)
     _dump_oracle(
@@ -2161,7 +2162,8 @@ def q_crawl_items(sf_dir: str):
 
     world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                  gzip_pct=35, latin1_pct=35, redirect_pct=25,
-                 offsite_pct=35, cookie_host_pct=50)
+                 offsite_pct=35, cookie_host_pct=50,
+                 soft401_pct=30, handle_httpstatus_list=(401,))
     _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world))
     crawler, _ = _run_crawl_world(sf_dir, world)
     return crawler.items_table().select(_CRAWL_ITEM_COLS)
@@ -2181,7 +2183,8 @@ def q_crawl_images(sf_dir: str):
 
     world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                  gzip_pct=35, latin1_pct=35, redirect_pct=25,
-                 offsite_pct=35, cookie_host_pct=50)
+                 offsite_pct=35, cookie_host_pct=50,
+                 soft401_pct=30, handle_httpstatus_list=(401,))
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world)
     _dump_oracle(
         "crawl_images",

@@ -172,6 +172,22 @@ class WorldConfig:
     # a crawler without a cookie jar loses every gated detail page.
     # Default 0 = byte-stable crawl outputs.
     cookie_host_pct: int = 0
+    # % of detail pages served with HTTP status 401 but the FULL normal
+    # body — the "content behind an auth-warning status" pattern the
+    # reference spiders crawl through with handle_httpstatus_list
+    # (spiders/njestates_co_uk.py:30 [401,403],
+    # alexandergreens_co_uk.py:31 [401], allagents_co_uk.py:18 —
+    # 17 spiders total). Default 0 = byte-stable crawl outputs.
+    soft401_pct: int = 0
+    # Scrapy's handle_httpstatus_list spider attribute: non-200
+    # statuses in this tuple reach the parse callback instead of
+    # becoming fail rows. Precedence mirrors Scrapy's middleware
+    # order — RetryMiddleware still retries RETRY_HTTP_CODES first
+    # (``self._retry(...) or response``: only the retries-exhausted
+    # response continues to HttpErrorMiddleware, which then lets a
+    # listed status through to the spider), and RedirectMiddleware
+    # still follows 3xx. Empty = Scrapy's default (only 200 parses).
+    handle_httpstatus_list: tuple = ()
     seed: int = 42
 
     def host(self, i: int) -> str:
@@ -523,7 +539,10 @@ class World:
         cfg = self.cfg
         if (
             cfg.gzip_pct
-            and page.status == 200
+            # soft-401 detail bodies compress too: real servers apply
+            # Content-Encoding to error-status bodies as well, and the
+            # client decode is status-blind on both sides
+            and page.status in (200, 401)
             and page.kind in ("listing", "detail", "api", "sitemap")
         ):
             roll = _h(cfg, "enc", page.url)
@@ -679,7 +698,17 @@ class World:
                 return Page(url, TRANSIENT_CODE, "detail", latency_ms=latency)
             body, cs = encode_page(
                 cfg, url, detail_html(cfg, host, k, self.caption_for(k)))
-            return Page(url, 200, "detail", body,
+            # soft-401: full parseable body behind an auth-warning
+            # status, on EVERY attempt (deterministic, not transient) —
+            # the handle_httpstatus_list surface. 401 ∈ RETRY_HTTP_CODES
+            # (the reference's settings.py:99 list), so the crawler
+            # retries it to exhaustion before the handled parse.
+            status = (
+                401
+                if cfg.soft401_pct and _h(cfg, "soft401", k) % 100 < cfg.soft401_pct
+                else 200
+            )
+            return Page(url, status, "detail", body,
                         f"text/html; charset={cs}", latency)
 
         if path.startswith("/img/"):

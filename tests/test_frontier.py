@@ -521,6 +521,56 @@ def test_cookie_jar_matches_oracle(ray_session):
     assert _fetch_sets(eng) == _fetch_sets(plain)
 
 
+def test_handle_httpstatus_matches_oracle(ray_session):
+    """handle_httpstatus_list (njestates_co_uk.py:30 and 16 more
+    reference spiders): soft-401 detail pages (full body behind an
+    auth-warning status) are retried to exhaustion — 401 is in the
+    reference's RETRY_HTTP_CODES — and THEN parsed when 401 is in the
+    spider's handled list, exactly like Scrapy's RetryMiddleware →
+    HttpErrorMiddleware order. Engine equals oracle with the list on
+    and off; the list demonstrably changes what gets extracted."""
+    from spider_ray.synth import World
+
+    cfg = _cfg(soft401_pct=40, handle_httpstatus_list=(401,),
+               fail_pct=0, notfound_pct=0)
+    w = World(cfg, CAPTIONS)
+    soft = [k for k in range(40)
+            if w.resolve(f"http://h0.test/prop/{k}").status == 401]
+    assert soft, "soft401_pct produced no 401 pages"
+    p = w.resolve(f"http://h0.test/prop/{soft[0]}", attempt=3)
+    assert p.status == 401 and p.body, "soft-401 must keep the full body"
+
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    img = eng.images_table().to_pydict()
+    eng_rows = {i: (c, f) for i, c, f in
+                zip(img["image_id"], img["caption"], img["fmt"])}
+    assert eng_rows == {r["image_id"]: (r["caption"], r["fmt"])
+                        for r in ora.images}
+
+    # retries first: a soft-401 detail is fetched MAX_RETRIES+1 times
+    # (it 401s on every attempt) before the exhausted response parses
+    from spider_ray.canon import canonicalize
+    from spider_ray.hashing import xxh64
+    soft_hash = xxh64(canonicalize(f"http://h0.test/prop/{soft[0]}"))
+    hits = sum(soft_hash in s for s in _fetch_sets(eng))
+    assert hits == 4  # initial fetch + 3 retries (MAX_RETRIES)
+
+    # negative control: Scrapy's default (no handled statuses) — the
+    # same world's soft-401 details never parse, so their image links
+    # are never discovered; engine still equals oracle
+    cfg0 = _cfg(soft401_pct=40, fail_pct=0, notfound_pct=0)
+    e0, _ = _run_engine(cfg0)
+    o0 = OracleCrawler(cfg0, CAPTIONS).crawl(cfg0.seeds())
+    assert _fetch_sets(e0) == _oracle_fetch_sets(o0)
+    assert e0.images_table().num_rows < len(eng_rows)
+
+
 def test_cookie_jar_survives_resume(ray_session, tmp_path):
     """The jar rides the lineage checkpoints: a resumed crawl replays
     learned sessions without re-fetching listing pages — same fetch

@@ -258,6 +258,21 @@ def test_streaming_offsite_equal_driver(ray_session, tmp_path):
     assert sum(row["rows_offsite"] for row in dc.lineage) > 0
 
 
+def test_streaming_handled_status_equal_driver(ray_session, tmp_path):
+    """Soft-401 worlds with handle_httpstatus_list crawl identically
+    in both modes — the handled-status routing lives in the shared
+    parse kernel (retry-to-exhaustion first, then parse)."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15,
+                      soft401_pct=40, handle_httpstatus_list=(401,))
+    dc, dres, dseen = _driver_run(cfg)
+    sc, sres, sseen = _stream_run(cfg, tmp_path, small_round_threshold=0)
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["images"] == dres["images"]
+    assert sres["items"] == dres["items"]
+
+
 def test_streaming_cookies_equal_driver(ray_session, tmp_path):
     """Session-gated worlds (cookie_host_pct > 0) crawl identically in
     both modes: the streaming jar rides the stats actor (harvested
