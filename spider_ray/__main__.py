@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     ap.add_argument("--dedup-shards", type=int, default=8)
+    ap.add_argument("--http-cache", default=None,
+                    help="HTTPCACHE_ENABLED analog: response cache dir; "
+                         "a warm re-run re-downloads nothing")
     args = ap.parse_args(argv)
 
     import ray
@@ -62,6 +65,7 @@ def main(argv=None) -> int:
         num_dedup_shards=args.dedup_shards,
         obey_robots=not args.no_robots,
         round_window_ms=args.window_ms,
+        http_cache_dir=args.http_cache,
     )
     resumed = crawler.resume() if args.checkpoint else False
     stats = crawler.crawl(cfg.seeds() if not resumed else [])

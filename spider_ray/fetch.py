@@ -112,7 +112,8 @@ class Fetcher:
 
 def fetch_batch(batch: pa.Table, *, cfg: WorldConfig, captions_ref=None,
                 simulate_latency: bool = False,
-                cookies: dict | None = None) -> pa.Table:
+                cookies: dict | None = None,
+                cache=None, round_no: int = 0) -> pa.Table:
     """Stateless-task fetch body (session held in the per-process cache).
 
     ``cookies`` is the round's cookie jar snapshot {host: cookie} —
@@ -120,13 +121,20 @@ def fetch_batch(batch: pa.Table, *, cfg: WorldConfig, captions_ref=None,
     (one short string per session-gated host), re-broadcast by the
     round loop each round; cookies discovered DURING a round apply
     from the next round (deterministic at any parallelism — a
-    wall-clock-ordered jar would make output depend on task timing)."""
+    wall-clock-ordered jar would make output depend on task timing).
+
+    ``cache`` (spider_ray.httpcache.HttpCache) enables the Scrapy
+    HttpCacheMiddleware analog: cached fingerprints are served the
+    stored response without resolving against the world (no download,
+    no latency), and every world-resolved response is stored for
+    rounds > ``round_no``."""
     return _fetch_table(get_world(cfg, captions_ref), batch, simulate_latency,
-                        cookies)
+                        cookies, cache=cache, round_no=round_no)
 
 
 def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
-                 cookies: dict | None = None) -> pa.Table:
+                 cookies: dict | None = None,
+                 cache=None, round_no: int = 0) -> pa.Table:
     urls = batch["canonical_url"].to_pylist()
     retries = (
         batch["retry_count"].to_pylist()
@@ -143,6 +151,12 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
         if cookies and "host" in batch.column_names
         else [None] * len(urls)
     )
+    fps = batch["url_hash"].to_numpy(zero_copy_only=False)
+    served: dict[int, tuple] = {}
+    if cache is not None:
+        served = cache.lookup(
+            fps, batch["host_hash"].to_numpy(zero_copy_only=False), round_no
+        )
     statuses = np.empty(len(urls), dtype=np.int32)
     kinds: list[str] = []
     bodies: list[bytes] = []
@@ -150,8 +164,22 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
     encodings: list[str] = []
     set_cookies: list[str] = []
     latencies = np.empty(len(urls), dtype=np.int32)
+    miss_idx: list[int] = []
     total_sleep = 0.0
     for j, (u, rc, fb, ho) in enumerate(zip(urls, retries, bodies_in, hosts_in)):
+        hit = served.get(int(fps[j])) if served else None
+        if hit is not None:
+            # HttpCacheMiddleware serve: stored response, no download,
+            # no latency. Bodies were stored post-decode (identity).
+            st, kd, bd, fm, sc = hit
+            statuses[j] = st
+            kinds.append(kd)
+            bodies.append(bd)
+            fmts.append(fm)
+            encodings.append("")
+            set_cookies.append(sc)
+            latencies[j] = 0
+            continue
         page = world.resolve(
             u, attempt=rc or 0, form_body=fb,
             cookie=cookies.get(ho) if cookies and ho else None,
@@ -166,6 +194,28 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
         set_cookies.append(page.set_cookie)
         latencies[j] = page.latency_ms
         total_sleep += page.latency_ms / 1000.0
+        miss_idx.append(j)
+    if cache is not None and miss_idx:
+        # DummyPolicy store: EVERY downloaded response (error statuses
+        # included), visible from round_no+1 (round-aligned)
+        mi = np.asarray(miss_idx)
+        cache.store(
+            pa.table(
+                {
+                    "url_hash": pa.array(fps[mi], pa.uint64()),
+                    "host_hash": batch["host_hash"].take(pa.array(mi)),
+                    "status": pa.array(statuses[mi], pa.int32()),
+                    "kind": pa.array([kinds[j] for j in miss_idx], pa.string()),
+                    "body": pa.array([bodies[j] for j in miss_idx],
+                                     pa.large_binary()),
+                    "fmt": pa.array([fmts[j] for j in miss_idx], pa.string()),
+                    "set_cookie": pa.array(
+                        [set_cookies[j] for j in miss_idx], pa.string()
+                    ),
+                }
+            ),
+            round_no,
+        )
     if simulate_latency and total_sleep:
         # batch-level sleep stand-in for network time (politeness
         # pacing itself lives in the politeness stage, not here)

@@ -297,10 +297,16 @@ def _host_aligned_slices(frontier: pa.Table, nblocks: int) -> list[pa.Table]:
 
 def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
                      round_window_ms: int, obey_robots: bool,
-                     round_no: int) -> pa.Table:
+                     round_no: int, cache=None) -> pa.Table:
     """Fused dedup-phase-2 + politeness admission over one host-aligned
     block (no shuffle): winner mask RPC to the shard actors, then the
-    per-host first-k budget kernel. Arrow-native throughout."""
+    per-host first-k budget kernel. Arrow-native throughout.
+
+    When an :class:`~spider_ray.httpcache.HttpCache` is active, cached
+    fingerprints are admitted WITHOUT consuming a politeness budget
+    slot — a cached response never enters the downloader, so Scrapy's
+    download slots/delays don't apply to it. The probe reads only the
+    cache's url_hash columns for this block's host buckets."""
     from .politeness import admit_masks
 
     empty_extra = batch.schema.append(pa.field("admitted", pa.bool_())).append(
@@ -318,12 +324,20 @@ def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
     t = batch.filter(pa.array(keep))
     if not t.num_rows:
         return empty_extra.empty_table()
+    free = None
+    if cache is not None:
+        free = cache.hit_mask(
+            t["url_hash"].to_numpy(zero_copy_only=False),
+            t["host_hash"].to_numpy(zero_copy_only=False),
+            round_no,
+        )
     admit = PolitenessAdmit(cfg, round_window_ms, obey_robots, round_no=round_no)
     admitted, blocked = admit_masks(
         t["host"].to_pylist(), t["canonical_url"].to_pylist(),
         admit.rules_for, round_window_ms, obey_robots,
         priority=t["priority"].to_numpy(zero_copy_only=False),
         delay_for=admit.delay_for,
+        free=free,
     )
     return t.append_column("admitted", pa.array(admitted)).append_column(
         "blocked", pa.array(blocked)
@@ -336,7 +350,8 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
                           images_out_dir: str | None,
                           items_out_dir: str | None,
                           fetch_batch_size: int,
-                          cookies: dict | None = None) -> pa.Table:
+                          cookies: dict | None = None,
+                          cache=None) -> pa.Table:
     """ONE task per host-aligned block for the whole round body:
     winner filter → politeness admission → seen-commit → fetch →
     parse. Fusing what were two Ray Data executions per round (admit,
@@ -359,7 +374,7 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
     driver-side, after the execution's barrier."""
     admit_tbl = _winner_admit_fn(
         block, dedup=dedup, cfg=cfg, round_window_ms=round_window_ms,
-        obey_robots=obey_robots, round_no=round_no,
+        obey_robots=obey_robots, round_no=round_no, cache=cache,
     )
     adm = admit_tbl["admitted"]
     blk = admit_tbl["blocked"]
@@ -382,7 +397,8 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
     for off in range(0, admitted.num_rows, max(fetch_batch_size, 1)):
         sl = admitted.slice(off, fetch_batch_size)
         fetched = fetch_batch(sl, cfg=cfg, captions_ref=captions_ref,
-                              cookies=cookies)
+                              cookies=cookies, cache=cache,
+                              round_no=round_no)
         parts.append(
             _parse_fn(fetched, cfg=cfg, images_out_dir=images_out_dir,
                       round_no=round_no, dedup=dedup,
@@ -997,12 +1013,22 @@ class Crawler:
         prefilter_threshold: int = 200_000,
         inline_threshold: int = 300,
         max_parallel_blocks: int | None = None,
+        http_cache_dir: str | None = None,
     ):
         self.cfg = cfg
         self.captions = captions or ["synthetic caption"]
         self.captions_ref = ray.put(self.captions)
         self.checkpoint_dir = checkpoint_dir
         self.images_out_dir = images_out_dir
+        # HTTPCACHE_ENABLED analog (the reference's most-used
+        # custom_settings key): persistent response cache, DummyPolicy
+        # semantics — see spider_ray.httpcache
+        if http_cache_dir:
+            from .httpcache import HttpCache
+
+            self.http_cache: "HttpCache | None" = HttpCache(http_cache_dir)
+        else:
+            self.http_cache = None
         self.dedup = ShardedDedup(num_dedup_shards, mode=dedup_mode)
         self.obey_robots = obey_robots
         self.round_window_ms = round_window_ms
@@ -1186,6 +1212,7 @@ class Crawler:
                         round_window_ms=self.round_window_ms,
                         obey_robots=self.obey_robots,
                         round_no=r,
+                        cache=self.http_cache,
                     )
                     for b in blocks
                 ],
@@ -1219,6 +1246,7 @@ class Crawler:
                         "items_out_dir": None,
                         "fetch_batch_size": self.fetch_batch_size,
                         "cookies": dict(self.cookie_jar) or None,
+                        "cache": self.http_cache,
                     },
                     batch_format="pyarrow",
                     batch_size=None,  # whole host-aligned block per call
@@ -1242,7 +1270,8 @@ class Crawler:
                 winners.map_batches(
                     prefilter_topk_per_host,
                     fn_kwargs={"max_k": max_k, "cfg": self.cfg,
-                               "obey_robots": self.obey_robots},
+                               "obey_robots": self.obey_robots,
+                               "cache": self.http_cache, "round_no": r},
                     batch_format="pandas",
                 )
             )
@@ -1255,6 +1284,7 @@ class Crawler:
                 round_window_ms=self.round_window_ms,
                 obey_robots=self.obey_robots,
                 round_no=r,
+                http_cache=self.http_cache,
             )
 
             def admit_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -1333,6 +1363,7 @@ class Crawler:
                 fetched = fetch_batch(
                     admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref,
                     cookies=dict(self.cookie_jar) or None,
+                    cache=self.http_cache, round_no=r,
                 )
                 parsed = _parse_fn(
                     fetched, cfg=self.cfg, images_out_dir=self.images_out_dir,
@@ -1350,6 +1381,8 @@ class Crawler:
                             "cfg": self.cfg,
                             "captions_ref": self.captions_ref,
                             "cookies": dict(self.cookie_jar) or None,
+                            "cache": self.http_cache,
+                            "round_no": r,
                         },
                         batch_format="pyarrow",
                         batch_size=self.fetch_batch_size,

@@ -273,7 +273,7 @@ def _stash_deferred(tbl: pa.Table, stage_dir: str) -> None:
 
 def _fused_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg, stats,
                     round_window_ms: int, obey_robots: bool, round_no: int,
-                    stage_dir: str) -> pa.Table:
+                    stage_dir: str, cache=None) -> pa.Table:
     """Shuffle-free admission over ONE host-aligned carry block: sort
     (host_hash, seq) in-task (defensive — carry blocks arrive already
     in that order), fused winner+admit (the driver-mode kernel), then
@@ -290,7 +290,7 @@ def _fused_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg, stats,
     out = _winner_admit_fn(
         batch.take(order), dedup=dedup, cfg=cfg,
         round_window_ms=round_window_ms, obey_robots=obey_robots,
-        round_no=round_no,
+        round_no=round_no, cache=cache,
     )
     tok = _batch_token("win", batch)
     if tok is not None:
@@ -362,6 +362,7 @@ class StreamingCrawler:
         fetch_batch_size: int = 512,
         max_rounds: int = 64,
         small_round_threshold: int = 100_000,
+        http_cache_dir: str | None = None,
     ):
         self.cfg = cfg
         self.captions = captions or ["synthetic caption"]
@@ -382,6 +383,13 @@ class StreamingCrawler:
         # streaming mode's small-round fast path
         self.small_round_threshold = small_round_threshold
         self.lineage: list[dict] = []
+        # HTTPCACHE_ENABLED analog (see spider_ray.httpcache)
+        if http_cache_dir:
+            from .httpcache import HttpCache
+
+            self.http_cache: "HttpCache | None" = HttpCache(http_cache_dir)
+        else:
+            self.http_cache = None
         # CookiesMiddleware jar (see frontier.Crawler.cookie_jar)
         self.cookie_jar: dict[str, str] = {}
         self._stats = _RoundStats.remote()
@@ -523,7 +531,8 @@ class StreamingCrawler:
                        "stats": self._stats,
                        "round_window_ms": self.round_window_ms,
                        "obey_robots": self.obey_robots,
-                       "round_no": r, "stage_dir": stage_dir},
+                       "round_no": r, "stage_dir": stage_dir,
+                       "cache": self.http_cache},
             batch_format="pyarrow",
             batch_size=None,  # one call per host-aligned carry block
         )
@@ -531,7 +540,8 @@ class StreamingCrawler:
             admitted_ds.map_batches(
                 fetch_batch,
                 fn_kwargs={"cfg": self.cfg, "captions_ref": self.captions_ref,
-                           "cookies": dict(self.cookie_jar) or None},
+                           "cookies": dict(self.cookie_jar) or None,
+                           "cache": self.http_cache, "round_no": r},
                 batch_format="pyarrow",
                 batch_size=self.fetch_batch_size,
             )

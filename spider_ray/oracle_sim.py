@@ -42,7 +42,7 @@ from spider_ray.politeness import (
     host_budget,
     parse_robots,
 )
-from spider_ray.synth import RETRY_HTTP_CODES, World, WorldConfig
+from spider_ray.synth import RETRY_HTTP_CODES, Page, World, WorldConfig
 
 MAX_RETRIES = 3
 _RE_CAPTION = __import__("re").compile(r"<p>(.*?)</p>", __import__("re").DOTALL)
@@ -83,11 +83,18 @@ class OracleResult:
 class OracleCrawler:
     def __init__(self, cfg: WorldConfig, captions: list[str] | None = None,
                  obey_robots: bool = True, round_window_ms: int = 60_000,
-                 max_rounds: int = 64):
+                 max_rounds: int = 64, http_cache: dict | None = None):
         self.world = World(cfg, captions)
         self.obey = obey_robots
         self.window = round_window_ms
         self.max_rounds = max_rounds
+        # HTTPCACHE_ENABLED mirror: fingerprint → (status, kind, body,
+        # fmt, set_cookie), bodies post-decode. Pass the SAME dict to a
+        # second OracleCrawler to model a warm-cache re-run. A same-
+        # round store-then-lookup of one fingerprint can't happen (a
+        # fingerprint is fetched at most once per round), so the plain
+        # dict matches the engine's rounds-<r file visibility.
+        self.http_cache = http_cache
 
     def _robots(self, host: str):
         page = self.world.resolve(f"http://{host}/robots.txt")
@@ -173,6 +180,13 @@ class OracleCrawler:
                     if self.obey and not rules.allows(urlsplit(c.canonical).path):
                         res.seen.add(c.fingerprint)  # blocked
                         continue
+                    if (self.http_cache is not None
+                            and c.fingerprint in self.http_cache):
+                        # cache hit: served without entering the
+                        # downloader — no politeness budget slot
+                        admitted.append(c)
+                        res.seen.add(c.fingerprint)
+                        continue
                     if taken < k:
                         taken += 1
                         admitted.append(c)
@@ -183,15 +197,33 @@ class OracleCrawler:
             nxt: list[_Cand] = list(deferred)
             for c in admitted:
                 res.fetch_log.append((r, c.canonical, c.fingerprint))
-                page = self.world.resolve(c.canonical, attempt=c.retry_count,
-                                          form_body=c.form_body,
-                                          cookie=cookie_jar.get(c.host))
-                if page.set_cookie:
-                    cookie_staged[c.host] = page.set_cookie
-                # client-stack mirror: the engine's fetch stage decodes
-                # Content-Encoding before parsing (fetch.decode_http_body)
-                page.body = decode_http_body(page.body,
-                                             page.content_encoding)
+                hit = (self.http_cache.get(c.fingerprint)
+                       if self.http_cache is not None else None)
+                if hit is not None:
+                    # HttpCacheMiddleware serve: stored response
+                    # (identity body), no world resolve
+                    st, kd, bd, fm, sc = hit
+                    page = Page(c.canonical, st, kd, bd, fmt=fm,
+                                set_cookie=sc)
+                    if sc:
+                        cookie_staged[c.host] = sc
+                else:
+                    page = self.world.resolve(c.canonical,
+                                              attempt=c.retry_count,
+                                              form_body=c.form_body,
+                                              cookie=cookie_jar.get(c.host))
+                    if page.set_cookie:
+                        cookie_staged[c.host] = page.set_cookie
+                    # client-stack mirror: the engine's fetch stage
+                    # decodes Content-Encoding before parsing
+                    page.body = decode_http_body(page.body,
+                                                 page.content_encoding)
+                    if self.http_cache is not None:
+                        # DummyPolicy store: every download, errors too
+                        self.http_cache[c.fingerprint] = (
+                            page.status, page.kind, page.body, page.fmt,
+                            page.set_cookie,
+                        )
                 if page.status in (301, 302, 303, 307, 308):
                     # redirect: the Location (body column) becomes a
                     # normal next-round link carrying the source's

@@ -194,11 +194,13 @@ class PolitenessAdmit:
     """
 
     def __init__(self, cfg: WorldConfig, round_window_ms: int = 60_000,
-                 obey_robots: bool = True, round_no: int = 0):
+                 obey_robots: bool = True, round_no: int = 0,
+                 http_cache=None):
         self.world = World(cfg)  # robots fetches only; captions irrelevant
         self.window = round_window_ms
         self.obey = obey_robots
         self.round_no = round_no
+        self.http_cache = http_cache
         # robots cache is per worker PROCESS (keyed by world config), so
         # map_groups tasks across rounds reuse it — same amortization as
         # actor state without per-execution actor churn
@@ -225,17 +227,22 @@ class PolitenessAdmit:
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         return admit_frame(group, self.rules_for, self.window, self.obey,
-                           delay_for=self.delay_for)
+                           delay_for=self.delay_for,
+                           cache=self.http_cache, round_no=self.round_no)
 
 
 def admit_masks(hosts, urls, rules_for, window_ms: int,
                 obey: bool, priority=None,
-                delay_for=None) -> tuple[np.ndarray, np.ndarray]:
+                delay_for=None, free=None) -> tuple[np.ndarray, np.ndarray]:
     """Core admission kernel over rows ALREADY sorted by (host_hash, seq)
     with each host fully contained: per contiguous host segment, mark
     robots-disallowed rows blocked and admit the budgeted-k eligible
     rows — highest ``priority`` first, FIFO by seq within a priority
     level (the reference scheduler's priority-queue semantics, O1).
+    ``free`` rows (HTTP-cache hits — responses served without touching
+    the downloader) are admitted without consuming a budget slot;
+    robots blocking still applies to them (RobotsTxtMiddleware runs
+    before HttpCacheMiddleware in Scrapy's downloader chain).
     Returns (admitted, blocked) bool arrays in input order."""
     from urllib.parse import urlsplit
 
@@ -244,6 +251,8 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
     blocked = np.zeros(n, dtype=bool)
     prio = (np.zeros(n, dtype=np.int64) if priority is None
             else np.asarray(priority, dtype=np.int64))
+    fr = (np.zeros(n, dtype=bool) if free is None
+          else np.asarray(free, dtype=bool))
     start = 0
     for end in range(1, n + 1):
         if end < n and hosts[end] == hosts[start]:
@@ -261,7 +270,8 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
         else:
             delay = rules.crawl_delay_ms if obey else AUTOTHROTTLE_START_DELAY_MS
         k = host_budget(delay, window_ms)
-        eligible = ~blk
+        seg_free = fr[start:end]
+        eligible = ~blk & ~seg_free  # budget applies to downloads only
         seg_prio = prio[start:end]
         if (seg_prio != seg_prio[0]).any():
             # priority queue: admit in (-priority, seq) order; stable
@@ -272,23 +282,35 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
             )
             seg_adm = np.zeros(end - start, dtype=bool)
             seg_adm[order] = adm_in_order
-            admitted[start:end] = seg_adm
+            admitted[start:end] = seg_adm | (seg_free & ~blk)
         else:
-            admitted[start:end] = eligible & (np.cumsum(eligible) <= k)
+            admitted[start:end] = (
+                eligible & (np.cumsum(eligible) <= k)
+            ) | (seg_free & ~blk)
         blocked[start:end] = blk
         start = end
     return admitted, blocked
 
 
 def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
-                obey: bool, delay_for=None) -> pd.DataFrame:
-    """pandas wrapper over :func:`admit_masks` (groupby/map_groups path)."""
+                obey: bool, delay_for=None,
+                cache=None, round_no: int = 0) -> pd.DataFrame:
+    """pandas wrapper over :func:`admit_masks` (groupby/map_groups path).
+    ``cache`` (HttpCache) marks cached fingerprints budget-free."""
     g = df.sort_values(["host_hash", "seq"], kind="mergesort").copy()
+    free = None
+    if cache is not None:
+        free = cache.hit_mask(
+            g["url_hash"].to_numpy().astype(np.uint64),
+            g["host_hash"].to_numpy().astype(np.uint64),
+            round_no,
+        )
     admitted, blocked = admit_masks(
         g["host"].to_numpy(), g["canonical_url"].to_numpy(),
         rules_for, window_ms, obey,
         priority=g["priority"].to_numpy() if "priority" in g.columns else None,
         delay_for=delay_for,
+        free=free,
     )
     g["admitted"] = admitted
     g["blocked"] = blocked
@@ -297,7 +319,8 @@ def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
 
 def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int,
                             cfg: WorldConfig | None = None,
-                            obey_robots: bool = False) -> pd.DataFrame:
+                            obey_robots: bool = False,
+                            cache=None, round_no: int = 0) -> pd.DataFrame:
     """Skew guard (combiner): per batch, keep each host's ``max_k``
     top-ranked ADMISSIBLE rows for the politeness shuffle; rows beyond
     that are deferred in place (column ``prefiltered_defer``).
@@ -326,12 +349,23 @@ def prefilter_topk_per_host(batch: pd.DataFrame, max_k: int,
         )
     else:
         blocked = np.zeros(len(order), dtype=bool)
+    # HTTP-cache hits never defer: they are budget-free at admission
+    # (a cached response skips the downloader), so capping them here
+    # would postpone fetches that cost nothing
+    if cache is not None:
+        free = cache.hit_mask(
+            order["url_hash"].to_numpy().astype(np.uint64),
+            order["host_hash"].to_numpy().astype(np.uint64),
+            round_no,
+        )
+    else:
+        free = np.zeros(len(order), dtype=bool)
     # rank only eligible rows toward the budget; blocked rows rank -1
-    elig = (~blocked).astype(np.int64)
+    elig = (~blocked & ~free).astype(np.int64)
     csum = pd.Series(elig, index=order.index).groupby(
         order["host_hash"].to_numpy(), sort=False
     ).cumsum()
     rank = csum.to_numpy() - 1  # 0-based among eligible rows of the host
     out = order.drop(columns="__negprio").copy()
-    out["prefiltered_defer"] = (~blocked) & (rank >= max_k)
+    out["prefiltered_defer"] = (~blocked) & (~free) & (rank >= max_k)
     return out

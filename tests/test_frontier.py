@@ -571,6 +571,127 @@ def test_handle_httpstatus_matches_oracle(ray_session):
     assert e0.images_table().num_rows < len(eng_rows)
 
 
+def test_http_cache_at_scale_path(ray_session, tmp_path):
+    """The groupby-admission fallback path (prefilter_threshold=0
+    forces it) consults the cache too: prefilter never defers hits,
+    PolitenessAdmit admits them budget-free — warm re-run equals the
+    cold run and the host-aligned path's outputs."""
+    cfg = _cfg(fail_pct=0, notfound_pct=0)
+    cache_dir = str(tmp_path / "hc")
+
+    def run():
+        c = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                    round_window_ms=60_000, http_cache_dir=cache_dir,
+                    prefilter_threshold=0, inline_threshold=0)
+        c.crawl(cfg.seeds())
+        c.close()
+        return c
+
+    cold, warm = run(), run()
+    assert _fetch_sets(cold) == _fetch_sets(warm)
+    assert cold.images_table().to_pydict() == warm.images_table().to_pydict()
+    # and the at-scale path agrees with the default host-aligned path
+    aligned = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                      round_window_ms=60_000,
+                      http_cache_dir=str(tmp_path / "hc2"))
+    aligned.crawl(cfg.seeds())
+    aligned.close()
+    assert _fetch_sets(cold) == _fetch_sets(aligned)
+
+
+def test_http_cache_epoch_visibility(tmp_path):
+    """Unit contract of the store: entries written in round r are
+    invisible to lookups at rounds ≤ r of the same run (round-aligned,
+    like cookies) but fully visible to the next run (new epoch)."""
+    import pyarrow as pa
+
+    from spider_ray.httpcache import HttpCache
+
+    c1 = HttpCache(str(tmp_path), nbuckets=4)
+    rows = pa.table({
+        "url_hash": pa.array([11, 22], pa.uint64()),
+        "host_hash": pa.array([5, 6], pa.uint64()),
+        "status": pa.array([200, 503], pa.int32()),
+        "kind": pa.array(["detail", "detail"]),
+        "body": pa.array([b"a", b""], pa.large_binary()),
+        "fmt": pa.array(["", ""]),
+        "set_cookie": pa.array(["", ""]),
+    })
+    c1.store(rows, round_no=3)
+    uh = np.array([11, 22, 33], dtype=np.uint64)
+    hh = np.array([5, 6, 7], dtype=np.uint64)
+    assert c1.hit_mask(uh, hh, before_round=3).tolist() == [False] * 3
+    assert c1.hit_mask(uh, hh, before_round=4).tolist() == [True, True, False]
+    got = c1.lookup(uh, hh, before_round=4)
+    assert got[11] == (200, "detail", b"a", "", "")
+    assert got[22][0] == 503  # error statuses cached too (DummyPolicy)
+    # a new run (fresh HttpCache on the same dir) sees everything at
+    # round 0, and its own epoch is bumped past the stored one
+    c2 = HttpCache(str(tmp_path), nbuckets=4)
+    assert c2.epoch == c1.epoch + 1
+    assert c2.hit_mask(uh, hh, before_round=0).tolist() == [True, True, False]
+
+
+def test_http_cache_matches_oracle(ray_session, tmp_path):
+    """HTTPCACHE_ENABLED analog (the reference's most-used
+    custom_settings key, 175 spiders): DummyPolicy — every download
+    stored by fingerprint, hits served without entering the downloader
+    (no politeness budget slot, no world resolve). Cold run equals the
+    oracle mirror; a warm re-run over the same cache dir refetches
+    NOTHING and reproduces the cold outputs byte-for-byte."""
+    cfg = _cfg(fail_pct=10, notfound_pct=5)
+    cache_dir = str(tmp_path / "httpcache")
+    ocache: dict = {}
+
+    cold = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                   round_window_ms=60_000, http_cache_dir=cache_dir)
+    cold.crawl(cfg.seeds())
+    cold.close()
+    o1 = OracleCrawler(cfg, CAPTIONS, http_cache=ocache).crawl(cfg.seeds())
+    assert _fetch_sets(cold) == _oracle_fetch_sets(o1)
+    img = cold.images_table().to_pydict()
+    cold_rows = {i: (c, f, p) for i, c, f, p in
+                 zip(img["image_id"], img["caption"], img["fmt"], img["phash"])}
+    assert cold_rows == {r["image_id"]: (r["caption"], r["fmt"], r["phash"])
+                         for r in o1.images}
+    assert ocache, "oracle cache stayed empty"
+
+    # DummyPolicy faithfulness: the first-attempt 503 is CACHED, so its
+    # retries re-see the stored failure and the flaky page dies — the
+    # cached world extracts strictly less than the uncached one (the
+    # documented reason Scrapy has HTTPCACHE_IGNORE_HTTP_CODES)
+    nocache, _ = _run_engine(cfg)
+    assert len(cold_rows) < nocache.images_table().num_rows
+
+    # warm re-run: same cache dir (new epoch), same oracle dict — the
+    # oracle performs ZERO non-robots world resolves, and both sides
+    # reproduce the cold outputs with no deferral tail (every hit is
+    # admitted budget-free)
+    warm = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                   round_window_ms=60_000, http_cache_dir=cache_dir)
+    warm.crawl(cfg.seeds())
+    warm.close()
+    o2 = OracleCrawler(cfg, CAPTIONS, http_cache=ocache)
+    downloads = 0
+    orig_resolve = o2.world.resolve
+
+    def counting_resolve(url, *a, **kw):
+        nonlocal downloads
+        if "/robots.txt" not in url:
+            downloads += 1
+        return orig_resolve(url, *a, **kw)
+
+    o2.world.resolve = counting_resolve
+    r2 = o2.crawl(cfg.seeds())
+    assert downloads == 0
+    assert _fetch_sets(warm) == _oracle_fetch_sets(r2)
+    wimg = warm.images_table().to_pydict()
+    assert cold_rows == {i: (c, f, p) for i, c, f, p in
+                         zip(wimg["image_id"], wimg["caption"],
+                             wimg["fmt"], wimg["phash"])}
+    assert sum(row["rows_deferred"] for row in warm.lineage) == 0
+
+
 def test_cookie_jar_survives_resume(ray_session, tmp_path):
     """The jar rides the lineage checkpoints: a resumed crawl replays
     learned sessions without re-fetching listing pages — same fetch

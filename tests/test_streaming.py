@@ -12,9 +12,9 @@ from spider_ray.synth import WorldConfig
 CAPTIONS = [f"caption {i}" for i in range(5)]
 
 
-def _driver_run(cfg, window=60_000):
+def _driver_run(cfg, window=60_000, **kw):
     c = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
-                round_window_ms=window)
+                round_window_ms=window, **kw)
     res = c.crawl(cfg.seeds())
     seen = set()
     for snap in c.dedup.snapshot():
@@ -271,6 +271,31 @@ def test_streaming_handled_status_equal_driver(ray_session, tmp_path):
     assert sres["fetched"] == dres["fetched"]
     assert sres["images"] == dres["images"]
     assert sres["items"] == dres["items"]
+
+
+def test_streaming_http_cache_equal_driver(ray_session, tmp_path):
+    """HTTP-cached worlds crawl identically in both modes (the cache
+    probe lives in the shared winner+admit kernel, the serve/store in
+    the shared fetch kernel), and a warm streaming re-run over the
+    same cache dir reproduces the cold outputs."""
+    cfg = WorldConfig(num_hosts=3, max_pages_per_host=2, details_per_page=4,
+                      fail_pct=10, notfound_pct=5, private_pct=15)
+    dc, dres, dseen = _driver_run(
+        cfg, http_cache_dir=str(tmp_path / "hc_driver"))
+    sc, sres, sseen = _stream_run(cfg, tmp_path, small_round_threshold=0,
+                                  http_cache_dir=str(tmp_path / "hc_stream"))
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["images"] == dres["images"]
+    assert sres["items"] == dres["items"]
+    # warm streaming re-run on the now-populated cache dir
+    sw, swres, swseen = _stream_run(cfg, tmp_path / "warm",
+                                    small_round_threshold=0,
+                                    http_cache_dir=str(tmp_path / "hc_stream"))
+    assert swseen == sseen
+    assert swres["fetched"] == sres["fetched"]
+    assert swres["images"] == sres["images"]
+    assert swres["items"] == sres["items"]
 
 
 def test_streaming_cookies_equal_driver(ray_session, tmp_path):
