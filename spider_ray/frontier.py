@@ -1150,6 +1150,10 @@ class Crawler:
         while self.frontier.num_rows and r < self.max_rounds:
             self._run_round(r)
             r += 1
+        if self.http_cache is not None:
+            # between-rounds contract holds here (no tasks in flight):
+            # keep probe cost O(1) files per bucket for the next run
+            self.http_cache.compact()
         return {
             "rounds": r,
             "fetched": int(sum(len(f) for f in self.fetched_hashes)),

@@ -479,6 +479,8 @@ class StreamingCrawler:
         if self._pending_finalize:
             ray.get(self._pending_finalize)  # checkpoints durable on return
             self._pending_finalize = []
+        if self.http_cache is not None:
+            self.http_cache.compact()  # no tasks in flight past here
         return {
             "rounds": r,
             "fetched": total_fetched,

@@ -120,16 +120,39 @@ class HttpCache:
             host_hashes.astype(np.uint64) % np.uint64(self.nbuckets)
         ).tolist()
 
+    @staticmethod
+    def _file_overlaps(path: str, lo: int, hi: int) -> bool:
+        """Parquet-footer prune: False when the file's url_hash min/max
+        range (rows are stored SORTED by url_hash, so row-group stats
+        are tight) cannot overlap [lo, hi]. Footer-only read."""
+        try:
+            md = pq.ParquetFile(path).metadata
+            col_idx = md.schema.to_arrow_schema().get_field_index("url_hash")
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    return True  # no stats → must read
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            return fmin is not None and not (fmax < lo or fmin > hi)
+        except Exception:
+            return True  # unparsable footer → fall back to reading
+
     def hit_mask(self, url_hashes: np.ndarray, host_hashes: np.ndarray,
                  before_round: int) -> np.ndarray:
         """Membership probe for the admission kernel: True where the
-        fingerprint has a cached response. Reads only url_hash columns."""
+        fingerprint has a cached response. Reads only url_hash columns
+        of footer-overlapping files."""
         want = np.asarray(url_hashes, dtype=np.uint64)
         mask = np.zeros(len(want), dtype=bool)
         if not len(want):
             return mask
+        lo, hi = int(want.min()), int(want.max())
         for b in self._buckets_for(np.asarray(host_hashes)):
             for f in self._bucket_files(int(b), before_round):
+                if not self._file_overlaps(f, lo, hi):
+                    continue
                 stored = pq.read_table(f, columns=["url_hash"])[
                     "url_hash"
                 ].to_numpy(zero_copy_only=False)
@@ -147,8 +170,11 @@ class HttpCache:
         out: dict[int, tuple] = {}
         if not len(want):
             return out
+        lo, hi = int(want.min()), int(want.max())
         for b in self._buckets_for(np.asarray(host_hashes)):
             for f in self._bucket_files(int(b), before_round):
+                if not self._file_overlaps(f, lo, hi):
+                    continue
                 stored = pq.read_table(f, columns=["url_hash"])[
                     "url_hash"
                 ].to_numpy(zero_copy_only=False)
@@ -170,10 +196,18 @@ class HttpCache:
     # ---------------- write side
     def store(self, rows: pa.Table, round_no: int) -> None:
         """Append downloaded responses (CACHE_SCHEMA columns). One file
-        per touched bucket per call, tmp-then-rename atomic."""
+        per touched bucket per call, rows sorted by url_hash (tight
+        parquet row-group stats for the footer prune), tmp-then-rename
+        atomic."""
         if not rows.num_rows:
             return
         rows = rows.select(CACHE_SCHEMA.names).cast(CACHE_SCHEMA)
+        rows = rows.take(
+            np.argsort(
+                rows["url_hash"].to_numpy(zero_copy_only=False),
+                kind="stable",
+            )
+        )
         hh = rows["host_hash"].to_numpy(zero_copy_only=False)
         buckets = hh.astype(np.uint64) % np.uint64(self.nbuckets)
         for b in np.unique(buckets):
@@ -185,3 +219,50 @@ class HttpCache:
             tmp = os.path.join(d, name + ".tmp")
             pq.write_table(part, tmp)
             os.rename(tmp, os.path.join(d, name))
+
+    # ---------------- maintenance
+    def compact(self, max_files_per_bucket: int = 16) -> int:
+        """Merge each over-threshold bucket's files into one sorted
+        file so probe cost stays O(1) files per bucket instead of
+        O(rounds × blocks). Driver-side only, BETWEEN rounds/runs (a
+        task reading a merged-away file mid-compaction would miss
+        entries). The merged file is stamped (epoch, round) = the
+        bucket's MINIMUM so visibility never widens: entries already
+        visible stay visible, and in-flight-round entries are never
+        pulled forward (compaction input is everything on disk, which
+        by the between-rounds contract is all < the next lookup round).
+        Fingerprints are unique across a cache (one store per
+        download), so merging never has to resolve duplicates.
+        Returns the number of buckets compacted."""
+        done = 0
+        if not os.path.isdir(self.cache_dir):
+            return done
+        for b in sorted(os.listdir(self.cache_dir)):
+            d = os.path.join(self.cache_dir, b)
+            if not (b.startswith("bucket=") and os.path.isdir(d)):
+                continue
+            names = [n for n in sorted(os.listdir(d))
+                     if self._parse_name(n) is not None]
+            if len(names) <= max_files_per_bucket:
+                continue
+            parsed = [self._parse_name(n) for n in names]
+            e_min = min(p[0] for p in parsed)
+            r_min = min(p[1] for p in parsed if p[0] == e_min)
+            merged = pa.concat_tables(
+                [pq.read_table(os.path.join(d, n)) for n in names]
+            )
+            merged = merged.take(
+                np.argsort(
+                    merged["url_hash"].to_numpy(zero_copy_only=False),
+                    kind="stable",
+                )
+            )
+            name = (f"e{e_min:04d}_round_{r_min:04d}_"
+                    f"{uuid.uuid4().hex[:12]}.parquet")
+            tmp = os.path.join(d, name + ".tmp")
+            pq.write_table(merged, tmp)
+            os.rename(tmp, os.path.join(d, name))
+            for n in names:
+                os.remove(os.path.join(d, n))
+            done += 1
+        return done

@@ -632,6 +632,41 @@ def test_http_cache_epoch_visibility(tmp_path):
     assert c2.hit_mask(uh, hh, before_round=0).tolist() == [True, True, False]
 
 
+def test_http_cache_compaction(tmp_path):
+    """compact() merges a bucket's files into one without changing any
+    lookup result for later rounds/runs (probe cost stays O(1) files
+    per bucket on long crawls)."""
+    import pyarrow as pa
+
+    from spider_ray.httpcache import HttpCache
+
+    c = HttpCache(str(tmp_path), nbuckets=2)
+    for r in range(6):
+        c.store(pa.table({
+            "url_hash": pa.array([r * 2, r * 2 + 1], pa.uint64()),
+            "host_hash": pa.array([0, 1], pa.uint64()),
+            "status": pa.array([200, 200], pa.int32()),
+            "kind": pa.array(["detail", "detail"]),
+            "body": pa.array([b"x%d" % r, b"y%d" % r], pa.large_binary()),
+            "fmt": pa.array(["", ""]),
+            "set_cookie": pa.array(["", ""]),
+        }), round_no=r)
+    uh = np.arange(12, dtype=np.uint64)
+    hh = np.array([0, 1] * 6, dtype=np.uint64)
+    before = c.lookup(uh, hh, before_round=6)
+    assert len(before) == 12
+    assert c.compact(max_files_per_bucket=2) == 2
+    # one file per bucket now; identical lookups
+    import os as _os
+    for b in range(2):
+        d = tmp_path / f"bucket={b:03d}"
+        assert len([n for n in _os.listdir(d) if n.endswith(".parquet")]) == 1
+    assert c.lookup(uh, hh, before_round=6) == before
+    # a new run still sees everything
+    c2 = HttpCache(str(tmp_path), nbuckets=2)
+    assert len(c2.lookup(uh, hh, before_round=0)) == 12
+
+
 def test_http_cache_matches_oracle(ray_session, tmp_path):
     """HTTPCACHE_ENABLED analog (the reference's most-used
     custom_settings key, 175 spiders): DummyPolicy — every download
