@@ -113,7 +113,8 @@ class Fetcher:
 def fetch_batch(batch: pa.Table, *, cfg: WorldConfig, captions_ref=None,
                 simulate_latency: bool = False,
                 cookies: dict | None = None,
-                cache=None, round_no: int = 0) -> pa.Table:
+                cache=None, round_no: int = 0,
+                served: dict | None = None) -> pa.Table:
     """Stateless-task fetch body (session held in the per-process cache).
 
     ``cookies`` is the round's cookie jar snapshot {host: cookie} —
@@ -127,14 +128,18 @@ def fetch_batch(batch: pa.Table, *, cfg: WorldConfig, captions_ref=None,
     HttpCacheMiddleware analog: cached fingerprints are served the
     stored response without resolving against the world (no download,
     no latency), and every world-resolved response is stored for
-    rounds > ``round_no``."""
+    rounds > ``round_no``. ``served`` short-circuits the lookup with a
+    caller-provided fingerprint→response dict (the fused block kernel
+    looks up ONCE per block instead of once per fetch slice)."""
     return _fetch_table(get_world(cfg, captions_ref), batch, simulate_latency,
-                        cookies, cache=cache, round_no=round_no)
+                        cookies, cache=cache, round_no=round_no,
+                        served=served)
 
 
 def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
                  cookies: dict | None = None,
-                 cache=None, round_no: int = 0) -> pa.Table:
+                 cache=None, round_no: int = 0,
+                 served: dict | None = None) -> pa.Table:
     urls = batch["canonical_url"].to_pylist()
     retries = (
         batch["retry_count"].to_pylist()
@@ -152,11 +157,13 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
         else [None] * len(urls)
     )
     fps = batch["url_hash"].to_numpy(zero_copy_only=False)
-    served: dict[int, tuple] = {}
-    if cache is not None:
-        served = cache.lookup(
-            fps, batch["host_hash"].to_numpy(zero_copy_only=False), round_no
-        )
+    if served is None:
+        served = {}
+        if cache is not None:
+            served = cache.lookup(
+                fps, batch["host_hash"].to_numpy(zero_copy_only=False),
+                round_no,
+            )
     statuses = np.empty(len(urls), dtype=np.int32)
     kinds: list[str] = []
     bodies: list[bytes] = []

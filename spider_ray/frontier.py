@@ -394,16 +394,28 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
     ).drop_columns(["admitted", "blocked"])
 
     parts: list[pa.Table] = []
-    for off in range(0, admitted.num_rows, max(fetch_batch_size, 1)):
-        sl = admitted.slice(off, fetch_batch_size)
-        fetched = fetch_batch(sl, cfg=cfg, captions_ref=captions_ref,
-                              cookies=cookies, cache=cache,
-                              round_no=round_no)
-        parts.append(
-            _parse_fn(fetched, cfg=cfg, images_out_dir=images_out_dir,
-                      round_no=round_no, dedup=dedup,
-                      items_out_dir=items_out_dir)
+    served = None
+    if cache is not None:
+        cache.begin_buffer()  # ONE cache write per block, not per slice
+        served = cache.lookup(  # ... and ONE lookup per block
+            admitted["url_hash"].to_numpy(zero_copy_only=False),
+            admitted["host_hash"].to_numpy(zero_copy_only=False),
+            round_no,
         )
+    try:
+        for off in range(0, admitted.num_rows, max(fetch_batch_size, 1)):
+            sl = admitted.slice(off, fetch_batch_size)
+            fetched = fetch_batch(sl, cfg=cfg, captions_ref=captions_ref,
+                                  cookies=cookies, cache=cache,
+                                  round_no=round_no, served=served)
+            parts.append(
+                _parse_fn(fetched, cfg=cfg, images_out_dir=images_out_dir,
+                          round_no=round_no, dedup=dedup,
+                          items_out_dir=items_out_dir)
+            )
+    finally:
+        if cache is not None:
+            cache.flush(round_no)
     if admitted.num_rows:
         parts.append(
             _as_parse_table(

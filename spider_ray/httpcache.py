@@ -46,6 +46,24 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# Process-level memo of url_hash columns keyed by file path: cache
+# files are immutable once renamed into place (append-only layout), so
+# a worker process reused across tasks/rounds never re-reads a file's
+# hash column. Bodies are NOT memoized (too big); compaction removes
+# files, leaving only never-again-read stale keys.
+_HASHCOL_CACHE: dict[str, np.ndarray] = {}
+
+
+def _hash_column(path: str) -> np.ndarray:
+    col = _HASHCOL_CACHE.get(path)
+    if col is None:
+        col = pq.read_table(path, columns=["url_hash"])["url_hash"].to_numpy(
+            zero_copy_only=False
+        )
+        _HASHCOL_CACHE[path] = col
+    return col
+
+
 CACHE_SCHEMA = pa.schema(
     [
         ("url_hash", pa.uint64()),
@@ -68,6 +86,12 @@ class HttpCache:
     def __init__(self, cache_dir: str, nbuckets: int = 64):
         self.cache_dir = cache_dir
         self.nbuckets = int(nbuckets)
+        # Task-local write buffer (each Ray task deserializes its own
+        # HttpCache copy): the fused round kernel turns it on so a
+        # block's per-slice stores become ONE file write per touched
+        # bucket per block instead of one per fetch slice.
+        self._buffering = False
+        self._buf: list[pa.Table] = []
         # Run epoch: entries from PRIOR runs (epoch < ours) are always
         # visible; entries from THIS run only for rounds < the lookup
         # round. Without the epoch, a warm re-run (round counter back
@@ -153,10 +177,7 @@ class HttpCache:
             for f in self._bucket_files(int(b), before_round):
                 if not self._file_overlaps(f, lo, hi):
                     continue
-                stored = pq.read_table(f, columns=["url_hash"])[
-                    "url_hash"
-                ].to_numpy(zero_copy_only=False)
-                mask |= np.isin(want, stored)
+                mask |= np.isin(want, _hash_column(f))
         return mask
 
     def lookup(self, url_hashes: np.ndarray, host_hashes: np.ndarray,
@@ -175,9 +196,7 @@ class HttpCache:
             for f in self._bucket_files(int(b), before_round):
                 if not self._file_overlaps(f, lo, hi):
                     continue
-                stored = pq.read_table(f, columns=["url_hash"])[
-                    "url_hash"
-                ].to_numpy(zero_copy_only=False)
+                stored = _hash_column(f)
                 hit = np.isin(stored, want)
                 if not hit.any():
                     continue
@@ -202,6 +221,24 @@ class HttpCache:
         if not rows.num_rows:
             return
         rows = rows.select(CACHE_SCHEMA.names).cast(CACHE_SCHEMA)
+        if self._buffering:
+            self._buf.append(rows)
+            return
+        self._write(rows, round_no)
+
+    def begin_buffer(self) -> None:
+        """Defer writes until :meth:`flush` (fused-kernel use: one file
+        per touched bucket per BLOCK, not per fetch slice)."""
+        self._buffering = True
+        self._buf = []
+
+    def flush(self, round_no: int) -> None:
+        self._buffering = False
+        if self._buf:
+            self._write(pa.concat_tables(self._buf), round_no)
+        self._buf = []
+
+    def _write(self, rows: pa.Table, round_no: int) -> None:
         rows = rows.take(
             np.argsort(
                 rows["url_hash"].to_numpy(zero_copy_only=False),
@@ -217,7 +254,10 @@ class HttpCache:
             name = (f"e{self.epoch:04d}_round_{round_no:04d}_"
                     f"{uuid.uuid4().hex[:12]}.parquet")
             tmp = os.path.join(d, name + ".tmp")
-            pq.write_table(part, tmp)
+            # bodies are jpeg/png/gzip-era payloads — already entropy
+            # coded; parquet recompression only burns CPU on the crawl
+            # hot path
+            pq.write_table(part, tmp, compression="none")
             os.rename(tmp, os.path.join(d, name))
 
     # ---------------- maintenance
@@ -260,7 +300,7 @@ class HttpCache:
             name = (f"e{e_min:04d}_round_{r_min:04d}_"
                     f"{uuid.uuid4().hex[:12]}.parquet")
             tmp = os.path.join(d, name + ".tmp")
-            pq.write_table(merged, tmp)
+            pq.write_table(merged, tmp, compression="none")
             os.rename(tmp, os.path.join(d, name))
             for n in names:
                 os.remove(os.path.join(d, n))

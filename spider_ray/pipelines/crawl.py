@@ -28,6 +28,7 @@ def run_crawl(
     fetch_batch_size: int = 512,
     images_out_dir: str | None = None,
     world_overrides: dict | None = None,
+    http_cache_dir: str | None = None,
 ) -> tuple[Crawler, dict]:
     captions = load_captions_from_documents(f"{sf_dir}/documents.parquet")
     cfg = WorldConfig(
@@ -45,6 +46,7 @@ def run_crawl(
         round_window_ms=round_window_ms,
         fetch_batch_size=fetch_batch_size,
         images_out_dir=images_out_dir,
+        http_cache_dir=http_cache_dir,
     )
     stats = crawler.crawl(cfg.seeds())
     return crawler, stats

@@ -727,6 +727,37 @@ def test_http_cache_matches_oracle(ray_session, tmp_path):
     assert sum(row["rows_deferred"] for row in warm.lineage) == 0
 
 
+def test_http_cache_with_checkpoint_resume(ray_session, tmp_path):
+    """Checkpoints + cache together: a crawl killed after round 2
+    resumes (fresh Crawler = new cache epoch, so the partial run's
+    stored responses are fully visible to every round of the resumed
+    run) and finishes with the same per-round fetch sets and sink
+    rows as the uninterrupted cached run."""
+    cfg = _cfg(num_hosts=3, fail_pct=0, notfound_pct=0)
+    cache_dir = str(tmp_path / "hc")
+    full = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                   round_window_ms=60_000,
+                   http_cache_dir=str(tmp_path / "hc_full"))
+    full.crawl(cfg.seeds())
+    full.close()
+
+    ck = str(tmp_path / "ck")
+    part = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                   round_window_ms=60_000, checkpoint_dir=ck,
+                   http_cache_dir=cache_dir, max_rounds=2)
+    part.crawl(cfg.seeds())
+    part.close()
+    resumed = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                      round_window_ms=60_000, checkpoint_dir=ck,
+                      http_cache_dir=cache_dir)
+    assert resumed.resume()
+    resumed.crawl([])
+    resumed.close()
+    assert _fetch_sets(resumed) == _fetch_sets(full)
+    assert (resumed.images_table().to_pydict()
+            == full.images_table().to_pydict())
+
+
 def test_cookie_jar_survives_resume(ray_session, tmp_path):
     """The jar rides the lineage checkpoints: a resumed crawl replays
     learned sessions without re-fetching listing pages — same fetch
