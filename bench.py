@@ -352,10 +352,71 @@ def run_scaling() -> dict:
     }
 
 
+def run_httpcache() -> dict:
+    """HTTPCACHE_ENABLED A/B in one session: uncached crawl → cold
+    cached crawl (pays the response-store writes) → two warm recrawls
+    (zero downloads, politeness bypassed). Cold output differs from
+    uncached EXACTLY per DummyPolicy (first-attempt 503s are cached,
+    their retries re-see the stored failure); warm output must equal
+    cold output bit-for-bit — asserted here."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spider_ray.pipelines.crawl import run_crawl
+
+    cache_dir = tempfile.mkdtemp(prefix="spider_bench_httpcache_")
+    warm_dir = tempfile.mkdtemp()
+    wc, _ = run_crawl(SF_DIR, images_out_dir=warm_dir, **BENCH_WORLD)
+    wc.close()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    def one(tag, **kw):
+        d = tempfile.mkdtemp()
+        load = _loadavg()
+        t0 = time.perf_counter()
+        c, stats = run_crawl(SF_DIR, images_out_dir=d, **BENCH_WORLD, **kw)
+        dt = time.perf_counter() - t0
+        c.close()
+        shutil.rmtree(d, ignore_errors=True)
+        return {"sec": round(dt, 2), "loadavg_before": load,
+                "fetched": stats["fetched"], "images": stats["images"],
+                "items": stats["items"]}
+
+    res = {
+        "metric": "httpcache_recrawl",
+        "uncached": one("uncached"),
+        "cold": one("cold", http_cache_dir=cache_dir),
+        "warm": [one("warm", http_cache_dir=cache_dir) for _ in range(2)],
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    for w in res["warm"]:  # warm must reproduce cold exactly
+        assert (w["fetched"], w["images"], w["items"]) == (
+            res["cold"]["fetched"], res["cold"]["images"],
+            res["cold"]["items"],
+        )
+    res["warm_speedup_vs_cold"] = round(
+        res["cold"]["sec"] / min(w["sec"] for w in res["warm"]), 2
+    )
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    ray.shutdown()
+    return res
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--streaming" in sys.argv:
         print(json.dumps(run_streaming()))
+    elif "--httpcache" in sys.argv:
+        print(json.dumps(run_httpcache()))
     else:
         print(json.dumps(run_bench()))
