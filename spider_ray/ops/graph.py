@@ -32,6 +32,30 @@ from .joins import bucketed_hash_join
 from .pairs import first_per_key
 
 
+def _inline_cc(node_ids: np.ndarray, a: np.ndarray,
+               b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Single-pass numpy CC for graphs small enough to sit in one
+    task: same min-label + pointer-jumping algorithm, same fixpoint
+    (cluster_id = min original id in the component). Labels live as
+    dense sorted-id indices so ``lab[lab]`` is the jump."""
+    ids = np.unique(np.concatenate([node_ids, a, b])) if len(a) else np.unique(node_ids)
+    lab = np.arange(len(ids), dtype=np.int64)
+    if len(a):
+        ai = np.searchsorted(ids, a)
+        bi = np.searchsorted(ids, b)
+        while True:
+            m = lab.copy()
+            np.minimum.at(m, ai, lab[bi])
+            np.minimum.at(m, bi, lab[ai])
+            m = np.minimum(m, m[m])
+            m = np.minimum(m, m[m])
+            if np.array_equal(m, lab):
+                break
+            lab = m
+    keep = np.isin(ids, node_ids)
+    return ids[keep], ids[lab][keep]
+
+
 def connected_components(
     nodes: rd.Dataset,
     pairs: rd.Dataset,
@@ -41,6 +65,7 @@ def connected_components(
     num_partitions: int = 64,
     jumps: int = 2,
     stats: dict | None = None,
+    inline_max_edges: int = 2_000_000,
 ) -> rd.Dataset:
     """(nodes with ``id_col``; pairs with columns a, b) →
     Dataset (id_col, cluster_id) where cluster_id = min node id in the
@@ -48,7 +73,16 @@ def connected_components(
 
     ``jumps`` pointer-jumping passes run after each neighbor-min step
     (see module docstring); ``stats['rounds']`` reports the number of
-    neighbor-min rounds executed when a dict is passed."""
+    neighbor-min rounds executed when a dict is passed.
+
+    Size-adaptive: when the edge list is at most ``inline_max_edges``
+    rows (thin int64 pairs — ≤32 MB at the default), the whole graph
+    solves in ONE numpy task instead of paying per-round distributed
+    launch cost — the same documented small-input shortcut as the
+    crawl's inline rounds (frontier.Crawler.inline_threshold); the
+    distributed loop below is the at-scale shape and stays pinned by
+    tests with ``inline_max_edges=0``. ``stats['rounds']`` is 0 on the
+    inline path."""
     # symmetric edge list: (src, dst) ∪ (dst, src)
     def sym_simple(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -60,7 +94,47 @@ def connected_components(
             }
         )
 
-    edges = pairs.map_batches(sym_simple, batch_format="pyarrow").materialize()
+    # Coalesce BOTH loop inputs to the loop's partition count before
+    # iterating: upstream pair pipelines (minhash bands etc.) hand over
+    # a hundred-plus tiny blocks, and every one of them becomes a map
+    # task in EVERY round's joins — measured 178 s/round vs ~8 s/round
+    # at sf0.01 purely from block count. Edges are joined every round,
+    # so their block count is a per-round multiplier, not a one-off.
+    edges = (
+        pairs.map_batches(sym_simple, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    n_edges = edges.count()
+    if n_edges <= 2 * inline_max_edges:  # sym list = 2× pairs
+        import ray as _ray
+
+        if n_edges:
+            etbl = pa.concat_tables(
+                [_ray.get(r) for r in edges.to_arrow_refs()]
+            )
+            src = etbl["src"].to_numpy(zero_copy_only=False)
+            dst = etbl["dst"].to_numpy(zero_copy_only=False)
+        else:  # no pairs: every node is its own cluster
+            src = dst = np.empty(0, dtype=np.int64)
+        ntbl = pa.concat_tables(
+            [_ray.get(r) for r in nodes.select_columns([id_col]).to_arrow_refs()]
+        )
+        out_ids, out_lab = _inline_cc(
+            ntbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            src, dst,
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(out_ids, pa.int64()),
+                    "cluster_id": pa.array(out_lab, pa.int64()),
+                }
+            )
+        )
 
     labels = nodes.map_batches(
         lambda b: pa.table(
@@ -70,7 +144,7 @@ def connected_components(
             }
         ),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(num_partitions).materialize()
     label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 

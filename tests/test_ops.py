@@ -450,6 +450,11 @@ def test_connected_components(ray_session):
     out = connected_components(nodes, pairs, num_partitions=4).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 5: 5, 6: 5, 9: 9}
+    # the distributed loop (inline shortcut disabled) agrees exactly
+    outd = connected_components(
+        nodes, pairs, num_partitions=4, inline_max_edges=0
+    ).to_pandas()
+    assert dict(zip(outd["doc_id"], outd["cluster_id"])) == got
     # no pairs at all: every node is its own cluster
     out2 = connected_components(
         nodes, rd.from_items([], override_num_blocks=1).map_batches(
@@ -482,7 +487,8 @@ def test_connected_components_long_chain(ray_session):
     ).repartition(4)
     stats = {}
     out = connected_components(
-        nodes, pairs, num_partitions=8, stats=stats
+        nodes, pairs, num_partitions=8, stats=stats,
+        inline_max_edges=0,  # pin the DISTRIBUTED depth bound
     ).to_pandas()
     assert (out["cluster_id"] == 0).all() and len(out) == n
     assert stats["rounds"] <= 10, stats
