@@ -1132,7 +1132,8 @@ class Crawler:
                 self.lineage.append(row)
                 # restore the cookie jar (the resumed loop must not
                 # re-fetch listing pages just to re-learn sessions)
-                self.cookie_jar.update(row.get("cookies_learned") or {})
+                if self.cfg.cookies_enabled:
+                    self.cookie_jar.update(row.get("cookies_learned") or {})
             for name, acc in (("items.parquet", self.items_tables),
                               ("images.parquet", self.images_tables)):
                 fp = os.path.join(self.checkpoint_dir, d, name)
@@ -1144,6 +1145,14 @@ class Crawler:
         self.start_round = int(rounds[-1].split("_")[1]) + 1
         self._to_register = self.frontier  # fresh actors: re-register all
         return True
+
+    def _jar(self) -> dict | None:
+        """Round cookie snapshot for fetch tasks — None when the
+        spider disables cookies (COOKIES_ENABLED=False /
+        dont_merge_cookies analog, WorldConfig.cookies_enabled)."""
+        if not self.cfg.cookies_enabled:
+            return None
+        return dict(self.cookie_jar) or None
 
     def close(self) -> None:
         """Release the dedup shard actors. Driver-side results
@@ -1261,7 +1270,7 @@ class Crawler:
                         "images_out_dir": self.images_out_dir,
                         "items_out_dir": None,
                         "fetch_batch_size": self.fetch_batch_size,
-                        "cookies": dict(self.cookie_jar) or None,
+                        "cookies": self._jar(),
                         "cache": self.http_cache,
                     },
                     batch_format="pyarrow",
@@ -1378,7 +1387,7 @@ class Crawler:
             if inline:
                 fetched = fetch_batch(
                     admitted_tbl, cfg=self.cfg, captions_ref=self.captions_ref,
-                    cookies=dict(self.cookie_jar) or None,
+                    cookies=self._jar(),
                     cache=self.http_cache, round_no=r,
                 )
                 parsed = _parse_fn(
@@ -1396,7 +1405,7 @@ class Crawler:
                         fn_kwargs={
                             "cfg": self.cfg,
                             "captions_ref": self.captions_ref,
-                            "cookies": dict(self.cookie_jar) or None,
+                            "cookies": self._jar(),
                             "cache": self.http_cache,
                             "round_no": r,
                         },
@@ -1434,7 +1443,8 @@ class Crawler:
             zip(cookie_tbl["host"].to_pylist(),
                 cookie_tbl["cookie_value"].to_pylist())
         ) if cookie_tbl.num_rows else {}
-        self.cookie_jar.update(self._last_cookies)
+        if self.cfg.cookies_enabled:
+            self.cookie_jar.update(self._last_cookies)
 
         items_tbl = items_part if items_part.num_rows else None
         if items_tbl is not None:

@@ -405,6 +405,12 @@ class StreamingCrawler:
     def _frontier_dir(self, r: int) -> str:
         return os.path.join(self.frontier_root, f"round_{r:04d}")
 
+    def _jar(self) -> dict | None:
+        """See frontier.Crawler._jar (COOKIES_ENABLED=False analog)."""
+        if not self.cfg.cookies_enabled:
+            return None
+        return dict(self.cookie_jar) or None
+
     # ---------------- resume
     def resume(self) -> int | None:
         """Restore from the newest completed round's seen snapshot and
@@ -433,7 +439,8 @@ class StreamingCrawler:
                 with open(lp) as f:
                     row = json.load(f)
                 self.lineage.append(row)
-                self.cookie_jar.update(row.get("cookies_learned") or {})
+                if self.cfg.cookies_enabled:
+                    self.cookie_jar.update(row.get("cookies_learned") or {})
         return last + 1
 
     def close(self) -> None:
@@ -542,7 +549,7 @@ class StreamingCrawler:
             admitted_ds.map_batches(
                 fetch_batch,
                 fn_kwargs={"cfg": self.cfg, "captions_ref": self.captions_ref,
-                           "cookies": dict(self.cookie_jar) or None,
+                           "cookies": self._jar(),
                            "cache": self.http_cache, "round_no": r},
                 batch_format="pyarrow",
                 batch_size=self.fetch_batch_size,
@@ -567,7 +574,8 @@ class StreamingCrawler:
         self.dedup.clear_round(r)
         counts = ray.get(self._stats.get.remote(r))
         new_cookies = ray.get(self._stats.get_cookies.remote(r))
-        self.cookie_jar.update(new_cookies)
+        if self.cfg.cookies_enabled:
+            self.cookie_jar.update(new_cookies)
         rows_admitted = int(counts.get("admitted", 0))
         blocked_n = int(counts.get("blocked", 0))
         rows_unique = int(counts.get("winner_rows", 0))

@@ -197,6 +197,7 @@ class OracleCrawler:
             nxt: list[_Cand] = list(deferred)
             for c in admitted:
                 res.fetch_log.append((r, c.canonical, c.fingerprint))
+                jar_on = self.world.cfg.cookies_enabled
                 hit = (self.http_cache.get(c.fingerprint)
                        if self.http_cache is not None else None)
                 if hit is not None:
@@ -205,14 +206,16 @@ class OracleCrawler:
                     st, kd, bd, fm, sc = hit
                     page = Page(c.canonical, st, kd, bd, fmt=fm,
                                 set_cookie=sc)
-                    if sc:
+                    if sc and jar_on:
                         cookie_staged[c.host] = sc
                 else:
-                    page = self.world.resolve(c.canonical,
-                                              attempt=c.retry_count,
-                                              form_body=c.form_body,
-                                              cookie=cookie_jar.get(c.host))
-                    if page.set_cookie:
+                    page = self.world.resolve(
+                        c.canonical,
+                        attempt=c.retry_count,
+                        form_body=c.form_body,
+                        cookie=cookie_jar.get(c.host) if jar_on else None,
+                    )
+                    if page.set_cookie and jar_on:
                         cookie_staged[c.host] = page.set_cookie
                     # client-stack mirror: the engine's fetch stage
                     # decodes Content-Encoding before parsing

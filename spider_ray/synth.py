@@ -172,6 +172,12 @@ class WorldConfig:
     # a crawler without a cookie jar loses every gated detail page.
     # Default 0 = byte-stable crawl outputs.
     cookie_host_pct: int = 0
+    # COOKIES_ENABLED=False / dont_merge_cookies analog (13 reference
+    # spiders disable cookies in custom_settings, 8 more suppress the
+    # jar per request): when False the crawler neither learns nor
+    # replays session cookies — a session-gated world then loses every
+    # gated detail page, exactly like Scrapy with the middleware off.
+    cookies_enabled: bool = True
     # % of detail pages served with HTTP status 401 but the FULL normal
     # body — the "content behind an auth-warning status" pattern the
     # reference spiders crawl through with handle_httpstatus_list

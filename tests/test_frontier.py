@@ -632,6 +632,26 @@ def test_http_cache_epoch_visibility(tmp_path):
     assert c2.hit_mask(uh, hh, before_round=0).tolist() == [True, True, False]
 
 
+def test_cookies_disabled_matches_oracle(ray_session):
+    """COOKIES_ENABLED=False / dont_merge_cookies analog (13 + 8
+    reference spiders): with the jar off, the crawler neither learns
+    nor replays sessions — engine equals oracle, and on a session-
+    gated world every gated detail 403s through its retries and dies
+    (strictly fewer images than the jar-on crawl)."""
+    cfg = _cfg(cookie_host_pct=60, fail_pct=0, notfound_pct=0,
+               cookies_enabled=False)
+    eng, _ = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    assert eng.cookie_jar == {}
+    img = eng.images_table().to_pydict()
+    assert ({i: c for i, c in zip(img["image_id"], img["caption"])}
+            == {r["image_id"]: r["caption"] for r in ora.images})
+    on, _ = _run_engine(_cfg(cookie_host_pct=60, fail_pct=0,
+                             notfound_pct=0))
+    assert eng.images_table().num_rows < on.images_table().num_rows
+
+
 def test_http_cache_compaction(tmp_path):
     """compact() merges a bucket's files into one without changing any
     lookup result for later rounds/runs (probe cost stays O(1) files
