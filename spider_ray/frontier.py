@@ -617,7 +617,9 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         ~ok_mask
         & ~redirect_mask
         & np.isin(status, np.array(sorted(RETRY_HTTP_CODES), dtype=status.dtype))
-        & (retry_count < MAX_RETRIES)
+        # RETRY_TIMES (settings.py:98 = 3; 54 spiders override it in
+        # custom_settings) — per-spider via cfg, default matches
+        & (retry_count < getattr(cfg, "retry_times", MAX_RETRIES))
     )
     # handle_httpstatus_list (njestates_co_uk.py:30 and 16 more
     # spiders): listed non-200 statuses reach the parse callback

@@ -235,7 +235,9 @@ class OracleCrawler:
                     nxt.append(self._child(c, target, c.callback, c.depth, 0, c.caption))
                     continue
                 if page.status != 200:
-                    if page.status in RETRY_HTTP_CODES and c.retry_count < MAX_RETRIES:
+                    if (page.status in RETRY_HTTP_CODES
+                            and c.retry_count
+                            < self.world.cfg.retry_times):
                         c.retry_count += 1
                         c.skip_dedup = True
                         nxt.append(c)

@@ -178,6 +178,12 @@ class WorldConfig:
     # replays session cookies — a session-gated world then loses every
     # gated detail page, exactly like Scrapy with the middleware off.
     cookies_enabled: bool = True
+    # RETRY_TIMES analog (settings.py:98 sets 3 globally; 54 reference
+    # spiders override it per spider via custom_settings): how many
+    # times a RETRY_HTTP_CODES response is re-fetched before it falls
+    # through to fail — or to the parse callback when its status is in
+    # handle_httpstatus_list.
+    retry_times: int = 3
     # % of detail pages served with HTTP status 401 but the FULL normal
     # body — the "content behind an auth-warning status" pattern the
     # reference spiders crawl through with handle_httpstatus_list

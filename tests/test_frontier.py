@@ -632,6 +632,29 @@ def test_http_cache_epoch_visibility(tmp_path):
     assert c2.hit_mask(uh, hh, before_round=0).tolist() == [True, True, False]
 
 
+@pytest.mark.parametrize("retry_times", [0, 1])
+def test_retry_times_matches_oracle(ray_session, retry_times):
+    """RETRY_TIMES per-spider override (54 reference spiders set it in
+    custom_settings): with retry_times=1 a first-attempt-503 page is
+    fetched exactly twice and succeeds; with retry_times=0 it dies on
+    the first failure — engine equals oracle either way."""
+    cfg = _cfg(fail_pct=30, notfound_pct=0, private_pct=0,
+               retry_times=retry_times)
+    eng, _ = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    img = eng.images_table().to_pydict()
+    assert ({i: c for i, c in zip(img["image_id"], img["caption"])}
+            == {r["image_id"]: r["caption"] for r in ora.images})
+    # flaky details only 503 on attempt 0, so ONE retry recovers all
+    # of them; zero retries loses them
+    base, _ = _run_engine(_cfg(fail_pct=0, notfound_pct=0, private_pct=0))
+    if retry_times >= 1:
+        assert eng.images_table().num_rows == base.images_table().num_rows
+    else:
+        assert eng.images_table().num_rows < base.images_table().num_rows
+
+
 def test_cookies_disabled_matches_oracle(ray_session):
     """COOKIES_ENABLED=False / dont_merge_cookies analog (13 + 8
     reference spiders): with the jar off, the crawler neither learns
