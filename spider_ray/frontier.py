@@ -80,7 +80,7 @@ from .extract import (
 )
 from .fetch import MAX_RETRIES, fetch_batch
 from .imaging import decode, phash
-from .politeness import PolitenessAdmit, host_budget, prefilter_topk_per_host
+from .politeness import PolitenessAdmit, prefilter_topk_per_host
 from .schema import AMENITY_COLUMNS, FRONTIER_SCHEMA, IMAGES_SCHEMA
 from .synth import RETRY_HTTP_CODES, WorldConfig, host_separators
 
@@ -337,6 +337,7 @@ def _winner_admit_fn(batch: pa.Table, *, dedup: ShardedDedup, cfg: WorldConfig,
         admit.rules_for, round_window_ms, obey_robots,
         priority=t["priority"].to_numpy(zero_copy_only=False),
         delay_for=admit.delay_for,
+        budget_for=admit.budget_for,
         free=free,
     )
     return t.append_column("admitted", pa.array(admitted)).append_column(
@@ -616,7 +617,12 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     retry_mask = (
         ~ok_mask
         & ~redirect_mask
-        & np.isin(status, np.array(sorted(RETRY_HTTP_CODES), dtype=status.dtype))
+        # RETRY_HTTP_CODES (settings.py:99; 20 spiders override the
+        # list in custom_settings) — per-spider via cfg
+        & np.isin(status, np.array(
+            sorted(getattr(cfg, "retry_http_codes",
+                           tuple(sorted(RETRY_HTTP_CODES)))),
+            dtype=status.dtype))
         # RETRY_TIMES (settings.py:98 = 3; 54 spiders override it in
         # custom_settings) — per-spider via cfg, default matches
         & (retry_count < getattr(cfg, "retry_times", MAX_RETRIES))
@@ -1288,10 +1294,13 @@ class Crawler:
                 batch_format="pyarrow",
             )
             # skew guard: only admissible top-k per host per batch enters
-            # the shuffle; the rest defer in place (no shuffle for them)
-            max_k = host_budget(
-                self.cfg.min_crawl_delay_ms if self.obey_robots else 100,
-                self.round_window_ms,
+            # the shuffle; the rest defer in place (no shuffle for them).
+            # max_host_budget bounds ANY host's budget incl. the
+            # custom-politeness profiles (containment contract).
+            from .politeness import max_host_budget
+
+            max_k = max_host_budget(
+                self.cfg, self.round_window_ms, self.obey_robots
             )
             pre_tbl = _collect(
                 winners.map_batches(

@@ -42,7 +42,7 @@ from spider_ray.politeness import (
     host_budget,
     parse_robots,
 )
-from spider_ray.synth import RETRY_HTTP_CODES, Page, World, WorldConfig
+from spider_ray.synth import Page, World, WorldConfig
 
 MAX_RETRIES = 3
 _RE_CAPTION = __import__("re").compile(r"<p>(.*?)</p>", __import__("re").DOTALL)
@@ -168,11 +168,13 @@ class OracleCrawler:
                 if host not in robots_cache:
                     robots_cache[host] = self._robots(host)
                 rules = robots_cache[host]
+                hs = self.world.cfg.host_settings(host)
                 delay = (
-                    rules.crawl_delay_ms if self.obey
+                    max(rules.crawl_delay_ms, hs.download_delay_ms)
+                    if self.obey
                     else autothrottle_delay_ms(self.world.cfg, host, r)
                 )
-                k = host_budget(delay, self.window)
+                k = host_budget(delay, self.window, hs.concurrency)
                 # priority queue: highest priority first, FIFO by seq
                 # within a level (scheduler semantics, O1)
                 taken = 0
@@ -235,7 +237,7 @@ class OracleCrawler:
                     nxt.append(self._child(c, target, c.callback, c.depth, 0, c.caption))
                     continue
                 if page.status != 200:
-                    if (page.status in RETRY_HTTP_CODES
+                    if (page.status in self.world.cfg.retry_http_codes
                             and c.retry_count
                             < self.world.cfg.retry_times):
                         c.retry_count += 1

@@ -2039,6 +2039,21 @@ def q_doc_signatures(sf_dir: str):
 # the dump-the-simulator pattern VERDICT r1 Next-round #5 asked for.
 _ORACLE_DUMP_DIR = "/tmp/spider_ray_oracle"
 
+# The driver-gate crawl world: every downloader-middleware surface ON
+# at once (compression, charset, redirects, offsite filtering, session
+# cookies, soft-401 handled statuses, per-spider politeness
+# custom_settings, the reference's custom RETRY_HTTP_CODES list with
+# 404 dropped + 307 added). ONE dict shared by crawl_items /
+# crawl_images / the dump regenerator so engine and oracle worlds
+# can't drift.
+_CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
+                      gzip_pct=35, latin1_pct=35, redirect_pct=25,
+                      offsite_pct=35, cookie_host_pct=50,
+                      soft401_pct=30, handle_httpstatus_list=(401,),
+                      custom_politeness_pct=60,
+                      retry_http_codes=(500, 503, 504, 400, 401, 403, 405,
+                                        407, 408, 416, 456, 502, 429, 307))
+
 _CRAWL_ITEM_COLS = [
     "external_link", "external_source", "external_id", "position",
     "property_type", "rent", "currency", "square_meters", "room_count",
@@ -2088,10 +2103,7 @@ def ensure_crawl_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
     dump from an earlier run at a different scale)."""
     from ..imaging import phash as _phash
 
-    world_a = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
-                 gzip_pct=35, latin1_pct=35, redirect_pct=25,
-                 offsite_pct=35, cookie_host_pct=50,
-                 soft401_pct=30, handle_httpstatus_list=(401,))
+    world_a = dict(_CRAWL_WORLD_A)
     _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world_a))
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world_a)
     _dump_oracle(
@@ -2160,10 +2172,7 @@ def q_crawl_items(sf_dir: str):
     simulator's items via the parquet-dump oracle."""
     from .crawl import run_crawl
 
-    world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
-                 gzip_pct=35, latin1_pct=35, redirect_pct=25,
-                 offsite_pct=35, cookie_host_pct=50,
-                 soft401_pct=30, handle_httpstatus_list=(401,))
+    world = dict(_CRAWL_WORLD_A)
     _dump_oracle("crawl_items", _oracle_items_table(sf_dir, **world))
     crawler, _ = _run_crawl_world(sf_dir, world)
     return crawler.items_table().select(_CRAWL_ITEM_COLS)
@@ -2181,10 +2190,7 @@ def q_crawl_images(sf_dir: str):
     verify_sink query; byte-level equality is pytest-asserted)."""
     from .crawl import run_crawl
 
-    world = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
-                 gzip_pct=35, latin1_pct=35, redirect_pct=25,
-                 offsite_pct=35, cookie_host_pct=50,
-                 soft401_pct=30, handle_httpstatus_list=(401,))
+    world = dict(_CRAWL_WORLD_A)
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world)
     _dump_oracle(
         "crawl_images",

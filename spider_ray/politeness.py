@@ -166,19 +166,55 @@ def autothrottle_delay_ms(cfg: WorldConfig, host: str, round_no: int) -> int:
     would produce — making the adapted delay a pure function of
     (host, round) that both engine and oracle compute identically. A
     real-HTTP deployment would feed observed latencies through the same
-    update rule via the lineage channel."""
+    update rule via the lineage channel.
+
+    Per-spider custom_settings (``cfg.host_settings``): with
+    AUTOTHROTTLE_ENABLED False the delay is the fixed DOWNLOAD_DELAY
+    (Scrapy's plain-delay slot); otherwise the slot starts at
+    ``max(DOWNLOAD_DELAY, AUTOTHROTTLE_START_DELAY)`` (AutoThrottle's
+    ``_spider_opened``) and the recurrence clamps to that floor and to
+    AUTOTHROTTLE_MAX_DELAY. Defaults reproduce the pre-surface
+    behavior bit-for-bit (floor 100 ms, ceiling 2000 ms)."""
+    hs = cfg.host_settings(host)
+    if not hs.at_enabled:
+        return hs.download_delay_ms
+    lo = max(hs.at_start_ms, hs.download_delay_ms)
     lat = cfg.host_latency_ms(host)
-    d = float(AUTOTHROTTLE_START_DELAY_MS)
+    d = float(lo)
     for _ in range(min(round_no, 32)):  # converges geometrically
         d = (d + lat) / 2.0
-        d = min(max(d, AUTOTHROTTLE_START_DELAY_MS), AUTOTHROTTLE_MAX_DELAY_MS)
+        d = min(max(d, lo), hs.at_max_ms)
     return int(d)
 
 
-def host_budget(delay_ms: int, round_window_ms: int) -> int:
-    """URLs a host may fetch in one round window."""
+def host_budget(delay_ms: int, round_window_ms: int,
+                concurrency: int = PER_DOMAIN_CONCURRENCY) -> int:
+    """URLs a host may fetch in one round window. ``concurrency`` is
+    the per-spider CONCURRENT_REQUESTS cap (custom_settings; ≥16
+    default = the global per-domain slot cap, settings.py:31)."""
     k = max(1, round_window_ms // max(delay_ms, 1))
-    return min(k, PER_DOMAIN_CONCURRENCY * max(1, round_window_ms // 1000))
+    return min(k, concurrency * max(1, round_window_ms // 1000))
+
+
+def max_host_budget(cfg: WorldConfig, round_window_ms: int,
+                    obey_robots: bool) -> int:
+    """Containment bound for the prefilter combiner: an upper bound on
+    ANY host's per-round budget under ``cfg`` (global defaults plus
+    every custom-politeness profile a host could draw)."""
+    from .synth import _POLITENESS_PROFILES
+
+    base_delay = (cfg.min_crawl_delay_ms if obey_robots
+                  else AUTOTHROTTLE_START_DELAY_MS)
+    best = host_budget(base_delay, round_window_ms)
+    if cfg.custom_politeness_pct:
+        for _w, hs in _POLITENESS_PROFILES:
+            floor = (hs.download_delay_ms if not hs.at_enabled
+                     else max(hs.at_start_ms, hs.download_delay_ms))
+            if obey_robots:
+                floor = max(floor, cfg.min_crawl_delay_ms)
+            best = max(best, host_budget(floor, round_window_ms,
+                                         hs.concurrency))
+    return best
 
 
 class PolitenessAdmit:
@@ -219,21 +255,32 @@ class PolitenessAdmit:
         return r
 
     def delay_for(self, host: str) -> int:
-        """Robots crawl-delay when obeying; AutoThrottle-adapted delay in
+        """Robots crawl-delay when obeying (floored by the spider's own
+        DOWNLOAD_DELAY custom_setting — the crawler never goes faster
+        than its author configured); AutoThrottle-adapted delay in
         reference-parity mode (ROBOTSTXT_OBEY=False still throttles)."""
         if self.obey:
-            return self.rules_for(host).crawl_delay_ms
+            return max(self.rules_for(host).crawl_delay_ms,
+                       self.world.cfg.host_settings(host).download_delay_ms)
         return autothrottle_delay_ms(self.world.cfg, host, self.round_no)
+
+    def budget_for(self, host: str) -> int:
+        """Per-round admission budget: the host's adapted delay and its
+        spider's CONCURRENT_REQUESTS cap together."""
+        return host_budget(self.delay_for(host), self.window,
+                           self.world.cfg.host_settings(host).concurrency)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         return admit_frame(group, self.rules_for, self.window, self.obey,
                            delay_for=self.delay_for,
+                           budget_for=self.budget_for,
                            cache=self.http_cache, round_no=self.round_no)
 
 
 def admit_masks(hosts, urls, rules_for, window_ms: int,
                 obey: bool, priority=None,
-                delay_for=None, free=None) -> tuple[np.ndarray, np.ndarray]:
+                delay_for=None, free=None,
+                budget_for=None) -> tuple[np.ndarray, np.ndarray]:
     """Core admission kernel over rows ALREADY sorted by (host_hash, seq)
     with each host fully contained: per contiguous host segment, mark
     robots-disallowed rows blocked and admit the budgeted-k eligible
@@ -265,11 +312,15 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
             )
         else:
             blk = np.zeros(end - start, dtype=bool)
-        if delay_for is not None:
-            delay = delay_for(hosts[start])
+        if budget_for is not None:
+            k = budget_for(hosts[start])
         else:
-            delay = rules.crawl_delay_ms if obey else AUTOTHROTTLE_START_DELAY_MS
-        k = host_budget(delay, window_ms)
+            if delay_for is not None:
+                delay = delay_for(hosts[start])
+            else:
+                delay = (rules.crawl_delay_ms if obey
+                         else AUTOTHROTTLE_START_DELAY_MS)
+            k = host_budget(delay, window_ms)
         seg_free = fr[start:end]
         eligible = ~blk & ~seg_free  # budget applies to downloads only
         seg_prio = prio[start:end]
@@ -293,7 +344,7 @@ def admit_masks(hosts, urls, rules_for, window_ms: int,
 
 
 def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
-                obey: bool, delay_for=None,
+                obey: bool, delay_for=None, budget_for=None,
                 cache=None, round_no: int = 0) -> pd.DataFrame:
     """pandas wrapper over :func:`admit_masks` (groupby/map_groups path).
     ``cache`` (HttpCache) marks cached fingerprints budget-free."""
@@ -310,6 +361,7 @@ def admit_frame(df: pd.DataFrame, rules_for, window_ms: int,
         rules_for, window_ms, obey,
         priority=g["priority"].to_numpy() if "priority" in g.columns else None,
         delay_for=delay_for,
+        budget_for=budget_for,
         free=free,
     )
     g["admitted"] = admitted

@@ -61,6 +61,48 @@ RETRY_HTTP_CODES = frozenset(
 TRANSIENT_CODE = 503
 PERMANENT_CODE = 404
 
+
+@dataclass(frozen=True)
+class HostSettings:
+    """The per-spider ``custom_settings`` politeness knobs, as a
+    per-host record (one reference spider ≈ one host in the graft).
+    Defaults are the reference's global settings.py values, so a host
+    without custom settings behaves exactly as before this surface
+    existed.
+
+    Reference census over python_spiders/spiders/*.py custom_settings:
+    DOWNLOAD_DELAY 129 spiders (109×1s, 9×3s, …),
+    AUTOTHROTTLE_START/MAX_DELAY 120 (115×0.5s/2s),
+    AUTOTHROTTLE_ENABLED 123 (3×False), CONCURRENT_REQUESTS 131
+    (71×4, 46×2, 11×3, 2×1, 1×16).
+    """
+
+    download_delay_ms: int = 0        # DOWNLOAD_DELAY (global default 0)
+    at_enabled: bool = True           # AUTOTHROTTLE_ENABLED (settings.py:75)
+    at_start_ms: int = 100            # AUTOTHROTTLE_START_DELAY (settings.py:76)
+    at_max_ms: int = 2000             # AUTOTHROTTLE_MAX_DELAY (settings.py:77)
+    concurrency: int = 16             # per-spider CONCURRENT_REQUESTS cap
+                                      # (≥ the per-domain 16 by default,
+                                      # settings.py:31 — so default = no-op)
+
+
+DEFAULT_HOST_SETTINGS = HostSettings()
+
+# Weighted palette of the custom_settings profiles the reference
+# spiders actually declare (weights ≈ census shares, summing to 100):
+_POLITENESS_PROFILES: tuple[tuple[int, HostSettings], ...] = (
+    # the dominant "gentle template": DD=1, AT .5/2, CONCURRENT=4
+    (45, HostSettings(1000, True, 500, 2000, 4)),
+    # same but CONCURRENT_REQUESTS=2
+    (25, HostSettings(1000, True, 500, 2000, 2)),
+    # the DD=3 heavy throttle group
+    (10, HostSettings(3000, True, 500, 3000, 2)),
+    # the fast group (.2 DD, .1/.3 AT band)
+    (10, HostSettings(200, True, 100, 300, 16)),
+    # AUTOTHROTTLE_ENABLED: False → fixed DOWNLOAD_DELAY pacing
+    (10, HostSettings(1000, False, 100, 2000, 4)),
+)
+
 PROPERTY_TYPE_WORDS = [
     # multilingual raw values → property_type_lookup (helper.py:273-304)
     ("appartement", "apartment"),
@@ -184,6 +226,19 @@ class WorldConfig:
     # through to fail — or to the parse callback when its status is in
     # handle_httpstatus_list.
     retry_times: int = 3
+    # RETRY_HTTP_CODES analog (settings.py:99 globally; 20 reference
+    # spiders override the list in custom_settings — typically adding
+    # 307 and dropping 404). The retry gate consults THIS tuple, not
+    # the module constant, so a world can reshape the retryable set.
+    # (3xx still redirect first — Scrapy's RedirectMiddleware sits
+    # closer to the spider than RetryMiddleware on the response path.)
+    retry_http_codes: tuple = tuple(sorted(RETRY_HTTP_CODES))
+    # % of hosts whose spider declares custom politeness settings
+    # (DOWNLOAD_DELAY / AUTOTHROTTLE_* / CONCURRENT_REQUESTS — the
+    # reference's 2nd–5th most-used custom_settings keys, ~130 spiders
+    # each). Profiles drawn from _POLITENESS_PROFILES, deterministic
+    # per host. Default 0 = byte-stable crawl outputs.
+    custom_politeness_pct: int = 0
     # % of detail pages served with HTTP status 401 but the FULL normal
     # body — the "content behind an auth-warning status" pattern the
     # reference spiders crawl through with handle_httpstatus_list
@@ -266,6 +321,26 @@ class WorldConfig:
         """Deterministic per-host response latency (the value the
         resolver reports and AutoThrottle adapts to — ST3)."""
         return 20 + splitmix64(xxh64(f"{self.seed}:lat:{host}")) % 200
+
+    def host_settings(self, host: str) -> HostSettings:
+        """The host's spider-authored politeness custom_settings
+        (DOWNLOAD_DELAY / AUTOTHROTTLE_ENABLED / AUTOTHROTTLE_START_
+        DELAY / AUTOTHROTTLE_MAX_DELAY / CONCURRENT_REQUESTS —
+        spiders/*.py custom_settings, ~130 spiders each). Pure
+        function of (seed, host): engine and oracle compute it
+        identically at any parallelism."""
+        if not self.custom_politeness_pct:
+            return DEFAULT_HOST_SETTINGS
+        if (splitmix64(xxh64(f"polite:{self.seed}:{host}")) % 100
+                >= self.custom_politeness_pct):
+            return DEFAULT_HOST_SETTINGS
+        u = splitmix64(xxh64(f"politeprofile:{self.seed}:{host}")) % 100
+        acc = 0
+        for w, hs in _POLITENESS_PROFILES:
+            acc += w
+            if u < acc:
+                return hs
+        return _POLITENESS_PROFILES[-1][1]
 
 
 @dataclass
