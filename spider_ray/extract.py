@@ -524,7 +524,7 @@ def dedup_list_keep_order(values: list) -> list:
 # M1 — the per-spider XPath/CSS extraction bulk, re-expressed as one
 # compiled-regex HTML parser over the synthetic page grammar
 # (spider_ray/synth.py detail_html). Compiled once per actor.
-_RE_HREF = re.compile(r'<a class="(listing|next)" href="([^"]+)"')
+_RE_HREF = re.compile(r'<a class="(listing|next|featured)" href="([^"]+)"')
 _RE_DIV = re.compile(r'<div class="([a-z]+)">(.*?)</div>', re.DOTALL)
 _RE_TITLE = re.compile(r'<h1 class="title">(.*?)</h1>', re.DOTALL)
 _RE_IMG = re.compile(r'<img class="photo" src="([^"]+)">')
@@ -574,16 +574,22 @@ def detect_and_decode(body: bytes, content_type: str = "") -> str:
         return body.decode("cp1252", "replace")
 
 
-def parse_listing_links(body: bytes) -> tuple[list[str], str | None]:
-    """Listing page → (detail hrefs, next-page href or None)."""
+def parse_listing_links(body: bytes) -> tuple[list[str], str | None, list[str]]:
+    """Listing page → (detail hrefs, next-page href or None, featured
+    hrefs). Featured anchors are the strip the spider re-requests with
+    ``dont_filter=True`` (810 reference spiders pass the flag — the
+    URL repeats across pages and would otherwise be dropped by the
+    dupe filter; spiders/15walmer.py:112)."""
     text = detect_and_decode(body)
-    details, nxt = [], None
+    details, nxt, featured = [], None, []
     for kind, href in _RE_HREF.findall(text):
         if kind == "listing":
             details.append(href)
+        elif kind == "featured":
+            featured.append(href)
         else:
             nxt = href
-    return details, nxt
+    return details, nxt, featured
 
 
 _RE_SM_LOC = re.compile(rb"<loc>\s*(.*?)\s*</loc>", re.DOTALL)

@@ -182,7 +182,12 @@ def assign_seq(frontier: pa.Table, round_no: int) -> pa.Table:
 # the ShardedDedup facade pickles its actor handles into each task.
 def _register_table(dedup: ShardedDedup, tbl: pa.Table, round_no: int) -> None:
     """Driver-side dedup registration for rows whose registration did not
-    ride along in a parse task (seeds, deferred, resume reload)."""
+    ride along in a parse task (seeds, deferred, resume reload).
+    dont_filter rows (retry re-injections, featured strips) never touch
+    the dupe filter: registering one could steal the winner slot from a
+    normal candidate with the same hash, silently dropping it."""
+    if "skip_dedup" in tbl.column_names:
+        tbl = tbl.filter(pc.invert(tbl["skip_dedup"]))
     if tbl.num_rows:
         dedup.register_arrays(
             tbl["url_hash"].to_numpy(zero_copy_only=False),
@@ -379,9 +384,11 @@ def _admit_fetch_parse_fn(block: pa.Table, *, dedup: ShardedDedup,
     )
     adm = admit_tbl["admitted"]
     blk = admit_tbl["blocked"]
-    seen_hashes = admit_tbl.filter(pc.or_(adm, blk))["url_hash"].to_numpy(
-        zero_copy_only=False
-    )
+    # dont_filter rows are never fingerprinted into the seen set
+    # (Scrapy's scheduler skips the dupefilter for them entirely)
+    seen_hashes = admit_tbl.filter(
+        pc.and_(pc.or_(adm, blk), pc.invert(admit_tbl["skip_dedup"]))
+    )["url_hash"].to_numpy(zero_copy_only=False)
     if dedup is not None and len(seen_hashes):
         dedup.push_commit(seen_hashes, round_no)
     admitted = (
@@ -699,19 +706,23 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     image_rows: list[dict] = []
     if redirect_mask.any():
         rd = batch.filter(pa.array(redirect_mask))
-        for loc, base, depth, sp, cb, cap in zip(
+        for loc, base, depth, sp, cb, cap, skd in zip(
             rd["body"].to_pylist(),
             rd["canonical_url"].to_pylist(),
             rd["depth"].to_pylist(),
             rd["seq"].to_pylist(),
             rd["callback"].to_pylist(),
             rd["caption"].to_pylist(),
+            rd["skip_dedup"].to_pylist(),
         ):
             # target keeps the source's depth/callback; ordering key is
-            # (round+1, host, source seq, 0) like any emitted link
+            # (round+1, host, source seq, 0) like any emitted link.
+            # dont_filter survives the redirect: Scrapy's
+            # RedirectMiddleware builds the follow-up via
+            # request.replace(url=...), which copies dont_filter.
             link_raw.append((loc.decode("utf-8", "replace"), base,
                              int(depth), int(sp), 0, cb, cap,
-                             None, None, None, None))
+                             None, None, None, None, bool(skd)))
     if ok_mask.any():
         okt = batch.filter(pa.array(ok_mask))
         z = {
@@ -725,15 +736,24 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
             sp = int(z["seq"][i])
             depth = int(z["depth"][i])
             if kind == "listing":
-                links, nxt = parse_listing_links(z["body"][i])
+                links, nxt, featured = parse_listing_links(z["body"][i])
                 for j, href in enumerate(links):
                     link_raw.append((href, base, depth + 1, sp, j,
-                                     "populate_item", None, None, None, None, None))
+                                     "populate_item", None, None, None, None,
+                                     None, False))
                 if nxt:
                     # pagination stays level-1: the next-page link is a
                     # sibling listing page (123wonen_nl.py:53-55)
                     link_raw.append((nxt, base, depth, sp, len(links),
-                                     "parse", None, None, None, None, None))
+                                     "parse", None, None, None, None, None,
+                                     False))
+                # featured strip → dont_filter requests (skip_dedup):
+                # bypass the dupe filter, never fingerprinted as seen
+                for j, href in enumerate(featured):
+                    link_raw.append((href, base, depth + 1, sp,
+                                     len(links) + (1 if nxt else 0) + j,
+                                     "populate_item", None, None, None, None,
+                                     None, True))
             elif kind == "api":
                 # form-POST JSON search response (S4): detail links + a
                 # next-page POST to the SAME url with bumped skip (ST10
@@ -741,7 +761,8 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 data = json.loads(z["body"][i])
                 for j, href in enumerate(data["results"]):
                     link_raw.append((href, base, depth + 1, sp, j,
-                                     "populate_item", None, None, None, None, None))
+                                     "populate_item", None, None, None, None,
+                                     None, False))
                 if data["has_more"]:
                     nskip = data["skip"] + data["take"]
                     page = (z["meta_page"][i] or 1) + 1
@@ -749,7 +770,7 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                         (z["url"][i], base, depth, sp,
                          len(data["results"]), "parse", None,
                          f"skip={nskip}&take={data['take']}".encode(),
-                         page, nskip, data["take"])
+                         page, nskip, data["take"], False)
                     )
             elif kind == "sitemap":
                 # S5: sitemapindex children are sibling sitemaps (same
@@ -759,7 +780,7 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 child_depth = depth if sm_kind == "index" else depth + 1
                 for j, href in enumerate(locs):
                     link_raw.append((href, base, child_depth, sp, j, cb,
-                                     None, None, None, None, None))
+                                     None, None, None, None, None, False))
             elif kind == "detail":
                 raw = parse_detail_page(z["body"][i])
                 m = _RE_CAPTION.search(raw.get("description_raw") or "")
@@ -770,7 +791,8 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 item_raws.append(raw)
                 for j, href in enumerate(raw["images"]):
                     link_raw.append((href, base, depth + 1, sp, j,
-                                     "image", caption, None, None, None, None))
+                                     "image", caption, None, None, None, None,
+                                     False))
             elif kind == "image":
                 data = z["body"][i]
                 px = decode(data, z["fmt"][i])
@@ -841,12 +863,18 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 uh = uh[allowed]
                 hh = hh[allowed]
         if link_raw and dedup is not None:
-            dedup.register_arrays(
-                uh,
-                np.array([l[3] for l in link_raw], dtype=np.int64),
-                np.array([l[4] for l in link_raw], dtype=np.int32),
-                round_no + 1,
-            )
+            # dont_filter links never touch the dupe filter: not
+            # registered (they must not win a winner query away from a
+            # normal candidate with the same hash) and never committed
+            norm = np.fromiter((not l[11] for l in link_raw), dtype=bool,
+                               count=len(link_raw))
+            if norm.any():
+                dedup.register_arrays(
+                    uh[norm],
+                    np.array([l[3] for l in link_raw], dtype=np.int64)[norm],
+                    np.array([l[4] for l in link_raw], dtype=np.int32)[norm],
+                    round_no + 1,
+                )
         m = len(link_raw)
         parts.append(
             _as_parse_table(
@@ -867,6 +895,8 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                     "meta_page": pa.array([l[8] for l in link_raw], pa.int32()),
                     "meta_skip": pa.array([l[9] for l in link_raw], pa.int32()),
                     "meta_take": pa.array([l[10] for l in link_raw], pa.int32()),
+                    "skip_dedup": pa.array([l[11] for l in link_raw],
+                                           pa.bool_()),
                 },
                 m,
             )
@@ -968,7 +998,11 @@ def parse_rows_to_frontier(tbl: pa.Table, *, is_retry: bool) -> pa.Table:
     else:
         priority = pa.array(np.zeros(n, np.int32), pa.int32())
         retry_count = pa.array(np.zeros(n, np.int32), pa.int32())
-        skip_dedup = pa.array(np.zeros(n, bool), pa.bool_())
+        # link rows carry dont_filter (featured strips, redirects of
+        # dont_filter requests); null-safe for older parse outputs
+        skip_dedup = pc.fill_null(
+            tbl["skip_dedup"].combine_chunks().cast(pa.bool_()), False
+        )
     return pa.table(
         {
             "url": tbl["url"],
@@ -1370,10 +1404,12 @@ class Crawler:
             adm_mask = admit_tbl["admitted"]
             blk_mask = admit_tbl["blocked"]
             # seen = attempted (admitted) ∪ robots-blocked; deferred stays
-            # unseen
+            # unseen; dont_filter rows are never fingerprinted as seen
             self.dedup.commit(
-                admit_tbl.filter(pc.or_(adm_mask, blk_mask))["url_hash"]
-                .to_numpy(zero_copy_only=False),
+                admit_tbl.filter(
+                    pc.and_(pc.or_(adm_mask, blk_mask),
+                            pc.invert(admit_tbl["skip_dedup"]))
+                )["url_hash"].to_numpy(zero_copy_only=False),
                 r,
             )
             admitted_tbl = (

@@ -306,9 +306,11 @@ def _commit_stash_fn(batch: pa.Table, *, dedup: ShardedDedup, stats,
     tallies, and pass ONLY the admitted rows on to fetch+parse."""
     adm = batch["admitted"]
     blk = batch["blocked"]
-    hashes = batch.filter(pc.or_(adm, blk))["url_hash"].to_numpy(
-        zero_copy_only=False
-    )
+    # dont_filter rows are never fingerprinted as seen (driver-mode
+    # kernel does the same — Scrapy skips the dupefilter entirely)
+    hashes = batch.filter(
+        pc.and_(pc.or_(adm, blk), pc.invert(batch["skip_dedup"]))
+    )["url_hash"].to_numpy(zero_copy_only=False)
     if len(hashes):
         dedup.push_commit(hashes, round_no)
     deferred = batch.filter(pc.and_(pc.invert(adm), pc.invert(blk)))

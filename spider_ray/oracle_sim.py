@@ -179,20 +179,26 @@ class OracleCrawler:
                 # within a level (scheduler semantics, O1)
                 taken = 0
                 for c in sorted(cands, key=lambda c: (-c.priority, c.seq)):
+                    # dont_filter requests are never fingerprinted into
+                    # the seen set (Scrapy's scheduler skips the
+                    # dupefilter for them — neither checked nor added)
                     if self.obey and not rules.allows(urlsplit(c.canonical).path):
-                        res.seen.add(c.fingerprint)  # blocked
+                        if not c.skip_dedup:
+                            res.seen.add(c.fingerprint)  # blocked
                         continue
                     if (self.http_cache is not None
                             and c.fingerprint in self.http_cache):
                         # cache hit: served without entering the
                         # downloader — no politeness budget slot
                         admitted.append(c)
-                        res.seen.add(c.fingerprint)
+                        if not c.skip_dedup:
+                            res.seen.add(c.fingerprint)
                         continue
                     if taken < k:
                         taken += 1
                         admitted.append(c)
-                        res.seen.add(c.fingerprint)
+                        if not c.skip_dedup:
+                            res.seen.add(c.fingerprint)
                     else:
                         deferred.append(c)
             # fetch + parse in seq order
@@ -234,7 +240,11 @@ class OracleCrawler:
                     # normal next-round link carrying the source's
                     # depth/callback — mirrors frontier._parse_fn
                     target = page.body.decode("utf-8", "replace")
-                    nxt.append(self._child(c, target, c.callback, c.depth, 0, c.caption))
+                    # dont_filter survives the redirect (Scrapy's
+                    # request.replace copies the flag)
+                    nxt.append(self._child(c, target, c.callback, c.depth, 0,
+                                           c.caption,
+                                           skip_dedup=c.skip_dedup))
                     continue
                 if page.status != 200:
                     if (page.status in self.world.cfg.retry_http_codes
@@ -274,13 +284,21 @@ class OracleCrawler:
                     for j, href in enumerate(locs):
                         nxt.append(self._child(c, href, cb, child_depth, j))
                 elif page.kind == "listing":
-                    links, nxt_page = parse_listing_links(page.body)
+                    links, nxt_page, featured = parse_listing_links(page.body)
                     for j, href in enumerate(links):
                         nxt.append(self._child(c, href, "populate_item", c.depth + 1, j))
                     if nxt_page:
                         nxt.append(
                             self._child(c, nxt_page, "parse", c.depth, len(links))
                         )
+                    # featured strip → dont_filter requests (engine's
+                    # _parse_fn in lockstep: same seq_link placement)
+                    for j, href in enumerate(featured):
+                        nxt.append(self._child(
+                            c, href, "populate_item", c.depth + 1,
+                            len(links) + (1 if nxt_page else 0) + j,
+                            skip_dedup=True,
+                        ))
                 elif page.kind == "detail":
                     raw = parse_detail_page(page.body)
                     m = _RE_CAPTION.search(raw.get("description_raw") or "")
@@ -327,7 +345,8 @@ class OracleCrawler:
         return res
 
     def _child(self, parent: _Cand, href: str, callback: str, depth: int,
-               seq_link: int, caption: str | None = None) -> _Cand:
+               seq_link: int, caption: str | None = None,
+               skip_dedup: bool = False) -> _Cand:
         cu = canonicalize(href, parent.canonical)
         return _Cand(href, cu, host_of(cu), depth, parent.seq, seq_link,
-                     callback, caption)
+                     callback, caption, skip_dedup=skip_dedup)

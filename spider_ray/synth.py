@@ -239,6 +239,18 @@ class WorldConfig:
     # each). Profiles drawn from _POLITENESS_PROFILES, deterministic
     # per host. Default 0 = byte-stable crawl outputs.
     custom_politeness_pct: int = 0
+    # dont_filter surface (the reference's single most-used request
+    # flag — 810 spiders pass dont_filter=True on requests they KNOW
+    # repeat, e.g. re-yielding a unit's detail URL from every listing
+    # page that showcases it, spiders/15walmer.py:112): % of listing
+    # pages carrying an extra <a class="featured"> anchor to the
+    # page's own slot-0 detail URL. The spider marks featured links
+    # dont_filter (skip_dedup=True): the request bypasses the dupe
+    # filter — fetched EVEN THOUGH the normal listing link to the same
+    # URL also fetches — and is never fingerprinted into the seen set
+    # (Scrapy's scheduler neither checks nor records dont_filter
+    # requests). Default 0 = byte-stable crawl outputs.
+    featured_pct: int = 0
     # % of detail pages served with HTTP status 401 but the FULL normal
     # body — the "content behind an auth-warning status" pattern the
     # reference spiders crawl through with handle_httpstatus_list
@@ -751,7 +763,16 @@ class World:
                 if page < npages
                 else ""
             )
-            body = f"<html><body>{body_links}\n{nxt}</body></html>".encode()
+            feat = ""
+            if (cfg.featured_pct
+                    and _h(cfg, "featured", host, page) % 100
+                    < cfg.featured_pct):
+                # the page's own slot-0 detail, repeated as a featured
+                # strip — the dont_filter surface (see WorldConfig)
+                k0 = detail_key(i, page, 0, cfg)
+                feat = (f'\n<a class="featured" '
+                        f'href="{detail_href(cfg, k0)}">featured</a>')
+            body = f"<html><body>{body_links}\n{nxt}{feat}</body></html>".encode()
             page_out = Page(url, 200, "listing", body, "text/html", latency)
             if cfg.is_cookie_host(i):
                 # session-gated host: every listing response (re)sets

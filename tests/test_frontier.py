@@ -438,7 +438,7 @@ def test_offsite_filter_matches_oracle(ray_session):
 
     cfg = _cfg(offsite_pct=50, fail_pct=0, notfound_pct=0)
     w = World(cfg, CAPTIONS)
-    links, _nxt = parse_listing_links(
+    links, _nxt, _featured = parse_listing_links(
         w.resolve("http://h0.test/list?page=1").body)
     assert any(".example/" in u for u in links), \
         "offsite_pct did not emit external links"

@@ -252,7 +252,7 @@ def test_dedup_list_keep_order():
 # ---------------------------------------------------------------- parsers/filters
 def test_parse_listing_and_detail():
     body = b'<html><body><a class="listing" href="/prop/1">x</a>\n<a class="next" href="/list?page=2">n</a></body></html>'
-    links, nxt = extract.parse_listing_links(body)
+    links, nxt, _featured = extract.parse_listing_links(body)
     assert links == ["/prop/1"] and nxt == "/list?page=2"
 
     from spider_ray.synth import World, WorldConfig
