@@ -270,9 +270,11 @@ class OracleCrawler:
                         nskip = data["skip"] + data["take"]
                         child = self._child(c, c.canonical, "parse", c.depth,
                                             len(data["results"]))
-                        child.form_body = (
-                            f"skip={nskip}&take={data['take']}".encode()
-                        )
+                        fb = f"skip={nskip}&take={data['take']}"
+                        if data.get("viewstate"):
+                            # __VIEWSTATE echo (engine in lockstep)
+                            fb += f"&viewstate={data['viewstate']}"
+                        child.form_body = fb.encode()
                         child.page = c.page + 1
                         nxt.append(child)
                 elif page.kind == "sitemap":

@@ -2051,6 +2051,7 @@ _CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                       offsite_pct=35, cookie_host_pct=50,
                       soft401_pct=30, handle_httpstatus_list=(401,),
                       featured_pct=40, custom_politeness_pct=60,
+                      api_host_pct=50, viewstate_pct=100,
                       retry_http_codes=(500, 503, 504, 400, 401, 403, 405,
                                         407, 408, 416, 456, 502, 429, 307))
 

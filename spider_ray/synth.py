@@ -239,6 +239,15 @@ class WorldConfig:
     # each). Profiles drawn from _POLITENESS_PROFILES, deterministic
     # per host. Default 0 = byte-stable crawl outputs.
     custom_politeness_pct: int = 0
+    # % of API hosts whose /api/search demands a server-issued opaque
+    # form token on every page after the first — the ASP.NET
+    # __VIEWSTATE pattern (21 reference spiders extract the hidden
+    # input and echo it in the next FormRequest, spiders/adams.py:91).
+    # The crawler must harvest the token from each JSON response and
+    # carry it in the next POST's form body (ST10 continuation state
+    # that is SERVER-issued, unlike client-computed skip/take).
+    # Default 0 = byte-stable crawl outputs.
+    viewstate_pct: int = 0
     # dont_filter surface (the reference's single most-used request
     # flag — 810 spiders pass dont_filter=True on requests they KNOW
     # repeat, e.g. re-yielding a unit's detail URL from every listing
@@ -281,6 +290,21 @@ class WorldConfig:
             and splitmix64(xxh64(f"sitemap:{self.seed}:{i}")) % 100
             < self.sitemap_host_pct
         )
+
+    def is_viewstate_host(self, i: int) -> bool:
+        """API hosts whose search endpoint demands the server-issued
+        form token (__VIEWSTATE analog) on every page after the first."""
+        return (
+            self.is_api_host(i)
+            and splitmix64(xxh64(f"vshost:{self.seed}:{i}")) % 100
+            < self.viewstate_pct
+        )
+
+    def viewstate_token(self, host: str, skip: int) -> str:
+        """The opaque token the server issues for the page at ``skip``.
+        Server-side knowledge: the crawler must harvest it from the
+        previous response's JSON, never compute it."""
+        return f"{splitmix64(xxh64(f'vs:{self.seed}:{host}:{skip}')):016x}"
 
     def is_cookie_host(self, i: int) -> bool:
         """Session-gated hosts: plain listing hosts only. API hosts
@@ -684,14 +708,29 @@ class World:
             take = max(1, int(params.get("take", ["8"])[0]))
             total = cfg.pages_for_host(i) * cfg.details_per_page
             base_k = i * (cfg.max_pages_per_host * cfg.details_per_page)
+            # __VIEWSTATE analog (21 reference spiders harvest ASP.NET
+            # hidden form tokens and echo them via FormRequest —
+            # spiders/adams.py:91-92, amberandco_co_uk.py:39-47): a
+            # token host demands, on every page after the first, the
+            # opaque server token its PREVIOUS response issued; a
+            # missing/wrong token is rejected. The token is server
+            # state the client can only learn from the page.
+            if cfg.is_viewstate_host(i):
+                if skip > 0 and (params.get("viewstate", [""])[0]
+                                 != cfg.viewstate_token(host, skip)):
+                    return Page(url, 403, "api", latency_ms=latency)
+                nxt_vs = cfg.viewstate_token(host, skip + take)
+            else:
+                nxt_vs = None
             results = []
             for off in range(skip, min(skip + take, total)):
                 k = base_k + off
                 results.append(detail_href(cfg, k))
-            body = _json.dumps(
-                {"results": results, "skip": skip, "take": take,
-                 "has_more": skip + take < total}
-            ).encode()
+            doc = {"results": results, "skip": skip, "take": take,
+                   "has_more": skip + take < total}
+            if nxt_vs is not None and doc["has_more"]:
+                doc["viewstate"] = nxt_vs
+            body = _json.dumps(doc).encode()
             return Page(url, 200, "api", body, "application/json", latency)
 
         if path == "/sitemap.xml":

@@ -83,3 +83,56 @@ def test_mixed_get_and_post_hosts(ray_session):
     eng.crawl(cfg.seeds())
     ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
     assert _fetch_sets(eng) == _oracle_sets(ora)
+
+
+# ---------------------------------------------------- __VIEWSTATE analog
+
+
+def test_viewstate_world_demands_token():
+    """The server issues an opaque token per page and rejects page-2+
+    requests that don't echo it (adams.py:91-92 harvest-and-echo)."""
+    import json
+
+    cfg = _cfg(viewstate_pct=100, max_pages_per_host=3)
+    w = World(cfg, CAPTIONS)
+    host = next(cfg.host(i) for i in range(cfg.num_hosts)
+                if cfg.is_viewstate_host(i) and cfg.pages_for_host(i) >= 2)
+    url = f"http://{host}/api/search"
+    p1 = json.loads(w.resolve(url, form_body=b"skip=0&take=4").body)
+    assert p1["has_more"] and p1["viewstate"]
+    # without the token: rejected; with a wrong token: rejected
+    assert w.resolve(url, form_body=b"skip=4&take=4").status == 403
+    assert w.resolve(
+        url, form_body=b"skip=4&take=4&viewstate=deadbeef").status == 403
+    # echoing the issued token: served
+    ok = w.resolve(
+        url, form_body=f"skip=4&take=4&viewstate={p1['viewstate']}".encode())
+    assert ok.status == 200
+
+
+def test_viewstate_crawl_matches_oracle(ray_session):
+    """Engine harvests + echoes the token (oracle in lockstep) and the
+    full pagination completes: the crawl reaches the same DETAIL pages
+    as a token-free world (page-2+ fingerprints differ — the token is
+    part of the form body — but the discovered listing set must not)."""
+    cfg = _cfg(viewstate_pct=100, fail_pct=0, notfound_pct=0)
+    eng = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True)
+    eng.crawl(cfg.seeds())
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_sets(ora)
+    plain = _cfg(viewstate_pct=0, fail_pct=0, notfound_pct=0)
+    ora_plain = OracleCrawler(plain, CAPTIONS).crawl(plain.seeds())
+    details = {u for _r, u, _fp in ora.fetch_log if "/prop/" in u}
+    details_plain = {u for _r, u, _fp in ora_plain.fetch_log if "/prop/" in u}
+    assert details and details == details_plain
+
+
+def test_viewstate_streaming_equal_driver(ray_session, tmp_path):
+    from .test_streaming import _driver_run, _stream_run
+
+    cfg = _cfg(viewstate_pct=100, num_hosts=3)
+    dc, dres, dseen = _driver_run(cfg)
+    sc, sres, sseen = _stream_run(cfg, tmp_path)
+    assert sseen == dseen
+    assert sres["fetched"] == dres["fetched"]
+    assert sres["items"] == dres["items"]
