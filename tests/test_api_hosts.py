@@ -136,3 +136,22 @@ def test_viewstate_streaming_equal_driver(ray_session, tmp_path):
     assert sseen == dseen
     assert sres["fetched"] == dres["fetched"]
     assert sres["items"] == dres["items"]
+
+
+def test_viewstate_survives_resume(ray_session, tmp_path):
+    """The harvested token rides the checkpointed frontier's form_body:
+    a crawl resumed mid-pagination still presents the right token on
+    the next page (a lost token would 403 the rest of the chain)."""
+    cfg = _cfg(viewstate_pct=100, fail_pct=0, notfound_pct=0)
+    full = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True)
+    full_res = full.crawl(cfg.seeds())
+    ck = str(tmp_path / "ck")
+    part = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                   checkpoint_dir=ck, max_rounds=2)
+    part.crawl(cfg.seeds())
+    resumed = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                      checkpoint_dir=ck)
+    assert resumed.resume()
+    res = resumed.crawl([])
+    assert res["fetched"] == full_res["fetched"]
+    assert _fetch_sets(resumed) == _fetch_sets(full)

@@ -116,3 +116,21 @@ def test_featured_items_duplicate_positions(ray_session):
         by_link.setdefault(u, []).append(p)
     for u in dup:
         assert len(set(by_link[u])) == 2  # distinct positions
+
+
+def test_featured_survives_resume(ray_session, tmp_path):
+    """dont_filter rows live in the checkpointed frontier like any
+    other; a resumed crawl reproduces the full run's per-round fetch
+    MULTISETS (double-fetches included) exactly."""
+    from spider_ray.frontier import Crawler
+
+    cfg = _cfg(featured_pct=100, fail_pct=0, notfound_pct=0)
+    full_eng, full_res = _run_engine(cfg)
+    ck = str(tmp_path / "ck")
+    _run_engine(cfg, checkpoint_dir=ck, max_rounds=2)
+    resumed = Crawler(cfg, CAPTIONS, checkpoint_dir=ck, num_dedup_shards=4,
+                      obey_robots=True, round_window_ms=60_000)
+    assert resumed.resume()
+    res = resumed.crawl([])
+    assert res["fetched"] == full_res["fetched"]
+    assert _engine_fetch_multisets(resumed) == _engine_fetch_multisets(full_eng)
