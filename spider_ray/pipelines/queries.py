@@ -603,8 +603,24 @@ def q_audio_features(sf_dir: str):
             }
         )
 
+    # re-block the key table before the codec-heavy synth pass: a
+    # small parquet arrives as ONE block and would encode+decode
+    # nearly serially regardless of cluster width (at scale the input
+    # already has ≥ncpu blocks and this is a no-op) — the same
+    # re-block-small-inputs pattern as the minhash signature pass
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 32))
+    ds = ds.materialize()  # thin key column only
+    want = int(np.clip(ds.count() // 256, 1, ncpu * 4))
+    if ds.num_blocks() < want:
+        ds = ds.repartition(want)
+    # Ray fuses synth→AudioFeatures into one actor-pool operator, so
+    # the pool size IS the parallelism of the whole codec chain: pin it
+    # (an autoscaling (2, N) pool ramps slower than the query runs)
     feats = ds.map_batches(synth_wavs, batch_format="pyarrow").map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=512, concurrency=2
+        AudioFeatures, batch_format="pyarrow", batch_size=512,
+        concurrency=max(2, ncpu - 2),
     )
     return feats.map_batches(
         lambda b: pa.table(
