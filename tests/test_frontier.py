@@ -820,3 +820,41 @@ def test_cookie_jar_survives_resume(ray_session, tmp_path):
     assert res["fetched"] == full_res["fetched"]
     assert res["images"] == full_res["images"]
     assert _fetch_sets(resumed) == _fetch_sets(full_eng)
+
+
+def test_kitchen_sink_world_matches_oracle(ray_session, tmp_path):
+    """Every world knob nonzero AT ONCE — middleware interactions are
+    where faithful analogs usually break (e.g. a gzip body behind a
+    soft-401 behind a redirect on a cookie host with a custom retry
+    list). Engine = oracle, and streaming = driver, on the same world."""
+    cfg = WorldConfig(
+        num_hosts=6, max_pages_per_host=2, details_per_page=3,
+        fail_pct=10, notfound_pct=5, private_pct=15,
+        api_host_pct=34, sitemap_host_pct=25, cookie_host_pct=50,
+        viewstate_pct=100, featured_pct=50, custom_politeness_pct=60,
+        gzip_pct=40, latin1_pct=30, redirect_pct=25, offsite_pct=30,
+        soft401_pct=25, handle_httpstatus_list=(401,),
+        retry_http_codes=(500, 503, 504, 400, 401, 403, 405, 407, 408,
+                          416, 456, 502, 429, 307),
+    )
+    eng, res = _run_engine(cfg, window=3_000)
+    ora = OracleCrawler(cfg, CAPTIONS, round_window_ms=3_000).crawl(cfg.seeds())
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
+    eng_seen = set()
+    for snap in eng.dedup.snapshot():
+        eng_seen.update(int(x) for x in snap)
+    assert eng_seen == ora.seen
+    img = eng.images_table().to_pydict()
+    eng_rows = dict(zip(img["image_id"], img["phash"]))
+    ora_rows = {r["image_id"]: r["phash"] for r in ora.images}
+    assert eng_rows == ora_rows
+
+    from spider_ray.frontier_stream import StreamingCrawler
+
+    sc = StreamingCrawler(cfg, CAPTIONS, work_dir=str(tmp_path / "work"),
+                          num_dedup_shards=4, obey_robots=True,
+                          round_window_ms=3_000)
+    sres = sc.crawl(cfg.seeds())
+    assert sc.seen_set() == eng_seen
+    assert sres["fetched"] == res["fetched"]
+    assert sres["images"] == res["images"]
