@@ -214,3 +214,31 @@ def test_pair_pipelines_moderate_scale(ray_session):
     egot = set(zip(ep["a"], ep["b"]))
     eexpect = {(i, i + m // 2) for i in range(m // 2)}
     assert eexpect <= egot
+
+
+def test_groupby_shuffle_path_with_new_knobs(ray_session):
+    """The at-scale prefilter+groupby route under the r4 surfaces that
+    touch its budget math: per-spider politeness custom_settings (the
+    prefilter containment bound must still contain every custom
+    profile's budget), dont_filter featured rows (must survive the
+    prefilter and bypass the winner query), and token-carrying API
+    pagination. Shuffle route = local route = oracle."""
+    from collections import Counter
+
+    cfg = WorldConfig(num_hosts=4, max_pages_per_host=2, details_per_page=5,
+                      custom_politeness_pct=60, featured_pct=60,
+                      api_host_pct=34, viewstate_pct=100)
+    shuffle_c, shuffle_res = _run(cfg, prefilter_threshold=0,
+                                  inline_threshold=0)
+    local_c, local_res = _run(cfg)
+    assert shuffle_res == local_res
+    assert _fetch_sets(shuffle_c) == _fetch_sets(local_c)
+    # multiset equality pins the double-fetches through the shuffle path
+    sh_ms = [Counter(int(h) for h in a) for a in shuffle_c.fetched_hashes]
+    lo_ms = [Counter(int(h) for h in a) for a in local_c.fetched_hashes]
+    assert sh_ms == lo_ms
+    ora = OracleCrawler(cfg, CAPTIONS, round_window_ms=4_000).crawl(cfg.seeds())
+    rounds = {}
+    for r, _u, fp in ora.fetch_log:
+        rounds.setdefault(r, Counter())[fp] += 1
+    assert sh_ms == [rounds.get(i, Counter()) for i in range(len(sh_ms))]
