@@ -25,6 +25,13 @@ def world_cfgs(draw):
         private_pct=draw(st.sampled_from([0, 20])),
         api_host_pct=draw(st.sampled_from([0, 50, 100])),
         sitemap_host_pct=draw(st.sampled_from([0, 60])),
+        # final-r4 surfaces: cookies, redirects, dont_filter featured
+        # strips, per-spider politeness settings, form tokens
+        cookie_host_pct=draw(st.sampled_from([0, 60])),
+        redirect_pct=draw(st.sampled_from([0, 40])),
+        featured_pct=draw(st.sampled_from([0, 60])),
+        custom_politeness_pct=draw(st.sampled_from([0, 70])),
+        viewstate_pct=draw(st.sampled_from([0, 100])),
         seed=draw(st.integers(1, 10_000)),
     )
 
