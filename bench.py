@@ -91,7 +91,19 @@ BENCH_WORLD = dict(
                              if int(os.environ.get("GRAFT_BENCH_SOFT401", "0"))
                              else ()),
                          redirect_pct=int(os.environ.get(
-                             "GRAFT_BENCH_REDIRECT", "0"))),
+                             "GRAFT_BENCH_REDIRECT", "0")),
+                         # form tokens on API pagination (harvest+echo)
+                         # leave fetch counts identical → on by default
+                         viewstate_pct=int(os.environ.get(
+                             "GRAFT_BENCH_VIEWSTATE", "100")),
+                         # featured dont_filter strips ADD fetches and
+                         # per-spider politeness settings change round
+                         # pacing — both opt-in so the headline stays
+                         # comparable across rounds
+                         featured_pct=int(os.environ.get(
+                             "GRAFT_BENCH_FEATURED", "0")),
+                         custom_politeness_pct=int(os.environ.get(
+                             "GRAFT_BENCH_POLITENESS", "0"))),
 )
 
 BENCH_QUERIES = [
