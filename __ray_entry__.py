@@ -6,12 +6,12 @@ the image+caption sink Dataset in the BASELINE.json input_hint shape
 (image_id, bytes, w, h, fmt, caption, phash).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 plus the training-data ops (50 queries, 46 oracled
+from SURVEY.md §2 plus the training-data ops (50 queries, 47 oracled
 in round 4, ordered oracled-first and capped at the driver's 50-query
 window); see spider_ray/pipelines/queries.py for the registry.
 The crawl-family queries are oracled against the independent
 sequential simulator via parquet dumps; only genuinely approximate
-(HLL, LSH/IVF ANN, LSH embedding dedup) or xxh64-based (fingerprint,
+(HLL/DDSketch sketches, LSH/IVF ANN) or xxh64-based (fingerprint,
 simhash signatures) ops have no oracle entry → driver rows-only check.
 
 Ray is initialised by the driver BEFORE this module is imported: no

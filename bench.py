@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     # distributed near-dup suite (round 2: fully off-driver shapes)
     "minhash_lsh_dedup",
+    "substring_dedup",
     "embedding_dup_pairs",
     "geocode_enrich",
 ]

@@ -760,3 +760,140 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, id_col: str = "vec_id",
         return cell(left, g[g["__side"] == 1].drop(columns=drop))
 
     return rep.groupby("__cell").map_groups(run_cell, batch_format="pandas")
+
+
+# ------------------------------------------------ substring (k-token span)
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499): exact SUBSTRING duplication — long token
+# spans shared verbatim between documents (boilerplate, licenses,
+# mirrored paragraphs) that document-level near-dup never sees because
+# the surrounding text differs. The paper's suffix-array exactness is
+# replaced by the standard scale trick: two INDEPENDENT order-
+# sensitive window hashes, so a (span_hash, span_check) match has
+# ~2^-128 collision odds and the dedup decision never needs the text
+# itself to move through the shuffle.
+
+
+def kgram_span_rows(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 20) -> pa.Table:
+    """Every k-token window of every document → one thin row
+    ``(span_hash:uint64, span_check:uint64, doc_id, pos:int32)``.
+
+    Vectorized like ``_batch_shingle_sets``: tokens hash once per
+    distinct string (factorize + xxh64_many), both window hashes run
+    as k shifted-xor passes over the ONE flat token-hash array with
+    cross-document windows masked out. Documents shorter than ``k``
+    tokens emit nothing (they have no full window; document-level
+    dedup covers them)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(texts)
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat_tokens: list[str] = []
+    for tl in tok_lists:
+        flat_tokens.extend(tl)
+    if flat_tokens:
+        codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
+        lut = xxh64_many(list(uniques))
+        th_flat = lut[codes]
+    else:
+        th_flat = np.empty(0, np.uint64)
+    N = len(th_flat)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    m = N - k + 1
+    empty = pa.table(
+        {
+            "span_hash": pa.array([], pa.uint64()),
+            "span_check": pa.array([], pa.uint64()),
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int32()),
+        }
+    )
+    if m <= 0:
+        return empty
+    # second, independent token-hash stream for the check hash
+    with np.errstate(over="ignore"):
+        th2_flat = splitmix64(th_flat ^ np.uint64(0x9E3779B97F4A7C15))
+        acc = th_flat[k - 1 : k - 1 + m]
+        acc2 = th2_flat[k - 1 : k - 1 + m]
+        for off in range(k - 2, -1, -1):
+            acc = th_flat[off : off + m] ^ splitmix64(acc)
+            acc2 = th2_flat[off : off + m] ^ splitmix64(acc2)
+        comb = splitmix64(acc)
+        comb2 = splitmix64(acc2)
+    valid = doc_of[:m] == doc_of[k - 1 : k - 1 + m]  # window inside one doc
+    if not valid.any():
+        return empty
+    w_doc = doc_of[:m][valid]
+    return pa.table(
+        {
+            "span_hash": pa.array(comb[valid], pa.uint64()),
+            "span_check": pa.array(comb2[valid], pa.uint64()),
+            id_col: pa.array(ids[w_doc], pa.int64()),
+            "pos": pa.array(
+                (np.nonzero(valid)[0] - starts[w_doc]).astype(np.int32),
+                pa.int32(),
+            ),
+        }
+    )
+
+
+def shared_kgram_spans(ds: rd.Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 20) -> rd.Dataset:
+    """Distributed substring-duplication detector: span rows →
+    ``groupby(span_hash)`` (ONE hash-partitioned shuffle of thin
+    16-byte-payload rows) → inside each group, sub-split by
+    ``span_check`` (collision guard) and emit every occurrence of a
+    shared span linked to the group's CANONICAL occurrence (min
+    (doc_id, pos)) — the star pattern, O(group) rows instead of the
+    O(group²) all-pairs a boilerplate span shared by 10^5 documents
+    would otherwise explode into (the same bounded-output discipline
+    as the crawl's hot-host prefilter). Downstream, connected
+    components over the stars recovers full duplicate clusters.
+
+    Output: ``(span_hash, doc_id, pos, canon_doc_id, canon_pos)`` —
+    one row per NON-canonical occurrence of a span that appears ≥2
+    times in the corpus (within- and cross-document repeats both
+    count, as in the reference paper)."""
+    spans = ds.map_batches(
+        kgram_span_rows,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
+        batch_format="pyarrow",
+    )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _chk, sub in g.groupby("span_check", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values([id_col, "pos"], kind="mergesort")
+            canon = sub.iloc[0]
+            rest = sub.iloc[1:]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "span_hash": rest["span_hash"].to_numpy(),
+                        id_col: rest[id_col].to_numpy(),
+                        "pos": rest["pos"].to_numpy(),
+                        "canon_doc_id": np.full(len(rest), canon[id_col],
+                                                dtype=np.int64),
+                        "canon_pos": np.full(len(rest), canon["pos"],
+                                             dtype=np.int32),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "span_hash": pd.Series([], dtype=np.uint64),
+                    id_col: pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int32),
+                    "canon_doc_id": pd.Series([], dtype=np.int64),
+                    "canon_pos": pd.Series([], dtype=np.int32),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return spans.groupby("span_hash").map_groups(star, batch_format="pandas")

@@ -1740,43 +1740,97 @@ FROM c
 """
 
 
-def q_token_quantiles(sf_dir: str):
-    """Corpus token-length quantiles via DDSketch (relative-error ≤1%,
-    mergeable, deterministic — the quantile analog of the HLL path):
-    per-batch sketches inside map_batches, tiny driver merge. One pass,
-    no shuffle, works unchanged at 10^10 docs. Rows-only (sketch output
-    is approximate by construction; accuracy vs exact quantiles is
-    asserted in tests/test_ops.py). Values milli-quantized for a stable
-    driver hash."""
-    from ..ops.sketches import quantiles_approx
+def q_sketches(sf_dir: str):
+    """The two mergeable-sketch scale paths behind ONE rows-only entry
+    (the VERDICT-r3-#10 merge discipline, applied again so the oracled
+    ``substring_dedup`` query fits the driver's 50-slot window):
+    A4 approximate distinct count via per-batch HyperLogLog sketches
+    over lineitem order keys, and corpus token-length quantiles via
+    DDSketch (relative-error ≤1%) — both one-pass, no shuffle, tiny
+    driver merge, unchanged at 10^10 rows. Deterministic values,
+    milli-quantized; accuracy vs exact is asserted in tests/test_ops.py
+    (HLL ≤2%, DDSketch ≤0.7%)."""
+    from ..ops.sketches import distinct_count_approx, quantiles_approx
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    est = distinct_count_approx(ds, "l_orderkey", p=12)
+    tds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         text_ops.token_count_batch, batch_format="pyarrow"
     ).map_batches(
         lambda b: pa.table({"n_tokens": b["n_tokens"].cast(pa.float64())}),
         batch_format="pyarrow",
     )
-    qs = quantiles_approx(ds, "n_tokens", [0.5, 0.9, 0.99], alpha=0.01)
+    qs = quantiles_approx(tds, "n_tokens", [0.5, 0.9, 0.99], alpha=0.01)
     return pa.table(
         {
-            "q": pa.array([500, 900, 990], pa.int64()),  # quantile in millis
-            "n_tokens_milli": pa.array(
-                [int(round(qs[x] * 1000)) for x in (0.5, 0.9, 0.99)], pa.int64()
+            "metric": pa.array(
+                ["hll_distinct_orderkeys", "token_p50_milli",
+                 "token_p90_milli", "token_p99_milli"], pa.string()
+            ),
+            "value": pa.array(
+                [int(round(est))]
+                + [int(round(qs[x] * 1000)) for x in (0.5, 0.9, 0.99)],
+                pa.int64(),
             ),
         }
     )
 
 
-def q_hll_distinct(sf_dir: str):
-    """A4 scale path — approximate distinct count via mergeable per-batch
-    HyperLogLog sketches (exact at shard level in the engine; the sketch
-    is the 10^10-scale fleet aggregate). Deterministic estimate;
-    rows-only driver check (accuracy asserted in tests/test_ops.py)."""
-    from ..ops.sketches import distinct_count_approx
+_SUBSTRING_K = 20
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-    est = distinct_count_approx(ds, "l_orderkey", p=12)
-    return pa.table({"approx_distinct_orderkeys": pa.array([int(round(est))], pa.int64())})
+
+def q_substring_dedup(sf_dir: str):
+    """Substring-level duplication (Lee et al., arXiv:2107.06499 — the
+    dedup family document-level near-dup misses): every 20-token span
+    appearing ≥2 times in the corpus, each non-canonical occurrence
+    linked to the span's canonical (min (doc_id, pos)) occurrence via
+    the star pattern (O(group) output — a boilerplate span shared by
+    10^5 docs cannot explode into O(group²) pairs). ONE thin
+    hash-partitioned shuffle of (span_hash, span_check, doc, pos)
+    rows; double hashing replaces the paper's suffix-array exactness
+    (~2^-128 collision odds), and the SQL oracle recomputes the spans
+    VERBATIM via string windows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_text.shared_kgram_spans(ds, k=_SUBSTRING_K)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "pos": b["pos"].cast(pa.int64()),
+                "canon_doc_id": b["canon_doc_id"].cast(pa.int64()),
+                "canon_pos": b["canon_pos"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, len(ws) - {_SUBSTRING_K} + 1)) AS i
+  FROM toks WHERE len(ws) >= {_SUBSTRING_K}
+), spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ws[i:i+{_SUBSTRING_K}-1], ' ') AS span
+  FROM idx
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER w AS rn,
+         first_value(doc_id) OVER w AS canon_doc_id,
+         first_value(pos) OVER w AS canon_pos,
+         count(*) OVER (PARTITION BY span) AS cnt
+  FROM spans
+  WINDOW w AS (PARTITION BY span ORDER BY doc_id, pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(canon_doc_id AS BIGINT) AS canon_doc_id,
+       CAST(canon_pos AS BIGINT) AS canon_pos
+FROM ranked WHERE cnt >= 2 AND rn > 1
+"""
 
 
 # =============================================================== non-SQL ops
@@ -2368,6 +2422,7 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # training-data ops (SQL-checked)
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -2397,8 +2452,7 @@ QUERIES = {
     # approximate ANN paths are merged behind single entries so the
     # registry stays at ≤50 = the driver's query cap and every
     # registered query gets a CORRECTNESS row (VERDICT r3 #10).
-    "hll_distinct": (q_hll_distinct, None),
-    "token_quantiles": (q_token_quantiles, None),
+    "sketches": (q_sketches, None),
     "doc_signatures": (q_doc_signatures, None),
     "ann_topk_approx": (q_ann_topk_approx, None),
 }

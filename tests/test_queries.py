@@ -56,8 +56,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_return_rows(ray_session):
-    for name in ("doc_signatures", "hll_distinct", "ann_topk_approx",
-                 "token_quantiles"):
+    for name in ("doc_signatures", "sketches", "ann_topk_approx"):
         fn, sql = QUERIES[name]
         assert sql is None
         out = _to_df(fn(SF))
