@@ -92,6 +92,17 @@ BENCH_WORLD = dict(
                              else ()),
                          redirect_pct=int(os.environ.get(
                              "GRAFT_BENCH_REDIRECT", "0")),
+                         # DUPEFILTER-off hosts + related-anchor
+                         # repeats and per-host HTTPERROR_ALLOWED_CODES
+                         # change the fetch count (re-downloads /
+                         # failed-vs-parsed soft-401s), so both stay
+                         # opt-in like redirects
+                         dedup_off_pct=int(os.environ.get(
+                             "GRAFT_BENCH_DEDUPOFF", "0")),
+                         related_pct=int(os.environ.get(
+                             "GRAFT_BENCH_RELATED", "0")),
+                         httperror_allowed_pct=int(os.environ.get(
+                             "GRAFT_BENCH_HTTPERR", "0")),
                          # form tokens on API pagination (harvest+echo)
                          # leave fetch counts identical → on by default
                          viewstate_pct=int(os.environ.get(

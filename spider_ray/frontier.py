@@ -88,7 +88,20 @@ _EMPTY_FRONTIER = FRONTIER_SCHEMA.empty_table()
 
 
 # ------------------------------------------------------------------ frontier rows
-def make_seed_frontier(seeds: list) -> pa.Table:
+def _dedup_off_mask(cfg, hosts: np.ndarray) -> np.ndarray | None:
+    """Per-row True where the host's spider disabled the dupe filter
+    (DUPEFILTER_CLASS = BaseDupeFilter, elliotoliver_co_uk.py:34).
+    Bounded per-unique-host loop (blocks are host-aligned)."""
+    if cfg is None or not getattr(cfg, "dedup_off_pct", 0):
+        return None
+    off = np.zeros(len(hosts), dtype=bool)
+    for h in np.unique(hosts):
+        if cfg.is_dedup_off_host(h):
+            off |= hosts == h
+    return off if off.any() else None
+
+
+def make_seed_frontier(seeds: list, cfg=None) -> pa.Table:
     """Seed rows (S1): depth 0, seq_parent −1, seq_link = list position —
     the analog of ``start_requests`` order (basic.tmpl:21-24).
 
@@ -105,6 +118,11 @@ def make_seed_frontier(seeds: list) -> pa.Table:
     for j, fb in enumerate(forms):
         if fb:
             uh[j] = np.uint64(canon.request_fingerprint(canon_urls[j], fb))
+    off = _dedup_off_mask(cfg, np.asarray(hosts, dtype=object))
+    skip_dedup = (
+        pa.array(off) if off is not None
+        else pa.array([False] * n, pa.bool_())
+    )
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -128,7 +146,7 @@ def make_seed_frontier(seeds: list) -> pa.Table:
             ),
             "form_body": pa.array(forms, pa.binary()),
             "retry_count": pa.array([0] * n, pa.int32()),
-            "skip_dedup": pa.array([False] * n, pa.bool_()),
+            "skip_dedup": skip_dedup,
             "caption": pa.array([None] * n, pa.string()),
         }
     )
@@ -641,14 +659,31 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     # (``self._retry(...) or response``) and RedirectMiddleware follows
     # 3xx, so only the retries-exhausted / non-redirect response
     # continues to HttpErrorMiddleware's allowed-status check.
-    if cfg.handle_httpstatus_list:
-        handled_mask = (
-            ~ok_mask
-            & ~redirect_mask
-            & ~retry_mask
-            & np.isin(status, np.array(sorted(cfg.handle_httpstatus_list),
-                                       dtype=status.dtype))
-        )
+    if cfg.handle_httpstatus_list or getattr(cfg, "httperror_allowed_pct", 0):
+        base_mask = ~ok_mask & ~redirect_mask & ~retry_mask
+        if getattr(cfg, "httperror_allowed_pct", 0):
+            # HTTPERROR_ALLOWED_CODES custom_setting (12 reference
+            # spiders — amsterdamwonen_nl.py:21, wilink_be.py:28, …):
+            # the allow-list is PER HOST. host_httpstatus_list already
+            # unions the spider-wide attribute. Blocks are host-aligned
+            # (few distinct hosts per batch), so the per-host loop is
+            # bounded; each host's rows stay vectorized.
+            handled_mask = np.zeros(len(status), dtype=bool)
+            if base_mask.any():
+                hosts_np = batch["host"].to_numpy(zero_copy_only=False)
+                for h in np.unique(hosts_np[base_mask]):
+                    lst = cfg.host_httpstatus_list(h)
+                    if lst:
+                        handled_mask |= (
+                            base_mask
+                            & (hosts_np == h)
+                            & np.isin(status, np.array(sorted(lst),
+                                                       dtype=status.dtype))
+                        )
+        else:
+            handled_mask = base_mask & np.isin(
+                status, np.array(sorted(cfg.handle_httpstatus_list),
+                                 dtype=status.dtype))
         ok_mask = ok_mask | handled_mask
     fail_mask = ~ok_mask & ~retry_mask & ~redirect_mask
 
@@ -991,9 +1026,12 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
 
 
 
-def parse_rows_to_frontier(tbl: pa.Table, *, is_retry: bool) -> pa.Table:
+def parse_rows_to_frontier(tbl: pa.Table, *, is_retry: bool,
+                           cfg=None) -> pa.Table:
     """Parse-output rows (rowtype 'link' or 'retry') → frontier-schema
-    table, fully vectorized (Arrow column ops only)."""
+    table, fully vectorized (Arrow column ops only). With ``cfg``,
+    rows to DUPEFILTER-off hosts (cfg.dedup_off_pct) get dont_filter
+    semantics: skip_dedup=True end to end."""
     n = tbl.num_rows
     if n == 0:
         return _EMPTY_FRONTIER
@@ -1009,6 +1047,11 @@ def parse_rows_to_frontier(tbl: pa.Table, *, is_retry: bool) -> pa.Table:
         skip_dedup = pc.fill_null(
             tbl["skip_dedup"].combine_chunks().cast(pa.bool_()), False
         )
+        off = _dedup_off_mask(
+            cfg, tbl["host"].to_numpy(zero_copy_only=False))
+        if off is not None:
+            skip_dedup = pa.array(
+                skip_dedup.to_numpy(zero_copy_only=False) | off)
     return pa.table(
         {
             "url": tbl["url"],
@@ -1213,7 +1256,8 @@ class Crawler:
     # ---------------- the loop
     def crawl(self, seed_urls: list[str]) -> dict:
         if self.frontier.num_rows == 0 and self.start_round == 0:
-            self.frontier = assign_seq(make_seed_frontier(seed_urls), 0)
+            self.frontier = assign_seq(
+                make_seed_frontier(seed_urls, cfg=self.cfg), 0)
             self._to_register = self.frontier
         r = self.start_round
         while self.frontier.num_rows and r < self.max_rounds:
@@ -1521,12 +1565,14 @@ class Crawler:
         # --- next frontier: new links + retries + deferred (all Arrow)
         parts = []
         if links_tbl.num_rows:
-            parts.append(parse_rows_to_frontier(links_tbl, is_retry=False))
+            parts.append(parse_rows_to_frontier(links_tbl, is_retry=False,
+                                                cfg=self.cfg))
         retry_tbl = parsed.filter(pc.equal(rowtype, "retry"))
         if retry_tbl.num_rows:
             # self-contained retry rows (retry_count bumped + skip_dedup
             # set in the parse task — ST4 dont_filter re-injection)
-            parts.append(parse_rows_to_frontier(retry_tbl, is_retry=True))
+            parts.append(parse_rows_to_frontier(retry_tbl, is_retry=True,
+                                                cfg=self.cfg))
         defer_parts = []
         if len(deferred_pre):
             defer_parts.append(

@@ -252,7 +252,7 @@ def _parse_count_fn(batch: pa.Table, *, stats, round_no: int, **kw) -> pa.Table:
                      ck["cookie_value"].to_pylist())),
             tok,
         ))
-    return _to_frontier_rows(out)
+    return _to_frontier_rows(out, cfg=kw.get("cfg"))
 
 
 def _stash_deferred(tbl: pa.Table, stage_dir: str) -> None:
@@ -332,16 +332,18 @@ def _commit_stash_fn(batch: pa.Table, *, dedup: ShardedDedup, stats,
     return batch.filter(adm).drop_columns(["admitted", "blocked"])
 
 
-def _to_frontier_rows(batch: pa.Table) -> pa.Table:
+def _to_frontier_rows(batch: pa.Table, cfg=None) -> pa.Table:
     """Parse-output batch → next-frontier rows: links and retries in
     ONE pass over the block (round 2 ran two filter+map chains over the
     materialized parse output and unioned them — twice the block
     reads for the same rows)."""
     links = parse_rows_to_frontier(
-        batch.filter(pc.equal(batch["rowtype"], "link")), is_retry=False
+        batch.filter(pc.equal(batch["rowtype"], "link")), is_retry=False,
+        cfg=cfg,
     )
     retries = parse_rows_to_frontier(
-        batch.filter(pc.equal(batch["rowtype"], "retry")), is_retry=True
+        batch.filter(pc.equal(batch["rowtype"], "retry")), is_retry=True,
+        cfg=cfg,
     )
     if retries.num_rows == 0:
         return links
@@ -456,7 +458,7 @@ class StreamingCrawler:
             # seed frontier enters through the same stamping path as
             # every later round: host-aligned carry + checkpoint write
             # + round-0 dedup registration, all in one place
-            seed_tbl = make_seed_frontier(seeds)
+            seed_tbl = make_seed_frontier(seeds, cfg=self.cfg)
             if seed_tbl.num_rows:
                 _, wrefs = self._stamp_next_frontier(
                     from_local_tables(seed_tbl), 0, seed_tbl.num_rows

@@ -102,6 +102,17 @@ class OracleCrawler:
 
     def crawl(self, seed_urls: list[str]) -> OracleResult:
         res = OracleResult()
+        cfg_is_off = self.world.cfg.is_dedup_off_host
+
+        def nofilter(c: _Cand) -> bool:
+            """Scheduler-side dupe-filter bypass: the request's own
+            dont_filter flag, OR the spider's DUPEFILTER_CLASS =
+            BaseDupeFilter custom_setting (elliotoliver_co_uk.py:34 —
+            a SCHEDULER property, so unlike dont_filter it does NOT
+            exempt the request from the OffsiteMiddleware check, which
+            reads request.dont_filter only)."""
+            return c.skip_dedup or cfg_is_off(c.host)
+
         frontier = []
         for i, seed in enumerate(seed_urls):
             if isinstance(seed, str):
@@ -149,7 +160,7 @@ class OracleCrawler:
             in_round: set[int] = set()
             for c in frontier:
                 h = c.fingerprint
-                if c.skip_dedup:
+                if nofilter(c):
                     unique.append(c)
                     continue
                 if h in res.seen or h in in_round:
@@ -183,7 +194,7 @@ class OracleCrawler:
                     # the seen set (Scrapy's scheduler skips the
                     # dupefilter for them — neither checked nor added)
                     if self.obey and not rules.allows(urlsplit(c.canonical).path):
-                        if not c.skip_dedup:
+                        if not nofilter(c):
                             res.seen.add(c.fingerprint)  # blocked
                         continue
                     if (self.http_cache is not None
@@ -191,13 +202,13 @@ class OracleCrawler:
                         # cache hit: served without entering the
                         # downloader — no politeness budget slot
                         admitted.append(c)
-                        if not c.skip_dedup:
+                        if not nofilter(c):
                             res.seen.add(c.fingerprint)
                         continue
                     if taken < k:
                         taken += 1
                         admitted.append(c)
-                        if not c.skip_dedup:
+                        if not nofilter(c):
                             res.seen.add(c.fingerprint)
                     else:
                         deferred.append(c)
@@ -254,10 +265,14 @@ class OracleCrawler:
                         c.skip_dedup = True
                         nxt.append(c)
                         continue
-                    # handle_httpstatus_list mirror: a listed status
-                    # reaches the parse dispatch below (retries first,
-                    # like Scrapy's RetryMiddleware → HttpError order)
-                    if page.status not in self.world.cfg.handle_httpstatus_list:
+                    # handle_httpstatus_list / HTTPERROR_ALLOWED_CODES
+                    # mirror: a listed status reaches the parse
+                    # dispatch below (retries first, like Scrapy's
+                    # RetryMiddleware → HttpError order); the allow-
+                    # list is per host (spider attribute ∪ the host's
+                    # custom_setting)
+                    if page.status not in self.world.cfg.host_httpstatus_list(
+                            c.host):
                         continue
                 if page.kind == "api":
                     import json as _json

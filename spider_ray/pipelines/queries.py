@@ -2119,7 +2119,17 @@ _ORACLE_DUMP_DIR = "/tmp/spider_ray_oracle"
 _CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                       gzip_pct=35, latin1_pct=35, redirect_pct=25,
                       offsite_pct=35, cookie_host_pct=50,
-                      soft401_pct=30, handle_httpstatus_list=(401,),
+                      # per-host HTTPERROR_ALLOWED_CODES custom_setting
+                      # (12 reference spiders) instead of the spider-
+                      # wide attribute: hosts that drew a 401-bearing
+                      # list parse their soft-401 details, the rest
+                      # fail them after retries
+                      soft401_pct=30, handle_httpstatus_list=(),
+                      httperror_allowed_pct=60,
+                      # DUPEFILTER_CLASS=BaseDupeFilter hosts
+                      # (elliotoliver_co_uk.py:34) re-download the
+                      # related-anchor repeats (related_pct)
+                      dedup_off_pct=50, related_pct=60,
                       featured_pct=40, custom_politeness_pct=60,
                       api_host_pct=50, viewstate_pct=100,
                       retry_http_codes=(500, 503, 504, 400, 401, 403, 405,

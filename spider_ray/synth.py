@@ -88,6 +88,14 @@ class HostSettings:
 
 DEFAULT_HOST_SETTINGS = HostSettings()
 
+# HTTPERROR_ALLOWED_CODES palette — shaped after the reference lists
+# restricted to statuses this world actually serves: 401 (soft-401
+# details) and 403 (session-gated details without the cookie). 404 /
+# 3xx entries are omitted: 404s here are genuine dead ends with empty
+# bodies and redirects are followed by RedirectMiddleware before
+# HttpError ever sees them.
+_HTTPERROR_PALETTE: tuple[tuple, ...] = ((401,), (401, 403), (403,))
+
 # Weighted palette of the custom_settings profiles the reference
 # spiders actually declare (weights ≈ census shares, summing to 100):
 _POLITENESS_PROFILES: tuple[tuple[int, HostSettings], ...] = (
@@ -276,6 +284,35 @@ class WorldConfig:
     # listed status through to the spider), and RedirectMiddleware
     # still follows 3xx. Empty = Scrapy's default (only 200 parses).
     handle_httpstatus_list: tuple = ()
+    # HTTPERROR_ALLOWED_CODES custom_setting — the settings-level twin
+    # of the handle_httpstatus_list attribute (12 reference spiders:
+    # amsterdamwonen_nl.py:21 / locanto_ie.py:23 allow [403],
+    # alliance_london_co_uk.py:23 [404], wilink_be.py:28
+    # [301,302,400,401,406,403,503], …): % of hosts whose spider
+    # declares a per-spider allow-list, drawn from a reference-shaped
+    # palette. Scrapy's HttpErrorMiddleware consults the union of the
+    # spider attribute and the setting — ``host_httpstatus_list``
+    # mirrors that. Default 0 = byte-stable crawl outputs.
+    httperror_allowed_pct: int = 0
+    # DUPEFILTER_CLASS = scrapy.dupefilters.BaseDupeFilter analog
+    # (spiders/elliotoliver_co_uk.py:34 — the one reference spider that
+    # disables request dedup wholly): % of hosts whose spider turns the
+    # dupe filter OFF. Every request to such a host behaves like
+    # dont_filter — never checked against, registered in, or committed
+    # to the seen set, so each OCCURRENCE of a URL downloads (Scrapy's
+    # BaseDupeFilter.request_seen always returns False). Observable
+    # only when the host's page graph repeats URLs — see related_pct.
+    # Default 0 = byte-stable crawl outputs.
+    dedup_off_pct: int = 0
+    # % of listing pages (page ≥ 2) carrying a plain "related property"
+    # anchor back to the host's page-1 slot-0 detail — a cross-page
+    # repeated NORMAL link (no dont_filter, unlike the featured strip).
+    # On a dedup-on host the dupe filter drops the repeat; on a
+    # dedup_off host it re-downloads the detail and re-emits the item
+    # at a new position, exactly like Scrapy running BaseDupeFilter.
+    # Acyclic by construction (details are leaves), so the crawl stays
+    # bounded. Default 0 = byte-stable crawl outputs.
+    related_pct: int = 0
     seed: int = 42
 
     def host(self, i: int) -> str:
@@ -377,6 +414,34 @@ class WorldConfig:
             if u < acc:
                 return hs
         return _POLITENESS_PROFILES[-1][1]
+
+    def host_httpstatus_list(self, host: str) -> tuple:
+        """Statuses allowed through to this host's parse callback: the
+        spider-wide ``handle_httpstatus_list`` attribute unioned with
+        the host's HTTPERROR_ALLOWED_CODES custom_setting (if its
+        spider drew one) — Scrapy's HttpErrorMiddleware consults both.
+        Pure function of (seed, host): engine, streaming mode and the
+        sequential oracle compute it identically at any parallelism."""
+        base = self.handle_httpstatus_list
+        if not self.httperror_allowed_pct:
+            return base
+        if (splitmix64(xxh64(f"httperr:{self.seed}:{host}")) % 100
+                >= self.httperror_allowed_pct):
+            return base
+        pal = _HTTPERROR_PALETTE[
+            splitmix64(xxh64(f"httperrpal:{self.seed}:{host}"))
+            % len(_HTTPERROR_PALETTE)
+        ]
+        return tuple(sorted(set(base) | set(pal)))
+
+    def is_dedup_off_host(self, host: str) -> bool:
+        """Hosts whose spider sets DUPEFILTER_CLASS = BaseDupeFilter
+        (elliotoliver_co_uk.py:34): the dupe filter is OFF for every
+        request to this host."""
+        if not self.dedup_off_pct:
+            return False
+        return (splitmix64(xxh64(f"dedupoff:{self.seed}:{host}")) % 100
+                < self.dedup_off_pct)
 
 
 @dataclass
@@ -794,6 +859,15 @@ class World:
                     k = detail_key(i, page, slot, cfg)
                     if _h(cfg, "offsite", host, page, slot) % 100 < cfg.offsite_pct:
                         links.append(f"http://partner{slot}.example/promo/{k}")
+            if (page >= 2 and cfg.related_pct
+                    and _h(cfg, "related", host, page) % 100
+                    < cfg.related_pct):
+                # cross-page repeat: a plain "related property" anchor
+                # back to page 1's slot-0 detail (same anchor class, so
+                # the link extractor treats it as any other listing
+                # link). Dropped by the dupe filter on dedup-on hosts;
+                # re-downloaded on DUPEFILTER-off hosts (dedup_off_pct).
+                links.append(detail_href(cfg, detail_key(i, 1, 0, cfg)))
             body_links = "\n".join(
                 f'<a class="listing" href="{u}">listing</a>' for u in links
             )
