@@ -1047,11 +1047,12 @@ def parse_rows_to_frontier(tbl: pa.Table, *, is_retry: bool,
         skip_dedup = pc.fill_null(
             tbl["skip_dedup"].combine_chunks().cast(pa.bool_()), False
         )
-        off = _dedup_off_mask(
-            cfg, tbl["host"].to_numpy(zero_copy_only=False))
-        if off is not None:
-            skip_dedup = pa.array(
-                skip_dedup.to_numpy(zero_copy_only=False) | off)
+        if cfg is not None and getattr(cfg, "dedup_off_pct", 0):
+            off = _dedup_off_mask(
+                cfg, tbl["host"].to_numpy(zero_copy_only=False))
+            if off is not None:
+                skip_dedup = pa.array(
+                    skip_dedup.to_numpy(zero_copy_only=False) | off)
     return pa.table(
         {
             "url": tbl["url"],

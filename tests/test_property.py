@@ -32,6 +32,12 @@ def world_cfgs(draw):
         featured_pct=draw(st.sampled_from([0, 60])),
         custom_politeness_pct=draw(st.sampled_from([0, 70])),
         viewstate_pct=draw(st.sampled_from([0, 100])),
+        # DUPEFILTER-off hosts + the related-anchor repeats that make
+        # them observable, and per-host HTTPERROR_ALLOWED_CODES
+        dedup_off_pct=draw(st.sampled_from([0, 50])),
+        related_pct=draw(st.sampled_from([0, 70])),
+        soft401_pct=draw(st.sampled_from([0, 40])),
+        httperror_allowed_pct=draw(st.sampled_from([0, 60])),
         seed=draw(st.integers(1, 10_000)),
     )
 

@@ -227,7 +227,12 @@ def test_groupby_shuffle_path_with_new_knobs(ray_session):
 
     cfg = WorldConfig(num_hosts=4, max_pages_per_host=2, details_per_page=5,
                       custom_politeness_pct=60, featured_pct=60,
-                      api_host_pct=34, viewstate_pct=100)
+                      api_host_pct=34, viewstate_pct=100,
+                      # DUPEFILTER-off repeats and per-host allow-lists
+                      # must survive the prefilter + shuffle admission
+                      # exactly like the local route
+                      dedup_off_pct=50, related_pct=70,
+                      soft401_pct=30, httperror_allowed_pct=60)
     shuffle_c, shuffle_res = _run(cfg, prefilter_threshold=0,
                                   inline_threshold=0)
     local_c, local_res = _run(cfg)
