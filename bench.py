@@ -205,6 +205,16 @@ def run_bench() -> dict:
         "images_written": stats["images"],
         "items_emitted": stats["items"],
         "seen_urls": stats["seen"],
+        # World knobs recorded IN the artifact: the headline wall is only
+        # comparable across rounds at equal knob settings (each knob's
+        # increment is A/B-measured in BASELINE.md — gzip +0.9 s,
+        # GIF +0.75 s, WebP +1.2 s, ... — so a heavier-world wall is
+        # numerically attributable without prose).
+        "world_knobs": {
+            "num_hosts": BENCH_WORLD["num_hosts"],
+            "details_per_page": BENCH_WORLD["details_per_page"],
+            **BENCH_WORLD["world_overrides"],
+        },
         "queries": {},
     }
 
