@@ -114,7 +114,22 @@ BENCH_WORLD = dict(
                          featured_pct=int(os.environ.get(
                              "GRAFT_BENCH_FEATURED", "0")),
                          custom_politeness_pct=int(os.environ.get(
-                             "GRAFT_BENCH_POLITENESS", "0"))),
+                             "GRAFT_BENCH_POLITENESS", "0")),
+                         # request-header surfaces: content-negotiated
+                         # (Accept-Language) hosts with month-name
+                         # dates, hotlink-protected images (Referer),
+                         # XHR-gated and JSON-body API endpoints. The
+                         # engine always sends the right headers, so
+                         # fetch/image/item counts stay IDENTICAL →
+                         # on by default like offsite/cookie
+                         lang_host_pct=int(os.environ.get(
+                             "GRAFT_BENCH_LANG", "40")),
+                         hotlink_pct=int(os.environ.get(
+                             "GRAFT_BENCH_HOTLINK", "40")),
+                         xhr_api_pct=int(os.environ.get(
+                             "GRAFT_BENCH_XHR", "50")),
+                         json_api_pct=int(os.environ.get(
+                             "GRAFT_BENCH_JSONAPI", "50"))),
 )
 
 BENCH_QUERIES = [

@@ -297,6 +297,28 @@ def extract_date(s: str) -> str:
     return f"{int(year):04d}-{mon:02d}-{int(day):02d}"
 
 
+def extract_date_batch(s: pd.Series) -> np.ndarray:
+    """Vectorized M13: one ``str.extract`` pass + a dict lookup on the
+    month-name column — element-for-element equal to ``extract_date``
+    where a date is found, None where not (the batch form is a
+    fallback stage, so pass-through would be wrong here)."""
+    filled = s.fillna("").astype(str)
+    ext = filled.str.extract(_RE_MONTH_DATE, expand=True)
+    mon = ext[1].str.lower().map(_MONTHS)
+    ok = ext[0].notna() & mon.notna()
+    out = np.full(len(s), None, dtype=object)
+    if ok.any():
+        day = ext[0][ok].astype(int)
+        year = ext[2][ok].astype(int)
+        iso = (
+            year.map("{:04d}".format)
+            + "-" + mon[ok].astype(int).map("{:02d}".format)
+            + "-" + day.map("{:02d}".format)
+        )
+        out[ok.to_numpy()] = iso.to_numpy(dtype=object)
+    return out
+
+
 def parse_date_with_year_bump(s: str, fmt: str = "%d/%m/%Y") -> str | None:
     """M14 — helper.py:593-605 semantics: parse; if the date is before
     REF_TODAY, bump the year by one (listings advertise future
@@ -704,6 +726,19 @@ def normalize_items(df: pd.DataFrame) -> pd.DataFrame:
         cur[rent_empty] = None
         out["currency"] = cur
     out["available_date"] = parse_date_with_year_bump_batch(df["date_raw"])
+    # month-name fallback (M13 ∘ M14): content-negotiating hosts render
+    # "07 Enero 2026"-style dates in the spider's requested language —
+    # rows the numeric format missed go through the multilingual
+    # month-name extractor, then the same year-bump.
+    _raw_nonempty = (
+        ~(df["date_raw"].isna() | (df["date_raw"].fillna("") == ""))
+    ).to_numpy()
+    _ad_miss = pd.isna(out["available_date"]).to_numpy() & _raw_nonempty
+    if _ad_miss.any():
+        iso = extract_date_batch(df["date_raw"][_ad_miss])
+        out.loc[_ad_miss, "available_date"] = parse_date_with_year_bump_batch(
+            pd.Series(iso, index=df.index[_ad_miss]), fmt="%Y-%m-%d"
+        )
     # zipcode/city split out of the address tail (loaders.py address
     # processors analog); landlord contact pulled from the RAW
     # description BEFORE description_cleaner strips it (M20 removes

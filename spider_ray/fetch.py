@@ -153,9 +153,26 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
     )
     hosts_in = (
         batch["host"].to_pylist()
-        if cookies and "host" in batch.column_names
+        if "host" in batch.column_names
         else [None] * len(urls)
     )
+    cfg = world.cfg
+    # RefererMiddleware analog (on by default, like Scrapy's): every
+    # request discovered from a response carries Referer = that
+    # response's URL — which is exactly the parent_url column the
+    # frontier already tracks. Seeds have no parent → no Referer.
+    referers = (
+        batch["parent_url"].to_pylist()
+        if cfg.referer_enabled and "parent_url" in batch.column_names
+        else [None] * len(urls)
+    )
+    # per-spider headers= dict (Accept-Language / X-Requested-With):
+    # pure function of host, computed once per distinct host per batch
+    hdr_by_host: dict = {}
+    if cfg.send_spider_headers:
+        for ho in set(hosts_in):
+            if ho is not None:
+                hdr_by_host[ho] = cfg.spider_headers(ho) or None
     fps = batch["url_hash"].to_numpy(zero_copy_only=False)
     if served is None:
         served = {}
@@ -190,6 +207,8 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
         page = world.resolve(
             u, attempt=rc or 0, form_body=fb,
             cookie=cookies.get(ho) if cookies and ho else None,
+            referer=referers[j],
+            headers=hdr_by_host.get(ho),
         )
         statuses[j] = page.status
         kinds.append(page.kind)

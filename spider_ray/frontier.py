@@ -801,16 +801,17 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 if data["has_more"]:
                     nskip = data["skip"] + data["take"]
                     page = (z["meta_page"][i] or 1) + 1
-                    fb = f"skip={nskip}&take={data['take']}"
                     # __VIEWSTATE analog: echo the server-issued token
-                    # back in the next page's form body (the spider
-                    # harvests it from the response, adams.py:91-92)
-                    if data.get("viewstate"):
-                        fb += f"&viewstate={data['viewstate']}"
+                    # back in the next page's body (the spider harvests
+                    # it from the response, adams.py:91-92); cfg.api_body
+                    # encodes in the host's dialect — JSON for
+                    # json_api hosts (body=json.dumps), form otherwise
+                    fb = cfg.api_body(z["host"][i], nskip, data["take"],
+                                      data.get("viewstate"))
                     link_raw.append(
                         (z["url"][i], base, depth, sp,
                          len(data["results"]), "parse", None,
-                         fb.encode(),
+                         fb,
                          page, nskip, data["take"], False)
                     )
             elif kind == "sitemap":

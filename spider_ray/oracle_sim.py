@@ -64,6 +64,9 @@ class _Cand:
     page: int = 1
     priority: int = 0
     seq: int = -1
+    # RefererMiddleware mirror: the URL of the response this request
+    # was discovered from (None for seeds) — engine's parent_url column
+    referer: str | None = None
 
     @property
     def fingerprint(self) -> int:
@@ -228,11 +231,18 @@ class OracleCrawler:
                     if sc and jar_on:
                         cookie_staged[c.host] = sc
                 else:
+                    cfgw = self.world.cfg
                     page = self.world.resolve(
                         c.canonical,
                         attempt=c.retry_count,
                         form_body=c.form_body,
                         cookie=cookie_jar.get(c.host) if jar_on else None,
+                        # client-stack mirror: Referer from the parent
+                        # response (RefererMiddleware) + the spider's
+                        # own headers= dict, both engine-identical
+                        referer=c.referer if cfgw.referer_enabled else None,
+                        headers=(cfgw.spider_headers(c.host) or None)
+                        if cfgw.send_spider_headers else None,
                     )
                     if page.set_cookie and jar_on:
                         cookie_staged[c.host] = page.set_cookie
@@ -285,11 +295,12 @@ class OracleCrawler:
                         nskip = data["skip"] + data["take"]
                         child = self._child(c, c.canonical, "parse", c.depth,
                                             len(data["results"]))
-                        fb = f"skip={nskip}&take={data['take']}"
-                        if data.get("viewstate"):
-                            # __VIEWSTATE echo (engine in lockstep)
-                            fb += f"&viewstate={data['viewstate']}"
-                        child.form_body = fb.encode()
+                        # __VIEWSTATE echo + host body dialect (JSON
+                        # for json_api hosts), engine in lockstep via
+                        # the shared cfg.api_body encoder
+                        child.form_body = self.world.cfg.api_body(
+                            c.host, nskip, data["take"],
+                            data.get("viewstate"))
                         child.page = c.page + 1
                         nxt.append(child)
                 elif page.kind == "sitemap":
@@ -366,4 +377,5 @@ class OracleCrawler:
                skip_dedup: bool = False) -> _Cand:
         cu = canonicalize(href, parent.canonical)
         return _Cand(href, cu, host_of(cu), depth, parent.seq, seq_link,
-                     callback, caption, skip_dedup=skip_dedup)
+                     callback, caption, skip_dedup=skip_dedup,
+                     referer=parent.canonical)

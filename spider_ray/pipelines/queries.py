@@ -2132,6 +2132,14 @@ _CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                       dedup_off_pct=50, related_pct=60,
                       featured_pct=40, custom_politeness_pct=60,
                       api_host_pct=50, viewstate_pct=100,
+                      # request-header surfaces: Accept-Language
+                      # content negotiation (month-name dates through
+                      # the M13 multilingual extractor), hotlinked
+                      # images behind the Referer the engine's
+                      # RefererMiddleware analog sends, XHR-gated and
+                      # JSON-body API endpoints
+                      lang_host_pct=50, hotlink_pct=50,
+                      xhr_api_pct=60, json_api_pct=60,
                       retry_http_codes=(500, 503, 504, 400, 401, 403, 405,
                                         407, 408, 416, 456, 502, 429, 307))
 

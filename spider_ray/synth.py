@@ -313,6 +313,52 @@ class WorldConfig:
     # Acyclic by construction (details are leaves), so the crawl stays
     # bounded. Default 0 = byte-stable crawl outputs.
     related_pct: int = 0
+    # ------------------------------------------------ request headers
+    # % of plain listing hosts that CONTENT-NEGOTIATE on the request's
+    # Accept-Language header — the reference's single widest header
+    # surface (295 spiders hardcode Accept-Language in their request
+    # headers; 20 route it through a get_lang helper,
+    # spiders/mioda_it.py / i30_de.py style). A request carrying the
+    # host's language gets the real listing and detail pages with the
+    # available date RENDERED IN THAT LANGUAGE's month names (the M13
+    # multilingual-date surface, helper.py:206-266); a request without
+    # it gets the language-chooser splash page real sites serve — zero
+    # listing links, so a crawler whose spider forgot its headers
+    # demonstrably loses the whole host. Default 0 = byte-stable.
+    lang_host_pct: int = 0
+    # % of hosts with hotlink-protected images: /img/* answers 403
+    # unless the request's Referer header names the same host — the
+    # surface Scrapy's RefererMiddleware (on by default) transparently
+    # satisfies and 192 reference spiders additionally hardcode.
+    # The engine sends Referer = the discovering page's URL on every
+    # non-seed request, so its image fetches pass; a crawler with
+    # REFERRER_POLICY disabled loses every protected image. Default 0.
+    hotlink_pct: int = 0
+    # % of API hosts whose /api/search answers 403 unless the request
+    # carries "X-Requested-With: XMLHttpRequest" — the AJAX-endpoint
+    # gate 49 reference spiders hardcode in headers
+    # (spiders/vivenzi_it.py style). The spider author knows the site
+    # needs it, so it rides in spider_headers(). Default 0.
+    xhr_api_pct: int = 0
+    # % of API hosts whose /api/search takes a JSON request body
+    # ({"skip":N,"take":M}, Content-Type application/json — the
+    # JsonRequest / body=json.dumps() form 69 reference spiders POST,
+    # e.g. barnes (body=json.dumps(payload))) instead of
+    # form-encoded. The endpoint REJECTS a form-encoded body with 400,
+    # and the form endpoints keep their lenient parse_qs. The request
+    # fingerprint already covers url+body bytes, so JSON-paged
+    # requests are distinct frontier entries like form-paged ones.
+    # Default 0 = byte-stable crawl outputs.
+    json_api_pct: int = 0
+    # REFERER_ENABLED analog (Scrapy's RefererMiddleware is on by
+    # default): when False the client stack attaches no Referer —
+    # hotlink-protected images then 403 to exhaustion, the observable
+    # loss the middleware exists to prevent.
+    referer_enabled: bool = True
+    # when False the spider's own headers= dict (Accept-Language,
+    # X-Requested-With) is not sent — the "author forgot the headers"
+    # negative control for the lang/xhr gates.
+    send_spider_headers: bool = True
     seed: int = 42
 
     def host(self, i: int) -> str:
@@ -343,6 +389,92 @@ class WorldConfig:
         previous response's JSON, never compute it."""
         return f"{splitmix64(xxh64(f'vs:{self.seed}:{host}:{skip}')):016x}"
 
+    def host_i(self, host: str) -> int:
+        """Index of a world host name (``h{i}.test``), -1 for foreign."""
+        if not host or not host.startswith("h") or not host.endswith(".test"):
+            return -1
+        try:
+            i = int(host[1 : -len(".test")])
+        except ValueError:
+            return -1
+        return i if 0 <= i < self.num_hosts else -1
+
+    def is_lang_host(self, i: int) -> bool:
+        """Content-negotiating hosts: plain listing hosts only (API
+        responses are JSON — nothing to localize — and sitemap-
+        discovered details never pass a listing that could splash)."""
+        return (
+            not self.is_api_host(i)
+            and not self.is_sitemap_host(i)
+            and splitmix64(xxh64(f"langhost:{self.seed}:{i}")) % 100
+            < self.lang_host_pct
+        )
+
+    def host_lang(self, i: int) -> str:
+        """The language a lang host negotiates in — drawn from the
+        reference's dateparser language set (helper.py:596
+        languages=[en, es, fr, nl, tr] plus the de month dict)."""
+        langs = ("es", "tr", "de", "nl", "fr")
+        return langs[splitmix64(xxh64(f"lang:{self.seed}:{i}")) % len(langs)]
+
+    def is_hotlink_host(self, i: int) -> bool:
+        """Hosts whose /img/* URLs demand a same-host Referer."""
+        return (
+            splitmix64(xxh64(f"hotlink:{self.seed}:{i}")) % 100
+            < self.hotlink_pct
+        )
+
+    def is_xhr_api_host(self, i: int) -> bool:
+        """API hosts whose search endpoint demands X-Requested-With."""
+        return (
+            self.is_api_host(i)
+            and splitmix64(xxh64(f"xhrhost:{self.seed}:{i}")) % 100
+            < self.xhr_api_pct
+        )
+
+    def is_json_api_host(self, i: int) -> bool:
+        """API hosts whose search endpoint takes a JSON request body."""
+        return (
+            self.is_api_host(i)
+            and splitmix64(xxh64(f"jsonapi:{self.seed}:{i}")) % 100
+            < self.json_api_pct
+        )
+
+    def spider_headers(self, host: str) -> dict:
+        """The per-spider request ``headers=`` dict — spider-authored
+        CLIENT config, a pure function of host exactly like
+        ``host_settings`` (the reference hardcodes the dict per spider;
+        one spider = one host here). The fetch stage and the oracle
+        simulator both attach it to every request when
+        ``send_spider_headers`` is on."""
+        i = self.host_i(host)
+        h: dict = {}
+        if i >= 0:
+            if self.is_lang_host(i):
+                h["Accept-Language"] = self.host_lang(i)
+            if self.is_xhr_api_host(i):
+                h["X-Requested-With"] = "XMLHttpRequest"
+        return h
+
+    def api_body(self, host: str, skip: int, take: int,
+                 viewstate: str | None = None) -> bytes:
+        """Encode the next search-POST body in the host's dialect —
+        JSON for json_api hosts (body=json.dumps, 69 reference
+        spiders), form-encoded otherwise. ONE encoder shared by
+        seeds(), the engine's parse kernel and the oracle simulator so
+        the three can't drift."""
+        if self.is_json_api_host(self.host_i(host)):
+            import json as _json
+
+            doc: dict = {"skip": skip, "take": take}
+            if viewstate:
+                doc["viewstate"] = viewstate
+            return _json.dumps(doc, separators=(",", ":")).encode()
+        fb = f"skip={skip}&take={take}"
+        if viewstate:
+            fb += f"&viewstate={viewstate}"
+        return fb.encode()
+
     def is_cookie_host(self, i: int) -> bool:
         """Session-gated hosts: plain listing hosts only. API hosts
         carry their session in the form body (ST10 meta) and
@@ -371,7 +503,8 @@ class WorldConfig:
                 out.append(
                     {
                         "url": f"http://{self.host(i)}/api/search",
-                        "form_body": f"skip=0&take={self.details_per_page}".encode(),
+                        "form_body": self.api_body(
+                            self.host(i), 0, self.details_per_page),
                         "meta": {"page": 1, "skip": 0, "take": self.details_per_page},
                     }
                 )
@@ -580,7 +713,27 @@ def host_separators(cfg: WorldConfig, host: str) -> tuple[str, str]:
     return (".", ",") if eu else (",", ".")
 
 
-def detail_raw_fields(cfg: WorldConfig, host: str, k: int, caption: str) -> dict:
+# Server-side month-name rendering tables for content-negotiating
+# hosts (lang_host_pct). Each name round-trips through the client's
+# multilingual month dict (extract._MONTHS — the helper.py:206-266
+# languages), which is the whole point of the surface: the reference
+# spiders request a language their parsing tables can read.
+LOCALIZED_MONTHS = {
+    "es": ("Enero", "Febrero", "Marzo", "Abril", "Mayo", "Junio", "Julio",
+           "Agosto", "Septiembre", "Octubre", "Noviembre", "Diciembre"),
+    "tr": ("Ocak", "Şubat", "Mart", "Nisan", "Mayıs", "Haziran", "Temmuz",
+           "Ağustos", "Eylül", "Ekim", "Kasım", "Aralık"),
+    "de": ("Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+           "August", "September", "Oktober", "November", "Dezember"),
+    "nl": ("Januari", "Februari", "Maart", "April", "Mei", "Juni", "Juli",
+           "Augustus", "September", "Oktober", "November", "December"),
+    "fr": ("Janvier", "Février", "Mars", "Avril", "Mai", "Juin", "Juillet",
+           "Août", "Septembre", "Octobre", "Novembre", "Décembre"),
+}
+
+
+def detail_raw_fields(cfg: WorldConfig, host: str, k: int, caption: str,
+                      lang: str | None = None) -> dict:
     """Raw (pre-normalization) listing fields for detail ordinal ``k``.
 
     Deliberately messy in the ways helper.py has to handle: dual
@@ -619,6 +772,15 @@ def detail_raw_fields(cfg: WorldConfig, host: str, k: int, caption: str) -> dict
     energy_kwh = 1 + take(8) % 120
     amen_mask = take(9)
     amenities = [w for j, w in enumerate(AMENITY_WORDS) if amen_mask >> j & 1]
+    # content negotiation: same drawn date, rendered in the negotiated
+    # language's month names ("07 Enero 2026" — the M13 form) when the
+    # request carried the host's Accept-Language; numeric %d/%m/%Y (the
+    # default locale) otherwise. Draw stream identical either way.
+    date_raw = (
+        f"{day:02d} {LOCALIZED_MONTHS[lang][month - 1]} {year}"
+        if lang
+        else f"{day:02d}/{month:02d}/{year}"
+    )
     n_img = 1 + take(8) % cfg.images_per_detail
     images = [f"http://{host}/img/{k}_{j}.png" for j in range(n_img)]
     if take(8) % 4 == 0 and images:
@@ -638,7 +800,7 @@ def detail_raw_fields(cfg: WorldConfig, host: str, k: int, caption: str) -> dict
         "room_count": rooms,
         "bathroom_count": baths,
         "rent_raw": f"{symbol} {rent_string} per month",
-        "available_date_raw": f"{day:02d}/{month:02d}/{year}",
+        "available_date_raw": date_raw,
         "energy_kwh": energy_kwh,
         "latitude": f"{50 + (take(16) % 1000) / 100.0:.2f}",
         "longitude": f"{3 + (take(16) % 400) / 100.0:.2f}",
@@ -650,8 +812,9 @@ def detail_raw_fields(cfg: WorldConfig, host: str, k: int, caption: str) -> dict
     }
 
 
-def detail_html(cfg: WorldConfig, host: str, k: int, caption: str) -> str:
-    f = detail_raw_fields(cfg, host, k, caption)
+def detail_html(cfg: WorldConfig, host: str, k: int, caption: str,
+                lang: str | None = None) -> str:
+    f = detail_raw_fields(cfg, host, k, caption, lang)
     imgs = "\n".join(f'<img class="photo" src="{u}">' for u in f["images"])
     return f"""<html><head><title>{f['title']}</title>
 <script type="application/ld+json">{{"geo": {{"latitude": {f['latitude']}, "longitude": {f['longitude']}}}}}</script>
@@ -713,7 +876,9 @@ class World:
 
     def resolve(self, url: str, attempt: int = 0,
                 form_body: bytes | None = None,
-                cookie: str | None = None) -> Page:
+                cookie: str | None = None,
+                referer: str | None = None,
+                headers: dict | None = None) -> Page:
         """Server-side resolution + HTTP content coding: when
         ``cfg.gzip_pct`` > 0, that share of 200 text responses goes
         out gzip- (3/4) or zlib-deflate- (1/4) compressed with
@@ -723,7 +888,8 @@ class World:
         client side — transparent decode before parsing — lives in
         :func:`spider_ray.fetch.decode_http_body` (the Scrapy
         HttpCompressionMiddleware analog)."""
-        page = self._resolve_plain(url, attempt, form_body, cookie)
+        page = self._resolve_plain(url, attempt, form_body, cookie,
+                                   referer, headers)
         cfg = self.cfg
         if (
             cfg.gzip_pct
@@ -749,7 +915,9 @@ class World:
 
     def _resolve_plain(self, url: str, attempt: int = 0,
                        form_body: bytes | None = None,
-                       cookie: str | None = None) -> Page:
+                       cookie: str | None = None,
+                       referer: str | None = None,
+                       headers: dict | None = None) -> Page:
         cfg = self.cfg
         from urllib.parse import parse_qs, urlsplit
 
@@ -768,9 +936,33 @@ class World:
                 return Page(url, 404, "missing", latency_ms=latency)
             import json as _json
 
-            params = parse_qs(form_body.decode("utf-8", "replace"))
-            skip = int(params.get("skip", ["0"])[0])
-            take = max(1, int(params.get("take", ["8"])[0]))
+            # AJAX gate: 49 reference spiders hardcode
+            # "X-Requested-With: XMLHttpRequest" because the endpoint
+            # 403s plain POSTs. Checked before body parsing, like the
+            # frameworks that implement it (is_ajax middleware).
+            if cfg.is_xhr_api_host(i) and (headers or {}).get(
+                    "X-Requested-With") != "XMLHttpRequest":
+                return Page(url, 403, "api", latency_ms=latency)
+            raw_body = form_body.decode("utf-8", "replace")
+            if cfg.is_json_api_host(i):
+                # JSON-body endpoint (body=json.dumps — 69 reference
+                # spiders): a non-JSON body is a client error, not a
+                # lenient parse. The form endpoints below keep their
+                # parse_qs tolerance.
+                try:
+                    p = _json.loads(raw_body)
+                    if not isinstance(p, dict):
+                        raise ValueError
+                except ValueError:
+                    return Page(url, 400, "api", latency_ms=latency)
+                skip = int(p.get("skip", 0))
+                take = max(1, int(p.get("take", 8)))
+                vs_sent = str(p.get("viewstate", ""))
+            else:
+                params = parse_qs(raw_body)
+                skip = int(params.get("skip", ["0"])[0])
+                take = max(1, int(params.get("take", ["8"])[0]))
+                vs_sent = params.get("viewstate", [""])[0]
             total = cfg.pages_for_host(i) * cfg.details_per_page
             base_k = i * (cfg.max_pages_per_host * cfg.details_per_page)
             # __VIEWSTATE analog (21 reference spiders harvest ASP.NET
@@ -781,8 +973,7 @@ class World:
             # missing/wrong token is rejected. The token is server
             # state the client can only learn from the page.
             if cfg.is_viewstate_host(i):
-                if skip > 0 and (params.get("viewstate", [""])[0]
-                                 != cfg.viewstate_token(host, skip)):
+                if skip > 0 and vs_sent != cfg.viewstate_token(host, skip):
                     return Page(url, 403, "api", latency_ms=latency)
                 nxt_vs = cfg.viewstate_token(host, skip + take)
             else:
@@ -846,6 +1037,20 @@ class World:
             npages = cfg.pages_for_host(i)
             if page < 1 or page > npages:
                 return Page(url, 404, "missing", latency_ms=latency)
+            if cfg.is_lang_host(i) and (headers or {}).get(
+                    "Accept-Language") != cfg.host_lang(i):
+                # content negotiation: without the site's language the
+                # server answers its language-chooser splash — a real
+                # 200 page with zero listing anchors. No session cookie
+                # either (the splash is pre-session). The reference
+                # spiders hardcode Accept-Language precisely to skip
+                # this page (295 of them).
+                body = (
+                    "<html><body><div class=\"lang-picker\">"
+                    "Choose your language / Elija su idioma"
+                    "</div></body></html>"
+                ).encode()
+                return Page(url, 200, "listing", body, "text/html", latency)
             links = []
             for slot in range(cfg.details_per_page):
                 k = detail_key(i, page, slot, cfg)
@@ -917,8 +1122,18 @@ class World:
                 return Page(url, 403, "detail", latency_ms=latency)
             if attempt == 0 and _h(cfg, "flaky", k) % 100 < cfg.fail_pct:
                 return Page(url, TRANSIENT_CODE, "detail", latency_ms=latency)
+            # content negotiation on details: a matching Accept-Language
+            # gets the date rendered in that language's month names
+            # (the M13 multilingual surface); anything else gets the
+            # default numeric locale. Same fields either way.
+            lang = (
+                cfg.host_lang(i)
+                if cfg.is_lang_host(i)
+                and (headers or {}).get("Accept-Language") == cfg.host_lang(i)
+                else None
+            )
             body, cs = encode_page(
-                cfg, url, detail_html(cfg, host, k, self.caption_for(k)))
+                cfg, url, detail_html(cfg, host, k, self.caption_for(k), lang))
             # soft-401: full parseable body behind an auth-warning
             # status, on EVERY attempt (deterministic, not transient) —
             # the handle_httpstatus_list surface. 401 ∈ RETRY_HTTP_CODES
@@ -933,6 +1148,15 @@ class World:
                         f"text/html; charset={cs}", latency)
 
         if path.startswith("/img/"):
+            if cfg.is_hotlink_host(i):
+                # hotlink protection: the image endpoint demands a
+                # same-host Referer (the check real CDNs run). Scrapy's
+                # RefererMiddleware — on by default — satisfies it
+                # transparently; a referer-less client 403s.
+                from urllib.parse import urlsplit as _us
+
+                if not referer or _us(referer).netloc.lower() != host:
+                    return Page(url, 403, "image", latency_ms=latency)
             key = path.rpartition("/")[2]
             data, fmt, _w, _hh = image_bytes(cfg, key.split(".")[0])
             return Page(url, 200, "image", data, f"image/{fmt}", latency, fmt=fmt)

@@ -835,6 +835,7 @@ def test_kitchen_sink_world_matches_oracle(ray_session, tmp_path):
         gzip_pct=40, latin1_pct=30, redirect_pct=25, offsite_pct=30,
         soft401_pct=25, handle_httpstatus_list=(401,),
         httperror_allowed_pct=50, dedup_off_pct=50, related_pct=70,
+        lang_host_pct=50, hotlink_pct=50, xhr_api_pct=60, json_api_pct=60,
         retry_http_codes=(500, 503, 504, 400, 401, 403, 405, 407, 408,
                           416, 456, 502, 429, 307),
     )

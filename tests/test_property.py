@@ -38,6 +38,12 @@ def world_cfgs(draw):
         related_pct=draw(st.sampled_from([0, 70])),
         soft401_pct=draw(st.sampled_from([0, 40])),
         httperror_allowed_pct=draw(st.sampled_from([0, 60])),
+        # request-header surfaces: content negotiation, hotlinked
+        # images, XHR gates and JSON request bodies
+        lang_host_pct=draw(st.sampled_from([0, 60])),
+        hotlink_pct=draw(st.sampled_from([0, 60])),
+        xhr_api_pct=draw(st.sampled_from([0, 100])),
+        json_api_pct=draw(st.sampled_from([0, 100])),
         seed=draw(st.integers(1, 10_000)),
     )
 
