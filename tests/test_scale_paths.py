@@ -232,7 +232,14 @@ def test_groupby_shuffle_path_with_new_knobs(ray_session):
                       # must survive the prefilter + shuffle admission
                       # exactly like the local route
                       dedup_off_pct=50, related_pct=70,
-                      soft401_pct=30, httperror_allowed_pct=60)
+                      soft401_pct=30, httperror_allowed_pct=60,
+                      # header surfaces: the shuffle route's fetch
+                      # slices must carry parent_url (Referer) and the
+                      # per-host spider headers exactly like the local
+                      # route, or hotlinked images / negotiated
+                      # listings / gated API pages silently drop
+                      lang_host_pct=50, hotlink_pct=60,
+                      xhr_api_pct=100, json_api_pct=50)
     shuffle_c, shuffle_res = _run(cfg, prefilter_threshold=0,
                                   inline_threshold=0)
     local_c, local_res = _run(cfg)
