@@ -188,3 +188,30 @@ def test_header_surfaces_streaming_matches_driver(ray_session, tmp_path):
     assert sc.seen_set() == eng_seen
     assert sres["fetched"] == res["fetched"]
     assert sres["images"] == res["images"]
+
+
+def test_http_cache_warm_rerun_on_gated_world(ray_session, tmp_path):
+    """HTTP cache × header gates: DummyPolicy keys by fingerprint only
+    (headers are not part of the cache key, like Scrapy's), so a warm
+    re-run over a fully gated world — negotiated listings, hotlinked
+    images, XHR'd JSON APIs — serves every stored response without one
+    world resolve and reproduces the cold outputs byte-for-byte."""
+    from spider_ray.frontier import Crawler
+
+    cfg = _cfg(lang_host_pct=50, hotlink_pct=100, api_host_pct=34,
+               xhr_api_pct=100, json_api_pct=100,
+               fail_pct=0, notfound_pct=0)
+    cache_dir = str(tmp_path / "hc")
+
+    def run():
+        c = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                    round_window_ms=60_000, http_cache_dir=cache_dir)
+        c.crawl(cfg.seeds())
+        c.close()
+        return c
+
+    cold, warm = run(), run()
+    assert _fetch_sets(cold) == _fetch_sets(warm)
+    assert cold.images_table().to_pydict() == warm.images_table().to_pydict()
+    assert cold.images_table().num_rows > 0
+    assert sum(row["rows_deferred"] for row in warm.lineage) == 0
