@@ -30,7 +30,13 @@ import numpy as np
 import pyarrow as pa
 
 from .proxy import ProxyConfig, select_proxy
-from .synth import RETRY_HTTP_CODES, World, WorldConfig
+from .synth import (
+    RETRY_HTTP_CODES,
+    TIMEOUT_EXC_STATUS,
+    Page,
+    World,
+    WorldConfig,
+)
 
 # module-level default (immutable); a deployment overrides via
 # spider_ray.proxy.ProxyConfig in its own fetch wrapper
@@ -210,6 +216,15 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
             referer=referers[j],
             headers=hdr_by_host.get(ho),
         )
+        # DOWNLOAD_TIMEOUT gate (client-side, like Scrapy's downloader):
+        # a response slower than the spider's budget never arrives —
+        # no status, no Set-Cookie, no body; the attempt is recorded as
+        # the exception sentinel and is NOT cached (HttpCacheMiddleware
+        # stores responses, and a timeout has none).
+        to_ms = (cfg.host_download_timeout_ms(ho) if ho is not None
+                 else cfg.download_timeout_ms)
+        if page.latency_ms > to_ms:
+            page = Page(u, TIMEOUT_EXC_STATUS, "timeout", latency_ms=to_ms)
         statuses[j] = page.status
         kinds.append(page.kind)
         # downloader-middleware decode: parse stages always see the
@@ -220,7 +235,8 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
         set_cookies.append(page.set_cookie)
         latencies[j] = page.latency_ms
         total_sleep += page.latency_ms / 1000.0
-        miss_idx.append(j)
+        if page.status != TIMEOUT_EXC_STATUS:
+            miss_idx.append(j)
     if cache is not None and miss_idx:
         # DummyPolicy store: EVERY downloaded response (error statuses
         # included), visible from round_no+1 (round-aligned)

@@ -82,7 +82,12 @@ from .fetch import MAX_RETRIES, fetch_batch
 from .imaging import decode, phash
 from .politeness import PolitenessAdmit, prefilter_topk_per_host
 from .schema import AMENITY_COLUMNS, FRONTIER_SCHEMA, IMAGES_SCHEMA
-from .synth import RETRY_HTTP_CODES, WorldConfig, host_separators
+from .synth import (
+    RETRY_HTTP_CODES,
+    TIMEOUT_EXC_STATUS,
+    WorldConfig,
+    host_separators,
+)
 
 _EMPTY_FRONTIER = FRONTIER_SCHEMA.empty_table()
 
@@ -643,11 +648,17 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         ~ok_mask
         & ~redirect_mask
         # RETRY_HTTP_CODES (settings.py:99; 20 spiders override the
-        # list in custom_settings) — per-spider via cfg
-        & np.isin(status, np.array(
+        # list in custom_settings) — per-spider via cfg — plus the
+        # DOWNLOAD_TIMEOUT exception sentinel: Scrapy's RetryMiddleware
+        # retries EXCEPTIONS_TO_RETRY (TimeoutError included)
+        # regardless of the status list, and an exhausted timeout just
+        # dies (handle_httpstatus_list below can't rescue it — its
+        # lists hold HTTP codes and a timeout has none).
+        & (np.isin(status, np.array(
             sorted(getattr(cfg, "retry_http_codes",
                            tuple(sorted(RETRY_HTTP_CODES)))),
             dtype=status.dtype))
+           | (status == TIMEOUT_EXC_STATUS))
         # RETRY_TIMES (settings.py:98 = 3; 54 spiders override it in
         # custom_settings) — per-spider via cfg, default matches
         & (retry_count < getattr(cfg, "retry_times", MAX_RETRIES))

@@ -42,7 +42,7 @@ from spider_ray.politeness import (
     host_budget,
     parse_robots,
 )
-from spider_ray.synth import Page, World, WorldConfig
+from spider_ray.synth import TIMEOUT_EXC_STATUS, Page, World, WorldConfig
 
 MAX_RETRIES = 3
 _RE_CAPTION = __import__("re").compile(r"<p>(.*?)</p>", __import__("re").DOTALL)
@@ -244,13 +244,21 @@ class OracleCrawler:
                         headers=(cfgw.spider_headers(c.host) or None)
                         if cfgw.send_spider_headers else None,
                     )
+                    # DOWNLOAD_TIMEOUT gate mirror (fetch._fetch_table):
+                    # a response slower than the spider's budget never
+                    # arrives — no Set-Cookie learned, nothing cached.
+                    if page.latency_ms > cfgw.host_download_timeout_ms(
+                            c.host):
+                        page = Page(c.canonical, TIMEOUT_EXC_STATUS,
+                                    "timeout")
                     if page.set_cookie and jar_on:
                         cookie_staged[c.host] = page.set_cookie
                     # client-stack mirror: the engine's fetch stage
                     # decodes Content-Encoding before parsing
                     page.body = decode_http_body(page.body,
                                                  page.content_encoding)
-                    if self.http_cache is not None:
+                    if (self.http_cache is not None
+                            and page.status != TIMEOUT_EXC_STATUS):
                         # DummyPolicy store: every download, errors too
                         self.http_cache[c.fingerprint] = (
                             page.status, page.kind, page.body, page.fmt,
@@ -268,7 +276,8 @@ class OracleCrawler:
                                            skip_dedup=c.skip_dedup))
                     continue
                 if page.status != 200:
-                    if (page.status in self.world.cfg.retry_http_codes
+                    if ((page.status in self.world.cfg.retry_http_codes
+                         or page.status == TIMEOUT_EXC_STATUS)
                             and c.retry_count
                             < self.world.cfg.retry_times):
                         c.retry_count += 1

@@ -2140,6 +2140,13 @@ _CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                       # JSON-body API endpoints
                       lang_host_pct=50, hotlink_pct=50,
                       xhr_api_pct=60, json_api_pct=60,
+                      # DOWNLOAD_TIMEOUT surface: a short spider-wide
+                      # budget (the WagnerHausverwaltung shape) over a
+                      # world with slow endpoints — slow details die
+                      # after retries UNLESS the host's spider drew a
+                      # long palette timeout (timeout_host_pct)
+                      slow_pct=35, download_timeout_ms=20_000,
+                      timeout_host_pct=50,
                       retry_http_codes=(500, 503, 504, 400, 401, 403, 405,
                                         407, 408, 416, 456, 502, 429, 307))
 

@@ -60,6 +60,35 @@ RETRY_HTTP_CODES = frozenset(
 # in the synthetic world we only inject 503s (transient) and 404s (permanent)
 TRANSIENT_CODE = 503
 PERMANENT_CODE = 404
+# sentinel status for a download the CLIENT aborted at its
+# DOWNLOAD_TIMEOUT budget — Scrapy raises twisted TimeoutError (an
+# exception, not a response): no status, no headers, no body ever
+# arrives. RetryMiddleware retries exceptions like retryable statuses
+# (EXCEPTIONS_TO_RETRY includes TimeoutError); an exhausted request
+# simply dies — HttpErrorMiddleware / handle_httpstatus_list never see
+# it because there is no response to allow through. Negative so it can
+# never collide with an HTTP code nor match any allow/retry list.
+TIMEOUT_EXC_STATUS = -1
+# latency of a "slow endpoint" detail page (slow_pct) — long enough to
+# trip the short spider-declared timeouts in _TIMEOUT_PALETTE (10 s /
+# 25 s) while staying under every long one (60 s+) and Scrapy's 180 s
+# default, so only spiders that tightened DOWNLOAD_TIMEOUT lose pages.
+SLOW_LATENCY_MS = 45_000
+# DOWNLOAD_TIMEOUT census over the reference corpus (the spider
+# attribute, 17 spiders: download_timeout = 120×9 / 60×2 / 200×2 /
+# 300×2 / 180×1, spiders/logerim_com.py:20, agenceatauxreduits_fr.py:32;
+# plus the custom_settings form, 2 spiders: "DOWNLOAD_TIMEOUT": 10
+# (WagnerHausverwaltung.py:19) and 25 (DH_Immobilienservice.py:22)).
+# Weighted palette (weights sum to 100), values in ms:
+_TIMEOUT_PALETTE: tuple[tuple[int, int], ...] = (
+    (50, 120_000),
+    (11, 60_000),
+    (11, 200_000),
+    (11, 300_000),
+    (6, 180_000),
+    (6, 25_000),
+    (5, 10_000),
+)
 
 
 @dataclass(frozen=True)
@@ -241,6 +270,31 @@ class WorldConfig:
     # (3xx still redirect first — Scrapy's RedirectMiddleware sits
     # closer to the spider than RetryMiddleware on the response path.)
     retry_http_codes: tuple = tuple(sorted(RETRY_HTTP_CODES))
+    # DOWNLOAD_TIMEOUT analog, spider-wide form (Scrapy's global
+    # default is 180 s; 17 reference spiders set the
+    # ``download_timeout`` class attribute). The DOWNLOADER aborts any
+    # response whose server latency exceeds this budget: the request
+    # raises instead of returning a response — retried like a
+    # retryable status (TimeoutError is in Scrapy's
+    # EXCEPTIONS_TO_RETRY), then dropped; handle_httpstatus_list can't
+    # rescue it because no response exists.
+    download_timeout_ms: int = 180_000
+    # % of hosts whose spider declares its own DOWNLOAD_TIMEOUT
+    # (attribute or custom_setting — 19 reference spiders total),
+    # drawn from the census-weighted _TIMEOUT_PALETTE. The palette's
+    # short entries (10 s / 25 s — WagnerHausverwaltung.py:19,
+    # DH_Immobilienservice.py:22) are the observable ones: such a
+    # host TIMES OUT on slow_pct pages that every default-timeout
+    # host crawls fine. Default 0 = byte-stable crawl outputs.
+    timeout_host_pct: int = 0
+    # % of detail pages served by a SLOW endpoint: latency
+    # SLOW_LATENCY_MS (45 s) on every attempt — the real-web surface
+    # the reference spiders tune download_timeout against. With all
+    # timeouts at the 180 s default this only changes the latency_ms
+    # lineage column (fetch/item/image outputs byte-identical);
+    # combined with a short timeout the page is lost after retries.
+    # Default 0 = byte-stable crawl outputs.
+    slow_pct: int = 0
     # % of hosts whose spider declares custom politeness settings
     # (DOWNLOAD_DELAY / AUTOTHROTTLE_* / CONCURRENT_REQUESTS — the
     # reference's 2nd–5th most-used custom_settings keys, ~130 spiders
@@ -566,6 +620,26 @@ class WorldConfig:
             % len(_HTTPERROR_PALETTE)
         ]
         return tuple(sorted(set(base) | set(pal)))
+
+    def host_download_timeout_ms(self, host: str) -> int:
+        """This host's spider's DOWNLOAD_TIMEOUT budget in ms: the
+        census-weighted palette draw if the spider declared one
+        (timeout_host_pct), else the spider-wide ``download_timeout_ms``
+        (Scrapy's 180 s default). CLIENT config — consulted by the
+        fetch stage and the sequential oracle, never by the server-side
+        resolver. Pure function of (seed, host)."""
+        if not self.timeout_host_pct:
+            return self.download_timeout_ms
+        if (splitmix64(xxh64(f"tohost:{self.seed}:{host}")) % 100
+                >= self.timeout_host_pct):
+            return self.download_timeout_ms
+        u = splitmix64(xxh64(f"topal:{self.seed}:{host}")) % 100
+        acc = 0
+        for w, ms in _TIMEOUT_PALETTE:
+            acc += w
+            if u < acc:
+                return ms
+        return _TIMEOUT_PALETTE[-1][1]
 
     def is_dedup_off_host(self, host: str) -> bool:
         """Hosts whose spider sets DUPEFILTER_CLASS = BaseDupeFilter
@@ -1115,6 +1189,12 @@ class World:
                 k = int(k_str)
             except ValueError:
                 return Page(url, 404, "missing", latency_ms=latency)
+            # slow endpoint (slow_pct): the server stalls for
+            # SLOW_LATENCY_MS on EVERY attempt, whatever it would have
+            # answered — the client's DOWNLOAD_TIMEOUT gate (fetch /
+            # oracle side) decides whether the response ever arrives.
+            if cfg.slow_pct and _h(cfg, "slow", k) % 100 < cfg.slow_pct:
+                latency = SLOW_LATENCY_MS
             if _h(cfg, "gone", k) % 100 < cfg.notfound_pct:
                 return Page(url, PERMANENT_CODE, "missing", latency_ms=latency)
             if cfg.is_cookie_host(i) and cookie != cfg.session_cookie(host):
