@@ -596,6 +596,52 @@ def detect_and_decode(body: bytes, content_type: str = "") -> str:
         return body.decode("cp1252", "replace")
 
 
+_RE_FORM = re.compile(r"<form\b([^>]*)>(.*?)</form>", re.DOTALL)
+_RE_ATTR_ACTION = re.compile(r'\baction\s*=\s*"([^"]*)"')
+_RE_INPUT_TAG = re.compile(r"<input\b[^>]*>")
+_RE_ATTR_NAME = re.compile(r'\bname\s*=\s*"([^"]*)"')
+_RE_ATTR_VALUE = re.compile(r'\bvalue\s*=\s*"([^"]*)"')
+
+
+def parse_pager_form(body: bytes) -> tuple[str, list[tuple[str, str]]] | None:
+    """FormRequest.from_response harvest (immobiliarefaro_it.py:36-40,
+    immobiliaretafy_com.py:40): the page's first <form> → (action,
+    named input fields in DOM order). Attribute order inside the tags
+    is immaterial (name/value extracted independently, like lxml's
+    FormElement). None when the page carries no form."""
+    text = detect_and_decode(body)
+    m = _RE_FORM.search(text)
+    if not m:
+        return None
+    attrs, inner = m.group(1), m.group(2)
+    am = _RE_ATTR_ACTION.search(attrs)
+    action = am.group(1) if am else ""
+    fields = []
+    for tag in _RE_INPUT_TAG.findall(inner):
+        nm = _RE_ATTR_NAME.search(tag)
+        if not nm:
+            continue
+        vm = _RE_ATTR_VALUE.search(tag)
+        fields.append((nm.group(1), vm.group(1) if vm else ""))
+    return action, fields
+
+
+def next_page_form_body(fields: list[tuple[str, str]]) -> bytes:
+    """The next postback's body: every harvested field echoed in form
+    order, with the spider's formdata={'num_page': str(cur+1)} override
+    applied in place — FormRequest.from_response semantics. ONE encoder
+    shared by the engine parse kernel and the sequential oracle so the
+    wire bytes (and hence request fingerprints) can't drift."""
+    from urllib.parse import urlencode
+
+    out = []
+    for n, v in fields:
+        if n == "num_page":
+            v = str(int(v) + 1)
+        out.append((n, v))
+    return urlencode(out).encode()
+
+
 def parse_listing_links(body: bytes) -> tuple[list[str], str | None, list[str]]:
     """Listing page → (detail hrefs, next-page href or None, featured
     hrefs). Featured anchors are the strip the spider re-requests with

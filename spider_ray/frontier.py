@@ -73,9 +73,11 @@ from . import canon
 from .dedup import ShardedDedup
 from .extract import (
     filter_valid_items,
+    next_page_form_body,
     normalize_items,
     parse_detail_page,
     parse_listing_links,
+    parse_pager_form,
     parse_sitemap,
 )
 from .fetch import MAX_RETRIES, fetch_batch
@@ -783,6 +785,12 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
             depth = int(z["depth"][i])
             if kind == "listing":
                 links, nxt, featured = parse_listing_links(z["body"][i])
+                # FormRequest.from_response surface: postback-paginated
+                # hosts carry a <form> instead of a next anchor — the
+                # spider harvests its fields and re-POSTs with num_page
+                # bumped (immobiliarefaro_it.py:36-40)
+                form = (parse_pager_form(z["body"][i])
+                        if cfg.form_pag_pct and not nxt else None)
                 for j, href in enumerate(links):
                     link_raw.append((href, base, depth + 1, sp, j,
                                      "populate_item", None, None, None, None,
@@ -793,11 +801,18 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                     link_raw.append((nxt, base, depth, sp, len(links),
                                      "parse", None, None, None, None, None,
                                      False))
+                elif form:
+                    action, fields = form
+                    link_raw.append((action or z["url"][i], base, depth, sp,
+                                     len(links), "parse", None,
+                                     next_page_form_body(fields), None, None,
+                                     None, False))
                 # featured strip → dont_filter requests (skip_dedup):
                 # bypass the dupe filter, never fingerprinted as seen
                 for j, href in enumerate(featured):
                     link_raw.append((href, base, depth + 1, sp,
-                                     len(links) + (1 if nxt else 0) + j,
+                                     len(links) + (1 if (nxt or form) else 0)
+                                     + j,
                                      "populate_item", None, None, None, None,
                                      None, True))
             elif kind == "api":

@@ -33,7 +33,12 @@ from spider_ray.canon import (
     request_fingerprint,
     url_is_from_any_domain,
 )
-from spider_ray.extract import parse_detail_page, parse_listing_links
+from spider_ray.extract import (
+    next_page_form_body,
+    parse_detail_page,
+    parse_listing_links,
+    parse_pager_form,
+)
 from spider_ray.fetch import decode_http_body
 from spider_ray.hashing import xxh64
 from spider_ray.imaging import decode, phash
@@ -322,18 +327,30 @@ class OracleCrawler:
                         nxt.append(self._child(c, href, cb, child_depth, j))
                 elif page.kind == "listing":
                     links, nxt_page, featured = parse_listing_links(page.body)
+                    # FormRequest.from_response mirror: harvest the
+                    # pager form's fields via the SAME extract helpers
+                    # the engine kernel uses
+                    pf = (parse_pager_form(page.body)
+                          if self.world.cfg.form_pag_pct and not nxt_page
+                          else None)
                     for j, href in enumerate(links):
                         nxt.append(self._child(c, href, "populate_item", c.depth + 1, j))
                     if nxt_page:
                         nxt.append(
                             self._child(c, nxt_page, "parse", c.depth, len(links))
                         )
+                    elif pf:
+                        action, fields = pf
+                        child = self._child(c, action or c.canonical,
+                                            "parse", c.depth, len(links))
+                        child.form_body = next_page_form_body(fields)
+                        nxt.append(child)
                     # featured strip → dont_filter requests (engine's
                     # _parse_fn in lockstep: same seq_link placement)
                     for j, href in enumerate(featured):
                         nxt.append(self._child(
                             c, href, "populate_item", c.depth + 1,
-                            len(links) + (1 if nxt_page else 0) + j,
+                            len(links) + (1 if (nxt_page or pf) else 0) + j,
                             skip_dedup=True,
                         ))
                 elif page.kind == "detail":

@@ -2116,7 +2116,10 @@ _ORACLE_DUMP_DIR = "/tmp/spider_ray_oracle"
 # 404 dropped + 307 added). ONE dict shared by crawl_items /
 # crawl_images / the dump regenerator so engine and oracle worlds
 # can't drift.
-_CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
+# num_hosts=5 (was 4): host 4 is a plain form-postback host with TWO
+# listing pages, so the from_response surface genuinely paginates
+# inside the gate (with 4 hosts every form host drew a single page)
+_CRAWL_WORLD_A = dict(num_hosts=5, max_pages_per_host=2, details_per_page=3,
                       gzip_pct=35, latin1_pct=35, redirect_pct=25,
                       offsite_pct=35, cookie_host_pct=50,
                       # per-host HTTPERROR_ALLOWED_CODES custom_setting
@@ -2147,6 +2150,8 @@ _CRAWL_WORLD_A = dict(num_hosts=4, max_pages_per_host=2, details_per_page=3,
                       # long palette timeout (timeout_host_pct)
                       slow_pct=35, download_timeout_ms=20_000,
                       timeout_host_pct=50,
+                      # FormRequest.from_response postback pagination
+                      form_pag_pct=50,
                       retry_http_codes=(500, 503, 504, 400, 401, 403, 405,
                                         407, 408, 416, 456, 502, 429, 307))
 

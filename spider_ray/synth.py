@@ -310,6 +310,17 @@ class WorldConfig:
     # that is SERVER-issued, unlike client-computed skip/take).
     # Default 0 = byte-stable crawl outputs.
     viewstate_pct: int = 0
+    # % of PLAIN listing hosts (not API, not sitemap) that paginate by
+    # HTML-form POSTBACK — the FormRequest.from_response surface
+    # (spiders/immobiliarefaro_it.py:36-40, immobiliaretafy_com.py:40:
+    # the spider harvests the response's <form> fields and re-POSTs
+    # with formdata={'num_page': next}). Listing pages of such a host
+    # carry no next-page anchor; pages ≥ 2 are reachable ONLY by
+    # POSTing the harvested hidden fields (a server-issued __FTOK
+    # token among them — ASP.NET-postback style) with num_page bumped.
+    # A GET of page ≥ 2 404s, a POST with a wrong/missing token 403s.
+    # Default 0 = byte-stable crawl outputs.
+    form_pag_pct: int = 0
     # dont_filter surface (the reference's single most-used request
     # flag — 810 spiders pass dont_filter=True on requests they KNOW
     # repeat, e.g. re-yielding a unit's detail URL from every listing
@@ -470,6 +481,23 @@ class WorldConfig:
         languages=[en, es, fr, nl, tr] plus the de month dict)."""
         langs = ("es", "tr", "de", "nl", "fr")
         return langs[splitmix64(xxh64(f"lang:{self.seed}:{i}")) % len(langs)]
+
+    def is_form_pag_host(self, i: int) -> bool:
+        """Plain listing hosts that paginate by HTML-form postback
+        (FormRequest.from_response — immobiliarefaro_it.py:36)."""
+        return (
+            not self.is_api_host(i)
+            and not self.is_sitemap_host(i)
+            and splitmix64(xxh64(f"formpag:{self.seed}:{i}")) % 100
+            < self.form_pag_pct
+        )
+
+    def form_token(self, host: str, page: int) -> str:
+        """The opaque token the pager form on listing page ``page``
+        carries (its __FTOK hidden input). Server state: the crawler
+        must harvest it from the page — the POST for page P+1 is valid
+        only with page P's token."""
+        return f"{splitmix64(xxh64(f'ftok:{self.seed}:{host}:{page}')):016x}"
 
     def is_hotlink_host(self, i: int) -> bool:
         """Hosts whose /img/* URLs demand a same-host Referer."""
@@ -1107,10 +1135,29 @@ class World:
             return Page(url, 200, "robots", body, "text/plain", latency)
 
         if path == "/list":
-            page = int(parse_qs(parts.query).get("page", ["1"])[0])
             npages = cfg.pages_for_host(i)
-            if page < 1 or page > npages:
-                return Page(url, 404, "missing", latency_ms=latency)
+            if form_body is not None and cfg.is_form_pag_host(i):
+                # form-postback pagination (FormRequest.from_response):
+                # the POST must echo the PREVIOUS page's harvested
+                # hidden fields — static dept plus the server-issued
+                # __FTOK token — with num_page bumped by the spider.
+                params = parse_qs(form_body.decode("utf-8", "replace"))
+                try:
+                    page = int(params.get("num_page", ["0"])[0])
+                except ValueError:
+                    page = 0
+                if (page < 2 or page > npages
+                        or params.get("dept", [""])[0] != "lettings"
+                        or params.get("__FTOK", [""])[0]
+                        != cfg.form_token(host, page - 1)):
+                    return Page(url, 403, "listing", latency_ms=latency)
+            else:
+                page = int(parse_qs(parts.query).get("page", ["1"])[0])
+                if page < 1 or page > npages:
+                    return Page(url, 404, "missing", latency_ms=latency)
+                if cfg.is_form_pag_host(i) and page != 1:
+                    # postback-only site: deeper pages have no GET form
+                    return Page(url, 404, "missing", latency_ms=latency)
             if cfg.is_lang_host(i) and (headers or {}).get(
                     "Accept-Language") != cfg.host_lang(i):
                 # content negotiation: without the site's language the
@@ -1155,6 +1202,20 @@ class World:
                 if page < npages
                 else ""
             )
+            if cfg.is_form_pag_host(i):
+                # no next anchor — the only route to page+1 is the
+                # postback form below (hidden fields in DOM order; the
+                # spider harvests ALL of them, from_response-style)
+                nxt = (
+                    '<form class="pager" action="/list" method="post">\n'
+                    f'<input type="hidden" name="__FTOK" '
+                    f'value="{cfg.form_token(host, page)}"/>\n'
+                    '<input type="hidden" name="dept" value="lettings"/>\n'
+                    f'<input type="hidden" name="num_page" value="{page}"/>\n'
+                    "</form>"
+                    if page < npages
+                    else ""
+                )
             feat = ""
             if (cfg.featured_pct
                     and _h(cfg, "featured", host, page) % 100

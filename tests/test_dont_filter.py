@@ -22,14 +22,21 @@ from .test_frontier import (
 
 
 def _engine_fetch_multisets(eng):
-    return [Counter(int(h) for h in arr) for arr in eng.fetched_hashes]
+    from .test_frontier import _strip_trailing_empty
+
+    return _strip_trailing_empty(
+        [Counter(int(h) for h in arr) for arr in eng.fetched_hashes])
 
 
 def _oracle_fetch_multisets(ores):
+    from .test_frontier import _strip_trailing_empty
+
     rounds = {}
     for r, _url, fp in ores.fetch_log:
         rounds.setdefault(r, Counter())[fp] += 1
-    return [rounds.get(i, Counter()) for i in range(max(rounds) + 1)] if rounds else []
+    return _strip_trailing_empty(
+        [rounds.get(i, Counter()) for i in range(max(rounds) + 1)]
+        if rounds else [])
 
 
 def test_parse_listing_links_featured():

@@ -44,6 +44,10 @@ def world_cfgs(draw):
         hotlink_pct=draw(st.sampled_from([0, 60])),
         xhr_api_pct=draw(st.sampled_from([0, 100])),
         json_api_pct=draw(st.sampled_from([0, 100])),
+        form_pag_pct=draw(st.sampled_from([0, 60])),
+        slow_pct=draw(st.sampled_from([0, 40])),
+        download_timeout_ms=draw(st.sampled_from([180_000, 20_000])),
+        timeout_host_pct=draw(st.sampled_from([0, 60])),
         seed=draw(st.integers(1, 10_000)),
     )
 
@@ -57,15 +61,9 @@ def test_engine_equals_oracle_on_random_worlds(ray_session, cfg, window):
     eng.crawl(cfg.seeds())
     ora = OracleCrawler(cfg, CAPTIONS, round_window_ms=window).crawl(cfg.seeds())
 
-    eng_sets = [frozenset(int(h) for h in arr) for arr in eng.fetched_hashes]
-    rounds = {}
-    for r, _url, fp in ora.fetch_log:
-        rounds.setdefault(r, set()).add(fp)
-    ora_sets = (
-        [frozenset(rounds.get(i, set())) for i in range(max(rounds) + 1)]
-        if rounds else []
-    )
-    assert eng_sets == ora_sets
+    from .test_frontier import _fetch_sets, _oracle_fetch_sets
+
+    assert _fetch_sets(eng) == _oracle_fetch_sets(ora)
     eng_seen = set()
     for snap in eng.dedup.snapshot():
         eng_seen.update(int(x) for x in snap)
