@@ -37,6 +37,16 @@ def main(argv=None) -> int:
     ap.add_argument("--http-cache", default=None,
                     help="HTTPCACHE_ENABLED analog: response cache dir; "
                          "a warm re-run re-downloads nothing")
+    ap.add_argument("--export-items", default=None, metavar="DIR",
+                    help="FEED export analog: write the crawl's item "
+                         "rows to DIR as a feed")
+    ap.add_argument("--export-format", default="jsonl",
+                    choices=("jsonl", "csv"),
+                    help="FEED_FORMAT analog (default jsonl)")
+    ap.add_argument("--export-encoding", default="utf-8",
+                    help="FEED_EXPORT_ENCODING analog: utf-8 emits "
+                         "literal unicode, anything else ASCII-escapes "
+                         "(Scrapy's default)")
     args = ap.parse_args(argv)
 
     import ray
@@ -69,7 +79,17 @@ def main(argv=None) -> int:
     )
     resumed = crawler.resume() if args.checkpoint else False
     stats = crawler.crawl(cfg.seeds() if not resumed else [])
+    exported = None
+    if args.export_items:
+        from spider_ray.sink import export_items
+
+        items = crawler.items_table()
+        if items.num_rows:
+            exported = export_items(items, args.export_items,
+                                    fmt=args.export_format,
+                                    encoding=args.export_encoding)
     print(json.dumps({"resumed": resumed, **stats,
+                      "items_feed": exported,
                       "lineage_rounds": len(crawler.lineage)}))
     ray.shutdown()
     return 0

@@ -72,6 +72,55 @@ def write_images(data, path: str, *, max_rows_per_file: int = SINK_BATCH_ROWS) -
     return "parquet"
 
 
+def export_items(data, path: str, *, fmt: str = "jsonl",
+                 encoding: str = "utf-8") -> str:
+    """FEED export analog (S7's item-side twin): Scrapy's feed
+    exporter as a distributed Ray Data write.
+
+    The reference spiders configure it via custom_settings —
+    ``FEED_EXPORT_ENCODING = "utf-8"`` (raywhiteoakleigh_com_au.py:24,
+    kwturkiye_com_kwkent.py:20, cedimmo_be.py:23, …6 spiders) and the
+    commented FEED_FORMAT json / FEED_URI pairs (nethouseprices_com.py:
+    25-26). Semantics mirrored: Scrapy's JSON exporter escapes
+    non-ASCII by default and emits literal UTF-8 only when
+    FEED_EXPORT_ENCODING says so — ``force_ascii`` maps 1:1.
+
+    Accepts a ``pyarrow.Table`` (driver-mode items) or a
+    ``ray.data.Dataset`` (streaming-mode items read back from their
+    parquet partitions — stays distributed, one shard file per block).
+    Returns the output directory.
+    """
+    import ray.data as rd
+
+    if fmt not in ("jsonl", "csv"):
+        raise ValueError(f"unsupported feed format: {fmt!r}")
+    ds = data if isinstance(data, rd.Dataset) else rd.from_arrow(data)
+    os.makedirs(path, exist_ok=True)
+    if fmt == "jsonl":
+        # pandas to_json kwargs ride through Ray's JSON datasink
+        ds.write_json(path, force_ascii=(encoding.lower() != "utf-8"))
+    else:
+        # Scrapy's CSVItemExporter joins multivalued fields with ","
+        # (_join_multivalued) — CSV cells are scalars
+        ds.map_batches(_csv_safe, batch_format="pyarrow").write_csv(path)
+    return path
+
+
+def _csv_safe(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name, col in zip(batch.column_names, batch.columns):
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            if not pa.types.is_string(t.value_type):
+                col = col.cast(pa.list_(pa.string()))
+            cols[name] = pc.binary_join(col, ",")
+        else:
+            cols[name] = col
+    return pa.table(cols)
+
+
 def read_images(path: str):
     """Read the sink back as a Ray Dataset (either format)."""
     import ray.data as rd
