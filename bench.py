@@ -129,7 +129,22 @@ BENCH_WORLD = dict(
                          xhr_api_pct=int(os.environ.get(
                              "GRAFT_BENCH_XHR", "50")),
                          json_api_pct=int(os.environ.get(
-                             "GRAFT_BENCH_JSONAPI", "50"))),
+                             "GRAFT_BENCH_JSONAPI", "50")),
+                         # form-postback pagination (from_response):
+                         # same listing-page count per host, reached by
+                         # harvested POSTs instead of next anchors →
+                         # fetch counts identical, on by default
+                         form_pag_pct=int(os.environ.get(
+                             "GRAFT_BENCH_FORMPAG", "40")),
+                         # slow endpoints + short DOWNLOAD_TIMEOUT
+                         # budgets change fetch counts (timeouts retry
+                         # then die) → both opt-in like redirects
+                         slow_pct=int(os.environ.get(
+                             "GRAFT_BENCH_SLOW", "0")),
+                         timeout_host_pct=int(os.environ.get(
+                             "GRAFT_BENCH_TIMEOUTHOST", "0")),
+                         download_timeout_ms=int(os.environ.get(
+                             "GRAFT_BENCH_TIMEOUT_MS", "180000"))),
 )
 
 BENCH_QUERIES = [
