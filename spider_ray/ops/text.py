@@ -58,6 +58,38 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# PII patterns — RE2-safe (no lookaround), so the SAME strings run in
+# pyarrow's kernels and in the DuckDB oracle's REGEXP_* functions.
+# Email per the practical HTML5-ish form; phone pinned to the
+# +C (AAA) NNN-NNNN shape the synthetic injector emits (a scrubber's
+# phone grammar is deployment-specific — the op's structure is what's
+# under test); IPv4 as dotted quads.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII detect + redact — the scrub stage LLM training pipelines run
+    before tokenization (C4/Dolma/RefinedWeb-style cleaning): count
+    emails / phone numbers / IPv4s and replace each with a typed
+    placeholder token. Fully vectorized (three RE2 count kernels +
+    three replace kernels per batch, no Python loop); redaction order
+    is email → phone → IP (placeholders contain none of the other
+    patterns, so the order is inert — pinned anyway for the oracle)."""
+    text = batch[text_col]
+    out = batch.append_column(
+        "n_emails", pc.count_substring_regex(text, PII_EMAIL_RE).cast(pa.int64()))
+    out = out.append_column(
+        "n_phones", pc.count_substring_regex(text, PII_PHONE_RE).cast(pa.int64()))
+    out = out.append_column(
+        "n_ipv4", pc.count_substring_regex(text, PII_IPV4_RE).cast(pa.int64()))
+    red = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+    red = pc.replace_substring_regex(red, PII_IPV4_RE, "<IP>")
+    return out.append_column("redacted", red)
+
+
 def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher/MassiveText-style repetition-quality signals (Rae et al.
     2021, "Scaling Language Models: Gopher", App. A1.1 repetition

@@ -1489,14 +1489,39 @@ FROM documents
 """
 
 
+def _pii_augmented(b: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """Deterministic synthetic-PII injection, per doc_id: the corpus
+    carries no PII-like strings, so the scrub would be vacuous over raw
+    documents. Every doc gains an email; even ids a phone; ids %3==0 an
+    IPv4 — the SQL oracle concatenates the IDENTICAL suffix (see
+    SQL_QUALITY_SCORE) so the redaction is pinned on real content."""
+    d = b["doc_id"].to_pandas().astype("int64")
+    s = d.astype(str)
+    sfx = " contact user" + s + "@example.com"
+    sfx = sfx + (" or +1 (555) 010-"
+                 + (d % 10000).astype(str).str.zfill(4)).where(d % 2 == 0, "")
+    sfx = sfx + (" from 10." + (d % 256).astype(str) + ".0."
+                 + ((d * 7) % 256).astype(str)).where(d % 3 == 0, "")
+    text = b["text"].to_pandas().fillna("") + sfx
+    return pa.array(text, pa.string())
+
+
 def q_quality_score(sf_dir: str):
-    """Quality signals + Gopher-style repetition metrics (r4) in one
-    oracled slot: length/token/stopword/punct counts plus duplicate-
-    line mass and top-bigram character mass — all integers so the
-    value hash is exact."""
+    """Quality signals + Gopher-style repetition metrics (r4) + PII
+    detect/redact (late r4) in one oracled slot: length/token/stopword/
+    punct counts, duplicate-line mass, top-bigram character mass — all
+    integers so the value hash is exact — plus email/phone/IPv4 counts
+    and the redacted text itself (exact string compare; the PII pass
+    runs over the deterministic augmented text, the quality metrics
+    over the original)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_ops.quality_batch, batch_format="pyarrow")
     out = out.map_batches(text_ops.repetition_batch, batch_format="pyarrow")
+    out = out.map_batches(
+        lambda b: text_ops.pii_batch(
+            b.append_column("pii_text", _pii_augmented(b)), "pii_text"),
+        batch_format="pyarrow",
+    )
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -1509,14 +1534,44 @@ def q_quality_score(sf_dir: str):
                 "r_distinct_lines": b["r_distinct_lines"],
                 "r_dup_line_chars": b["r_dup_line_chars"],
                 "r_top_bigram_chars": b["r_top_bigram_chars"],
+                "n_emails": b["n_emails"],
+                "n_phones": b["n_phones"],
+                "n_ipv4": b["n_ipv4"],
+                "redacted": b["redacted"],
             }
         ),
         batch_format="pyarrow",
     )
 
 
-SQL_QUALITY_SCORE = """
-WITH l AS (
+SQL_QUALITY_SCORE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' or +1 (555) 010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   ELSE '' END AS aug
+  FROM documents
+), pii_out AS (
+  SELECT doc_id,
+         CAST(LEN(REGEXP_EXTRACT_ALL(aug, '{text_ops.PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         CAST(LEN(REGEXP_EXTRACT_ALL(aug, '{text_ops.PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+         CAST(LEN(REGEXP_EXTRACT_ALL(aug, '{text_ops.PII_IPV4_RE}')) AS BIGINT)
+           AS n_ipv4,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(aug, '{text_ops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text_ops.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{text_ops.PII_IPV4_RE}', '<IP>', 'g') AS redacted
+  FROM pii
+), l AS (
   SELECT doc_id, UNNEST(STR_SPLIT(text, chr(10))) AS line FROM documents
 ), lg AS (
   SELECT doc_id, COUNT(*) AS c, LENGTH(line) AS ln FROM l GROUP BY doc_id, line
@@ -1544,10 +1599,12 @@ SELECT d.doc_id,
        CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '\\b(?:the|a)\\b')) AS BIGINT) AS q_stopwords,
        CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '[.,;:!?]')) AS BIGINT) AS q_punct,
        la.r_lines, la.r_distinct_lines, la.r_dup_line_chars,
-       COALESCE(tp.r_top_bigram_chars, 0) AS r_top_bigram_chars
+       COALESCE(tp.r_top_bigram_chars, 0) AS r_top_bigram_chars,
+       po.n_emails, po.n_phones, po.n_ipv4, po.redacted
 FROM documents d
 JOIN lines_agg la USING (doc_id)
 LEFT JOIN top tp USING (doc_id)
+JOIN pii_out po USING (doc_id)
 """
 
 

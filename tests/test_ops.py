@@ -580,3 +580,31 @@ def test_repetition_batch_matches_reference():
             default=0,
         )
         assert out["r_top_bigram_chars"][i] == exp_top, i
+
+
+def test_pii_batch_detect_and_redact():
+    """pii_batch (the scrub stage of an LLM training pipeline): counts
+    + typed-placeholder redaction, vectorized, multi-match and
+    no-match rows, and the pinned email→phone→IP order."""
+    from spider_ray.ops.text import pii_batch
+
+    texts = [
+        "mail a@b.co and c.d+x@e-f.org now",           # two emails
+        "call +1 (555) 010-1234 or +44 (020) 555-0000",  # two phones
+        "host 10.0.0.1 peer 192.168.255.3",             # two IPs
+        "clean text with no pii at all",
+        "mixed a@b.co +1 (555) 010-9999 172.16.0.9",
+        "",
+    ]
+    out = pii_batch(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).to_pandas()
+    assert list(out["n_emails"]) == [2, 0, 0, 0, 1, 0]
+    assert list(out["n_phones"]) == [0, 2, 0, 0, 1, 0]
+    assert list(out["n_ipv4"]) == [0, 0, 2, 0, 1, 0]
+    assert out["redacted"][0] == "mail <EMAIL> and <EMAIL> now"
+    assert out["redacted"][1] == "call <PHONE> or <PHONE>"
+    assert out["redacted"][2] == "host <IP> peer <IP>"
+    assert out["redacted"][3] == texts[3]  # untouched
+    assert out["redacted"][4] == "mixed <EMAIL> <PHONE> <IP>"
+    assert out["redacted"][5] == ""
