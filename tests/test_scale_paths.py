@@ -239,7 +239,14 @@ def test_groupby_shuffle_path_with_new_knobs(ray_session):
                       # route, or hotlinked images / negotiated
                       # listings / gated API pages silently drop
                       lang_host_pct=50, hotlink_pct=60,
-                      xhr_api_pct=100, json_api_pct=50)
+                      xhr_api_pct=100, json_api_pct=50,
+                      # late-r4 surfaces: form-postback pagination (the
+                      # harvested POST rows must ride the shuffle with
+                      # their form_body intact) and DOWNLOAD_TIMEOUT
+                      # (timed-out attempts must retry/die identically
+                      # through the shuffle admission)
+                      form_pag_pct=60, slow_pct=40,
+                      download_timeout_ms=20_000, timeout_host_pct=50)
     shuffle_c, shuffle_res = _run(cfg, prefilter_threshold=0,
                                   inline_threshold=0)
     local_c, local_res = _run(cfg)
