@@ -136,6 +136,19 @@ BENCH_WORLD = dict(
                          # fetch counts identical, on by default
                          form_pag_pct=int(os.environ.get(
                              "GRAFT_BENCH_FORMPAG", "40")),
+                         # UA-strict WAF hosts: the engine pins the
+                         # required USER_AGENT per spider, so every
+                         # gate passes and fetch/item/image counts stay
+                         # IDENTICAL → on by default
+                         ua_strict_pct=int(os.environ.get(
+                             "GRAFT_BENCH_UASTRICT", "40")),
+                         # dead-listing 302s + dont_redirect change
+                         # item/fetch counts (withdrawn listings emit
+                         # nothing) → opt-in like redirects
+                         dead_detail_pct=int(os.environ.get(
+                             "GRAFT_BENCH_DEADDETAIL", "0")),
+                         dont_redirect_details=bool(int(os.environ.get(
+                             "GRAFT_BENCH_DEADDETAIL", "0"))),
                          # slow endpoints + short DOWNLOAD_TIMEOUT
                          # budgets change fetch counts (timeouts retry
                          # then die) → both opt-in like redirects

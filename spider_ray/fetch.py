@@ -180,6 +180,20 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
             if ho is not None:
                 hdr_by_host[ho] = cfg.spider_headers(ho) or None
     fps = batch["url_hash"].to_numpy(zero_copy_only=False)
+    # User-Agent per request: the deterministic rotation (ST5) unless
+    # the spider pins one for this host (USER_AGENT custom_setting —
+    # delattreimmobilier_com.py:34; strict hosts 403 everything else).
+    # Computed once per distinct host, then per row — the same column
+    # the fetch table has always emitted, now also sent to the server.
+    ua_by_host: dict = {}
+    if cfg.ua_strict_pct:
+        for ho in set(hosts_in):
+            if ho is not None:
+                ua_by_host[ho] = cfg.spider_user_agent(ho)
+    uas = [
+        ua_by_host.get(ho) or USER_AGENTS[int(h) % len(USER_AGENTS)]
+        for ho, h in zip(hosts_in, fps)
+    ]
     if served is None:
         served = {}
         if cache is not None:
@@ -215,6 +229,7 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
             cookie=cookies.get(ho) if cookies and ho else None,
             referer=referers[j],
             headers=hdr_by_host.get(ho),
+            ua=uas[j],
         )
         # DOWNLOAD_TIMEOUT gate (client-side, like Scrapy's downloader):
         # a response slower than the spider's budget never arrives —
@@ -272,10 +287,7 @@ def _fetch_table(world: World, batch: pa.Table, simulate_latency: bool,
     cols["content_encoding"] = pa.array(encodings, pa.string())
     cols["set_cookie"] = pa.array(set_cookies, pa.string())
     cols["latency_ms"] = pa.array(latencies, pa.int32())
-    cols["ua"] = pa.array(
-        [USER_AGENTS[int(h) % len(USER_AGENTS)] for h in batch["url_hash"].to_pylist()],
-        pa.string(),
-    )
+    cols["ua"] = pa.array(uas, pa.string())
     if _PROXY_CFG.enabled and "host" in batch.column_names:
         # ST6: per-country proxy selection + rotate-on-retry (pure
         # function — see spider_ray.proxy for why no mutable health)

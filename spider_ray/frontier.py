@@ -646,6 +646,23 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     # set is the loop guard: a cycle's second visit dedups away.
     redirect_mask = np.isin(status, np.array([301, 302, 303, 307, 308],
                                              dtype=status.dtype))
+    # dont_redirect meta (aryes_be.py:80, set on detail requests with
+    # handle_httpstatus_list=[302]): detail-callback 3xx responses are
+    # never followed — statuses in the request's own handle list reach
+    # the parse callback (which detects the dead listing and emits
+    # nothing); any other 3xx dies below as a plain fail. Applies to
+    # every detail-callback request, /go/ aliases included, exactly
+    # like the meta flag riding Scrapy's request.
+    dr_handled = None
+    if getattr(cfg, "dont_redirect_details", False) and redirect_mask.any():
+        cb_np = batch["callback"].to_numpy(zero_copy_only=False)
+        dr = redirect_mask & (cb_np == "populate_item")
+        redirect_mask &= ~dr
+        dr_handled = dr & np.isin(
+            status,
+            np.array(sorted(getattr(cfg, "dont_redirect_handle", (302,))),
+                     dtype=status.dtype),
+        )
     retry_mask = (
         ~ok_mask
         & ~redirect_mask
@@ -665,6 +682,11 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
         # custom_settings) — per-spider via cfg, default matches
         & (retry_count < getattr(cfg, "retry_times", MAX_RETRIES))
     )
+    if dr_handled is not None:
+        # per-request handle_httpstatus_list riding with dont_redirect:
+        # retries keep precedence (RetryMiddleware sits below the
+        # redirect layer), though 302 is not retryable by default
+        ok_mask = ok_mask | (dr_handled & ~retry_mask)
     # handle_httpstatus_list (njestates_co_uk.py:30 and 16 more
     # spiders): listed non-200 statuses reach the parse callback
     # instead of failing. Consulted AFTER retry/redirect classification
@@ -861,6 +883,12 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                     link_raw.append((href, base, depth + 1, sp, j,
                                      "image", caption, None, None, None, None,
                                      False))
+            elif kind == "redirect":
+                # dont_redirect dead-listing detection (aryes_be.py):
+                # the callback received the 302 via its per-request
+                # handle_httpstatus_list, recognized the withdrawn
+                # listing and returned — no item, no links, no follow.
+                pass
             elif kind == "image":
                 data = z["body"][i]
                 px = decode(data, z["fmt"][i])

@@ -39,7 +39,7 @@ from spider_ray.extract import (
     parse_listing_links,
     parse_pager_form,
 )
-from spider_ray.fetch import decode_http_body
+from spider_ray.fetch import USER_AGENTS, decode_http_body
 from spider_ray.hashing import xxh64
 from spider_ray.imaging import decode, phash
 from spider_ray.politeness import (
@@ -248,6 +248,12 @@ class OracleCrawler:
                         referer=c.referer if cfgw.referer_enabled else None,
                         headers=(cfgw.spider_headers(c.host) or None)
                         if cfgw.send_spider_headers else None,
+                        # USER_AGENT custom_setting mirror: pinned for
+                        # strict hosts, else the deterministic rotation
+                        # (ST5) keyed on the request fingerprint — the
+                        # engine's uas list in fetch._fetch_table
+                        ua=cfgw.spider_user_agent(c.host)
+                        or USER_AGENTS[c.fingerprint % len(USER_AGENTS)],
                     )
                     # DOWNLOAD_TIMEOUT gate mirror (fetch._fetch_table):
                     # a response slower than the spider's budget never
@@ -269,17 +275,33 @@ class OracleCrawler:
                             page.status, page.kind, page.body, page.fmt,
                             page.set_cookie,
                         )
+                dr_handled = False
                 if page.status in (301, 302, 303, 307, 308):
-                    # redirect: the Location (body column) becomes a
-                    # normal next-round link carrying the source's
-                    # depth/callback — mirrors frontier._parse_fn
-                    target = page.body.decode("utf-8", "replace")
-                    # dont_filter survives the redirect (Scrapy's
-                    # request.replace copies the flag)
-                    nxt.append(self._child(c, target, c.callback, c.depth, 0,
-                                           c.caption,
-                                           skip_dedup=c.skip_dedup))
-                    continue
+                    if (self.world.cfg.dont_redirect_details
+                            and c.callback == "populate_item"):
+                        # dont_redirect meta mirror (aryes_be.py:80):
+                        # detail-callback 3xx responses are never
+                        # followed. A status in the request's own
+                        # handle list falls through to the parse
+                        # dispatch below (kind "redirect" matches no
+                        # branch → dead listing, nothing emitted);
+                        # any other 3xx just dies.
+                        if (page.status
+                                not in self.world.cfg.dont_redirect_handle):
+                            continue
+                        dr_handled = True
+                    else:
+                        # redirect: the Location (body column) becomes
+                        # a normal next-round link carrying the
+                        # source's depth/callback — mirrors
+                        # frontier._parse_fn
+                        target = page.body.decode("utf-8", "replace")
+                        # dont_filter survives the redirect (Scrapy's
+                        # request.replace copies the flag)
+                        nxt.append(self._child(c, target, c.callback,
+                                               c.depth, 0, c.caption,
+                                               skip_dedup=c.skip_dedup))
+                        continue
                 if page.status != 200:
                     if ((page.status in self.world.cfg.retry_http_codes
                          or page.status == TIMEOUT_EXC_STATUS)
@@ -294,9 +316,12 @@ class OracleCrawler:
                     # dispatch below (retries first, like Scrapy's
                     # RetryMiddleware → HttpError order); the allow-
                     # list is per host (spider attribute ∪ the host's
-                    # custom_setting)
-                    if page.status not in self.world.cfg.host_httpstatus_list(
-                            c.host):
+                    # custom_setting). dont_redirect's per-request
+                    # handle list bypasses the host-level check.
+                    if not dr_handled and (
+                            page.status
+                            not in self.world.cfg.host_httpstatus_list(
+                                c.host)):
                         continue
                 if page.kind == "api":
                     import json as _json

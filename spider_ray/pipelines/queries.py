@@ -2209,8 +2209,28 @@ _CRAWL_WORLD_A = dict(num_hosts=5, max_pages_per_host=2, details_per_page=3,
                       timeout_host_pct=50,
                       # FormRequest.from_response postback pagination
                       form_pag_pct=50,
+                      # pinned USER_AGENT custom_settings: UA-strict
+                      # WAF hosts, spider pins the required string —
+                      # output-neutral by design (the pin exists so the
+                      # gate never fires). The dont_redirect surface
+                      # lives in the verify_sink world instead: its
+                      # flag would stop this world's /go/ alias 301s
+                      # (both are detail-callback requests) and unwire
+                      # the redirect-follow path from the gate.
+                      ua_strict_pct=40,
                       retry_http_codes=(500, 503, 504, 400, 401, 403, 405,
                                         407, 408, 416, 456, 502, 429, 307))
+
+# The second driver-gate crawl world (verify_sink / multimodal_decode):
+# minimal sizing plus the dont_redirect surface — dead listings 302 to
+# /removed and the spider (like aryes_be.py:80) detects them from the
+# 302 itself instead of downloading the landing page; UA-strict hosts
+# with the pinned USER_AGENT ride along. Kept OUT of world A because
+# dont_redirect also stops /go/ alias 301s on detail callbacks and
+# world A is where the redirect-follow path is gated.
+_CRAWL_WORLD_B = dict(num_hosts=3, max_pages_per_host=2, details_per_page=2,
+                      dead_detail_pct=30, dont_redirect_details=True,
+                      ua_strict_pct=50)
 
 _CRAWL_ITEM_COLS = [
     "external_link", "external_source", "external_id", "position",
@@ -2278,7 +2298,7 @@ def ensure_crawl_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
             }
         ),
     )
-    world_b = dict(num_hosts=3, max_pages_per_host=2, details_per_page=2)
+    world_b = dict(_CRAWL_WORLD_B)
     _cfg, _caps, orb = _oracle_crawl(sf_dir, **world_b)
     ids = [r["image_id"] for r in orb.images]
     _dump_oracle(
@@ -2385,7 +2405,7 @@ def q_verify_sink(sf_dir: str):
     from ..verify import VerifyImages
     from .crawl import run_crawl
 
-    world = dict(num_hosts=3, max_pages_per_host=2, details_per_page=2)
+    world = dict(_CRAWL_WORLD_B)
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world)
     ids = [r["image_id"] for r in ora.images]
     _dump_oracle(
@@ -2399,7 +2419,7 @@ def q_verify_sink(sf_dir: str):
             }
         ),
     )
-    crawler, _ = run_crawl(sf_dir, **world)
+    crawler, _ = _run_crawl_world(sf_dir, world)
     captions = load_captions_from_documents(f"{sf_dir}/documents.parquet")
     out = rd.from_arrow(crawler.images_table()).map_batches(
         VerifyImages,
@@ -2434,7 +2454,7 @@ def q_multimodal_decode(sf_dir: str):
     from ..ops.multimodal import DecodeStats
     from .crawl import run_crawl
 
-    world = dict(num_hosts=3, max_pages_per_host=2, details_per_page=2)
+    world = dict(_CRAWL_WORLD_B)
     _cfg, _caps, ora = _oracle_crawl(sf_dir, **world)
     ids = sorted(ora.pixels)
     _dump_oracle(
@@ -2452,7 +2472,7 @@ def q_multimodal_decode(sf_dir: str):
             }
         ),
     )
-    crawler, _ = run_crawl(sf_dir, **world)
+    crawler, _ = _run_crawl_world(sf_dir, world)
     ds = rd.from_arrow(crawler.images_table())
     out = ds.map_batches(DecodeStats, batch_format="pyarrow", batch_size=64,
                          concurrency=2)

@@ -424,6 +424,43 @@ class WorldConfig:
     # X-Requested-With) is not sent — the "author forgot the headers"
     # negative control for the lang/xhr gates.
     send_spider_headers: bool = True
+    # % of hosts fronted by a User-Agent allow-list (the WAF check that
+    # makes reference spiders pin a browser UA in custom_settings —
+    # spiders/delattreimmobilier_com.py:34, bespoke_ie.py:30): every
+    # non-robots request whose UA is not the host's required string
+    # answers 403. The spider author knows the required UA, so it rides
+    # in spider_user_agent() and replaces the default rotation for that
+    # host (Scrapy's per-spider USER_AGENT custom_setting overrides the
+    # project-wide rotation middleware). robots.txt is exempt: the
+    # static edge serves it before the WAF, and blocking it would
+    # conflate this surface with the politeness layer. Default 0.
+    ua_strict_pct: int = 0
+    # when False the pinned USER_AGENT custom_setting is not applied —
+    # the "author forgot the UA" negative control: rotation hits a
+    # strict host with the wrong UA on ~every request, which 403s, is
+    # retried to exhaustion (403 ∈ RETRY_HTTP_CODES, the reference's
+    # list) and loses the host's whole content tree.
+    send_pinned_ua: bool = True
+    # % of detail keys whose /prop/k answers "302 → /removed" — the
+    # withdrawn-listing pattern real-estate portals use and the reason
+    # spiders/aryes_be.py:80 sets meta={'dont_redirect': True,
+    # 'handle_httpstatus_list': [302]} on its detail requests: the
+    # callback detects the dead listing from the 302 itself instead of
+    # downloading the junk landing page. Default 0 = byte-stable.
+    dead_detail_pct: int = 0
+    # the dont_redirect surface (aryes_be.py:80): when True, requests
+    # with the DETAIL callback skip RedirectMiddleware — their 3xx
+    # responses are never followed; statuses in dont_redirect_handle
+    # (the request's own handle_httpstatus_list) reach the parse
+    # callback, which treats them as dead listings and emits nothing;
+    # any other 3xx just dies (no response continues). Applies to ALL
+    # detail-callback requests, including /go/ aliases — exactly what
+    # Scrapy does when the meta flag rides the request. Default False
+    # (the flag is per-spider opt-in, like the reference's).
+    dont_redirect_details: bool = False
+    # the per-request handle_httpstatus_list that rides with
+    # dont_redirect in the reference (aryes_be.py:80: [302]).
+    dont_redirect_handle: tuple = (302,)
     seed: int = 42
 
     def host(self, i: int) -> str:
@@ -537,6 +574,32 @@ class WorldConfig:
             if self.is_xhr_api_host(i):
                 h["X-Requested-With"] = "XMLHttpRequest"
         return h
+
+    def is_ua_strict_host(self, i: int) -> bool:
+        """Hosts whose non-robots endpoints demand one exact UA."""
+        return (
+            splitmix64(xxh64(f"uastrict:{self.seed}:{i}")) % 100
+            < self.ua_strict_pct
+        )
+
+    def required_ua(self, host: str) -> str:
+        """The one User-Agent a strict host's WAF allow-list accepts —
+        server-side truth, a pure function of (seed, host) like every
+        other world parameter (synthetic browser-shaped string; the
+        reference pins real Firefox UAs, delattreimmobilier_com.py:34)."""
+        v = splitmix64(xxh64(f"pinua:{self.seed}:{host}")) % 8
+        return f"Mozilla/5.0 (compatible; rv:{90 + v}.0) pinned/{v}"
+
+    def spider_user_agent(self, host: str) -> str | None:
+        """The per-spider USER_AGENT custom_setting (2 reference
+        spiders pin one): the author discovered the strict host's
+        required UA, so the client sends exactly it there and keeps
+        the default rotation everywhere else. None = rotate."""
+        i = self.host_i(host)
+        if (self.send_pinned_ua and i >= 0
+                and self.is_ua_strict_host(i)):
+            return self.required_ua(host)
+        return None
 
     def api_body(self, host: str, skip: int, take: int,
                  viewstate: str | None = None) -> bytes:
@@ -980,7 +1043,8 @@ class World:
                 form_body: bytes | None = None,
                 cookie: str | None = None,
                 referer: str | None = None,
-                headers: dict | None = None) -> Page:
+                headers: dict | None = None,
+                ua: str | None = None) -> Page:
         """Server-side resolution + HTTP content coding: when
         ``cfg.gzip_pct`` > 0, that share of 200 text responses goes
         out gzip- (3/4) or zlib-deflate- (1/4) compressed with
@@ -991,7 +1055,7 @@ class World:
         :func:`spider_ray.fetch.decode_http_body` (the Scrapy
         HttpCompressionMiddleware analog)."""
         page = self._resolve_plain(url, attempt, form_body, cookie,
-                                   referer, headers)
+                                   referer, headers, ua)
         cfg = self.cfg
         if (
             cfg.gzip_pct
@@ -1019,7 +1083,8 @@ class World:
                        form_body: bytes | None = None,
                        cookie: str | None = None,
                        referer: str | None = None,
-                       headers: dict | None = None) -> Page:
+                       headers: dict | None = None,
+                       ua: str | None = None) -> Page:
         cfg = self.cfg
         from urllib.parse import parse_qs, urlsplit
 
@@ -1030,6 +1095,18 @@ class World:
         if i < 0:
             return Page(url, 404, "missing", latency_ms=latency)
         path = parts.path
+
+        if (cfg.ua_strict_pct and path != "/robots.txt"
+                and cfg.is_ua_strict_host(i)
+                and ua != cfg.required_ua(host)):
+            # UA allow-list WAF: every content endpoint 403s a request
+            # whose User-Agent is not the host's required string. The
+            # static edge serves robots.txt before the WAF (and tying
+            # robots into this surface would conflate it with the
+            # politeness layer). 403 ∈ RETRY_HTTP_CODES, so a
+            # wrong-UA client retries to exhaustion, like Scrapy with
+            # the reference's retry list.
+            return Page(url, 403, "blocked", latency_ms=latency)
 
         if path == "/api/search":
             # form-POST JSON search API (S3/S4): skip/take pagination,
@@ -1258,6 +1335,15 @@ class World:
                 latency = SLOW_LATENCY_MS
             if _h(cfg, "gone", k) % 100 < cfg.notfound_pct:
                 return Page(url, PERMANENT_CODE, "missing", latency_ms=latency)
+            if (cfg.dead_detail_pct
+                    and _h(cfg, "dead", k) % 100 < cfg.dead_detail_pct):
+                # withdrawn listing: the portal 302s its detail page to
+                # a shared "listing removed" landing page, on every
+                # attempt, session or not — the pattern aryes_be.py:80
+                # detects with dont_redirect + handle_httpstatus_list.
+                return Page(url, 302, "redirect",
+                            f"http://{host}/removed".encode(),
+                            "text/plain", latency)
             if cfg.is_cookie_host(i) and cookie != cfg.session_cookie(host):
                 # session gate: details demand the listing's cookie
                 return Page(url, 403, "detail", latency_ms=latency)
@@ -1287,6 +1373,18 @@ class World:
             )
             return Page(url, status, "detail", body,
                         f"text/html; charset={cs}", latency)
+
+        if path == "/removed":
+            # the shared withdrawn-listing landing page: a real 200
+            # document with no anchors and no item fields. kind
+            # "removed" matches no parse branch on either side, so a
+            # crawler that follows the 302 here (dont_redirect off)
+            # downloads it once per host (the seen set dedups later
+            # arrivals) and extracts nothing — exactly the junk fetch
+            # the aryes_be pattern exists to avoid.
+            body = ("<html><body><p>This listing has been removed."
+                    "</p></body></html>").encode()
+            return Page(url, 200, "removed", body, "text/html", latency)
 
         if path.startswith("/img/"):
             if cfg.is_hotlink_host(i):

@@ -853,6 +853,11 @@ def test_kitchen_sink_world_matches_oracle(ray_session, tmp_path):
         lang_host_pct=50, hotlink_pct=50, xhr_api_pct=60, json_api_pct=60,
         form_pag_pct=60, slow_pct=30, download_timeout_ms=20_000,
         timeout_host_pct=50,
+        # pinned USER_AGENT + dont_redirect dead-listing detection
+        # (note: dont_redirect_details also stops /go/ alias 301s on
+        # detail callbacks — faithful Scrapy meta semantics; the
+        # follow path keeps its own dedicated tests)
+        ua_strict_pct=50, dead_detail_pct=30, dont_redirect_details=True,
         retry_http_codes=(500, 503, 504, 400, 401, 403, 405, 407, 408,
                           416, 456, 502, 429, 307),
     )

@@ -48,6 +48,11 @@ def world_cfgs(draw):
         slow_pct=draw(st.sampled_from([0, 40])),
         download_timeout_ms=draw(st.sampled_from([180_000, 20_000])),
         timeout_host_pct=draw(st.sampled_from([0, 60])),
+        # pinned USER_AGENT / UA-strict WAFs + dont_redirect dead
+        # listings (flag False = landing page downloaded instead)
+        ua_strict_pct=draw(st.sampled_from([0, 60])),
+        dead_detail_pct=draw(st.sampled_from([0, 40])),
+        dont_redirect_details=draw(st.booleans()),
         seed=draw(st.integers(1, 10_000)),
     )
 

@@ -246,7 +246,13 @@ def test_groupby_shuffle_path_with_new_knobs(ray_session):
                       # (timed-out attempts must retry/die identically
                       # through the shuffle admission)
                       form_pag_pct=60, slow_pct=40,
-                      download_timeout_ms=20_000, timeout_host_pct=50)
+                      download_timeout_ms=20_000, timeout_host_pct=50,
+                      # pinned-UA WAF gates and dont_redirect dead
+                      # listings: the shuffle route's fetch slices
+                      # carry host (→ pinned UA) and callback (→ the
+                      # dont_redirect exemption) like the local route
+                      ua_strict_pct=50, dead_detail_pct=40,
+                      dont_redirect_details=True)
     shuffle_c, shuffle_res = _run(cfg, prefilter_threshold=0,
                                   inline_threshold=0)
     local_c, local_res = _run(cfg)
