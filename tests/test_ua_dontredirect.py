@@ -150,3 +150,37 @@ def test_ua_and_dead_details_streaming_matches_driver(ray_session, tmp_path):
     assert sres["fetched"] == res["fetched"]
     assert sres["items"] == res["items"]
     assert sres["images"] == res["images"]
+
+
+def test_http_cache_ignores_ua_fix(ray_session, tmp_path):
+    """HTTP cache × UA gate: DummyPolicy keys by request fingerprint
+    only (the UA is not part of the key, like Scrapy's), so fixing the
+    spider's USER_AGENT after a cold unpinned crawl does NOT rescue a
+    warm re-run — the stored 403s are re-served without one download.
+    This is precisely the documented reason HTTPCACHE_IGNORE_HTTP_CODES
+    exists; the faithful default stores and replays the failure."""
+    from spider_ray.frontier import Crawler
+
+    cache_dir = str(tmp_path / "hc")
+
+    def run(cfg):
+        c = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                    round_window_ms=60_000, http_cache_dir=cache_dir)
+        res = c.crawl(cfg.seeds())
+        c.close()
+        return c, res
+
+    broken = _cfg(ua_strict_pct=100, send_pinned_ua=False,
+                  fail_pct=0, notfound_pct=0)
+    _, cold = run(broken)
+    assert cold["items"] == 0
+    fixed = _cfg(ua_strict_pct=100, fail_pct=0, notfound_pct=0)
+    _, warm = run(fixed)
+    assert warm["items"] == 0, "stored 403s replay despite the UA fix"
+    # a fresh cache with the pin crawls normally
+    fresh_dir = str(tmp_path / "hc2")
+    c3 = Crawler(fixed, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                 round_window_ms=60_000, http_cache_dir=fresh_dir)
+    res3 = c3.crawl(fixed.seeds())
+    c3.close()
+    assert res3["items"] > 0
