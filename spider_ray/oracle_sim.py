@@ -275,21 +275,23 @@ class OracleCrawler:
                             page.status, page.kind, page.body, page.fmt,
                             page.set_cookie,
                         )
-                dr_handled = False
+                dr_norefollow = False
                 if page.status in (301, 302, 303, 307, 308):
                     if (self.world.cfg.dont_redirect_details
                             and c.callback == "populate_item"):
                         # dont_redirect meta mirror (aryes_be.py:80):
                         # detail-callback 3xx responses are never
-                        # followed. A status in the request's own
-                        # handle list falls through to the parse
-                        # dispatch below (kind "redirect" matches no
-                        # branch → dead listing, nothing emitted);
-                        # any other 3xx just dies.
-                        if (page.status
-                                not in self.world.cfg.dont_redirect_handle):
-                            continue
-                        dr_handled = True
+                        # followed — but they still pass through the
+                        # classification below with Scrapy's middleware
+                        # precedence: RetryMiddleware first (a 3xx IN
+                        # the retry list is retried to exhaustion —
+                        # the engine's retry gate runs after the
+                        # redirect exemption), then the request's own
+                        # handle list routes the response to the parse
+                        # dispatch (kind "redirect" matches no branch →
+                        # dead listing, nothing emitted); anything
+                        # else just dies.
+                        dr_norefollow = True
                     else:
                         # redirect: the Location (body column) becomes
                         # a normal next-round link carrying the
@@ -316,12 +318,15 @@ class OracleCrawler:
                     # dispatch below (retries first, like Scrapy's
                     # RetryMiddleware → HttpError order); the allow-
                     # list is per host (spider attribute ∪ the host's
-                    # custom_setting). dont_redirect's per-request
-                    # handle list bypasses the host-level check.
-                    if not dr_handled and (
-                            page.status
-                            not in self.world.cfg.host_httpstatus_list(
-                                c.host)):
+                    # custom_setting). A dont_redirect request consults
+                    # its OWN per-request handle list instead.
+                    if dr_norefollow:
+                        if (page.status
+                                not in self.world.cfg.dont_redirect_handle):
+                            continue
+                    elif (page.status
+                          not in self.world.cfg.host_httpstatus_list(
+                              c.host)):
                         continue
                 if page.kind == "api":
                     import json as _json

@@ -184,3 +184,27 @@ def test_http_cache_ignores_ua_fix(ray_session, tmp_path):
     res3 = c3.crawl(fixed.seeds())
     c3.close()
     assert res3["items"] > 0
+
+
+def test_dont_redirect_retry_precedence(ray_session):
+    """Middleware precedence under dont_redirect: a 3xx IN the spider's
+    RETRY_HTTP_CODES is retried to exhaustion FIRST (RetryMiddleware
+    sits below RedirectMiddleware; the redirect exemption must not
+    short-circuit it), and only the exhausted response reaches the
+    per-request handle list. With 302 retryable, every dead detail is
+    fetched retry_times+1 times on both sides."""
+    cfg = _cfg(dead_detail_pct=100, dont_redirect_details=True,
+               fail_pct=0, notfound_pct=0,
+               retry_http_codes=(500, 503, 504, 302), retry_times=2)
+    eng, res = _run_engine(cfg)
+    ora = OracleCrawler(cfg, CAPTIONS).crawl(cfg.seeds())
+    assert _engine_fetch_multisets(eng) == _oracle_fetch_multisets(ora)
+    assert res["items"] == 0 and not ora.items
+    # every detail fingerprint appears exactly retry_times+1 times
+    detail_fp = Counter()
+    for _r, u, fp in ora.fetch_log:
+        if "/prop/" in u or "/go/" in u:
+            detail_fp[fp] += 1
+    assert detail_fp and all(n == cfg.retry_times + 1
+                             for n in detail_fp.values())
+    assert not any(u.endswith("/removed") for _r, u, _f in ora.fetch_log)
