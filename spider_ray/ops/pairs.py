@@ -133,7 +133,8 @@ def cosine_pair_cell(threshold: float, *, id_col: str, vec_col: str,
 
 
 def set_jaccard_pair_cell(*, id_col: str, set_col: str,
-                          t_num: int = 1, t_den: int = 2):
+                          t_num: int = 1, t_den: int = 2,
+                          dense_cell_max: int = 1 << 24):
     """``cell_fn``: exact Jaccard over pre-hashed element sets (sorted
     uint64 arrays); keeps pairs with ``|∩|·t_den ≥ |∪|·t_num``
     (jaccard ≥ t_num/t_den, default 0.5 — integer math so a SQL oracle
@@ -157,8 +158,15 @@ def set_jaccard_pair_cell(*, id_col: str, set_col: str,
         # int64 view of the uint64 terms — pandas hash-joins signed keys
         return pd.DataFrame({"t": flat.view(np.int64), "r": rows}), sizes
 
-    def pair_rows(ids_a, sets_a, ids_b, sets_b, triangular):
-        """All qualifying pairs via sparse doc×term incidence: ONE
+    # above dense_cell_max na·nb cells the dense |∩| matrix (float32 +
+    # two int64 derivatives ≈ 20·na·nb bytes ≈ 340 MB at the default
+    # cap) stops being the cheap option; fall back to the sparse
+    # co-occurrence join. Cells this big mean blocked_all_pairs'
+    # num_blocks is undersized for the input — the dense path is the
+    # expected one. Tests force the fallback by passing 0.
+
+    def pair_rows_sparse(ids_a, sets_a, ids_b, sets_b, triangular):
+        """Fallback for oversized cells: sparse doc×term incidence, ONE
         C-level hash join on the term column yields every co-occurring
         (row_a, row_b); |∩| = co-occurrence multiplicity (np.unique
         counts), |∪| from the set sizes. No per-pair Python loop
@@ -190,6 +198,82 @@ def set_jaccard_pair_cell(*, id_col: str, set_col: str,
                 "b": np.maximum(aa, bb).astype(np.int64),
                 "n_inter": inter[ok].astype(np.int64),
                 "n_union": union[ok].astype(np.int64),
+            }
+        )
+
+    def pair_rows(ids_a, sets_a, ids_b, sets_b, triangular):
+        """|∩| for EVERY cell pair at once via a chunked dense matmul
+        over the 0/1 doc×term incidence (terms factorized to a shared
+        code space, BLAS does the counting; float32 is exact for set
+        sizes < 2^24). Replaces the sparse hash join, whose output —
+        one row per co-occurring (doc_a, doc_b, term) tuple — blows up
+        exactly when documents share vocabulary (a near-universal term
+        contributes n_a·n_b rows): on the synthetic corpus the merge
+        alone was 40× the cost of everything else in the cell. The
+        matmul is O(na·nb·T) at BLAS speed with O(na·nb + chunk)
+        memory, independent of how hot any term is."""
+        if len(sets_a) * max(len(sets_b) if not triangular else len(sets_a),
+                             1) > dense_cell_max:
+            return pair_rows_sparse(ids_a, sets_a, ids_b, sets_b, triangular)
+        df_a, sizes_a = incidence(sets_a)
+        df_b, sizes_b = (df_a, sizes_a) if triangular else incidence(sets_b)
+        na, nb = len(sizes_a), len(sizes_b)
+        if na == 0 or nb == 0 or len(df_a) == 0 or len(df_b) == 0:
+            return _empty_pairs(n_inter=np.int64, n_union=np.int64)
+        # shared term-code space; each side sorted by code so every
+        # chunk is a contiguous slice
+        if triangular:
+            codes = pd.factorize(df_a["t"].to_numpy())[0].astype(np.int64)
+            ca = cb = codes
+            ra = rb = df_a["r"].to_numpy(dtype=np.int64)
+        else:
+            allt = np.concatenate(
+                [df_a["t"].to_numpy(), df_b["t"].to_numpy()])
+            codes = pd.factorize(allt)[0].astype(np.int64)
+            ca, cb = codes[: len(df_a)], codes[len(df_a):]
+            ra = df_a["r"].to_numpy(dtype=np.int64)
+            rb = df_b["r"].to_numpy(dtype=np.int64)
+        o_a = np.argsort(ca, kind="stable")
+        ca, ra = ca[o_a], ra[o_a]
+        if triangular:
+            cb, rb = ca, ra
+        else:
+            o_b = np.argsort(cb, kind="stable")
+            cb, rb = cb[o_b], rb[o_b]
+        T = int(codes.max()) + 1
+        M = np.zeros((na, nb), dtype=np.float32)
+        CH = 16384
+        for lo in range(0, T, CH):
+            hi = min(lo + CH, T)
+            sa, ea = np.searchsorted(ca, (lo, hi))
+            sb, eb = np.searchsorted(cb, (lo, hi))
+            if ea == sa or eb == sb:
+                continue
+            A = np.zeros((na, hi - lo), dtype=np.float32)
+            A[ra[sa:ea], ca[sa:ea] - lo] = 1.0
+            if triangular:
+                B = A
+            else:
+                B = np.zeros((nb, hi - lo), dtype=np.float32)
+                B[rb[sb:eb], cb[sb:eb] - lo] = 1.0
+            M += A @ B.T
+        inter = np.rint(M).astype(np.int64)
+        union = sizes_a[:, None] + sizes_b[None, :] - inter
+        ok = (union > 0) & (inter * t_den >= union * t_num)
+        if triangular:
+            # keep i < j only (block ids are disjoint off-diagonal)
+            ok &= np.arange(na)[:, None] < np.arange(nb)[None, :]
+        if not ok.any():
+            return _empty_pairs(n_inter=np.int64, n_union=np.int64)
+        iu, ju = np.nonzero(ok)
+        aa = ids_a[iu]
+        bb = ids_b[ju]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(aa, bb).astype(np.int64),
+                "b": np.maximum(aa, bb).astype(np.int64),
+                "n_inter": inter[iu, ju],
+                "n_union": union[iu, ju],
             }
         )
 

@@ -608,3 +608,38 @@ def test_pii_batch_detect_and_redact():
     assert out["redacted"][3] == texts[3]  # untouched
     assert out["redacted"][4] == "mixed <EMAIL> <PHONE> <IP>"
     assert out["redacted"][5] == ""
+
+
+def test_jaccard_cell_dense_equals_sparse():
+    """The chunked-matmul cell kernel must emit exactly the sparse
+    hash-join fallback's rows (same pairs, same |∩|/|∪|, same order) —
+    diagonal and off-diagonal cells, empty sets, and a universal hot
+    term (the case the dense path exists for: a term present in every
+    doc contributes n_a·n_b rows to the sparse join)."""
+    import numpy as np
+
+    from spider_ray.ops.pairs import set_jaccard_pair_cell
+
+    rng = np.random.RandomState(7)
+    HOT = np.uint64(0xDEADBEEF)
+
+    def mk(n, start_id):
+        ids, sets = [], []
+        for k in range(n):
+            sz = int(rng.randint(0, 30))
+            s = np.unique(rng.randint(1, 500, size=sz).astype(np.uint64))
+            if k % 3 != 2:  # universal-ish hot term
+                s = np.unique(np.append(s, HOT))
+            ids.append(start_id + k)
+            sets.append(s.tolist())
+        return pd.DataFrame({"doc_id": ids, "words": sets})
+
+    dense = set_jaccard_pair_cell(id_col="doc_id", set_col="words")
+    sparse = set_jaccard_pair_cell(id_col="doc_id", set_col="words",
+                                   dense_cell_max=0)
+    L, R = mk(80, 0), mk(60, 1000)
+    for args in ((L, None), (L, R)):
+        got, exp = dense(*args), sparse(*args)
+        assert len(got) == len(exp) and len(got) > 0
+        for c in ("a", "b", "n_inter", "n_union"):
+            assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
