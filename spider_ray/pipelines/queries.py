@@ -1230,14 +1230,31 @@ def q_asof_join(sf_dir: str):
         orders.map_batches(ord_key, batch_format="pyarrow")
     )
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "E"][["key", "event_id", "ts"]].sort_values("ts")
+    # bounded partitions, not one group per key: hash-route keys into
+    # 64 partitions (the keyed_self_pairs discipline) so the shuffle
+    # produces 64 C-level merge_asof(by="key") calls instead of ~one
+    # pandas group per user (measured 13.4 s → the per-group overhead
+    # dominated a 100k-row join). merge_asof requires the 'on' column
+    # sorted globally within the frame — per-key order under a global
+    # (ts, o_orderkey) sort is the same as before, so the tie-break
+    # below is unchanged.
+    def route(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (dedup_text.splitmix64(k) % np.uint64(64)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    routed = tagged.map_batches(route, batch_format="pyarrow")
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "E"][["key", "event_id", "ts"]].sort_values(
+            "ts", kind="mergesort")
         # tie-break pinned: among orders sharing the as-of date,
-        # merge_asof(backward) takes the LAST right row, so sorting by
-        # (ts, o_orderkey) selects the max o_orderkey deterministically
-        # at any shuffle/concat order (ADVICE r1)
+        # merge_asof(backward) takes the LAST right row in frame order
+        # within the by-group, so sorting by (ts, o_orderkey) selects
+        # the max o_orderkey deterministically at any shuffle/concat
+        # order (ADVICE r1)
         right = g[g["side"] == "O"][["key", "ts", "o_orderkey"]].sort_values(
-            ["ts", "o_orderkey"]
+            ["ts", "o_orderkey"], kind="mergesort"
         )
         if len(left) == 0:
             return pd.DataFrame(
@@ -1248,7 +1265,8 @@ def q_asof_join(sf_dir: str):
                                direction="backward")
         return merged[["event_id", "o_orderkey"]]
 
-    out = tagged.groupby("key").map_groups(asof_group, batch_format="pandas")
+    out = routed.groupby("__part").map_groups(asof_part,
+                                              batch_format="pandas")
     return out.map_batches(
         lambda b: pa.table(
             {
