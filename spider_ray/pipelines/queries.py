@@ -1243,7 +1243,12 @@ def q_asof_join(sf_dir: str):
         part = (dedup_text.splitmix64(k) % np.uint64(64)).astype(np.int32)
         return b.append_column("__part", pa.array(part, pa.int32()))
 
-    routed = tagged.map_batches(route, batch_format="pyarrow")
+    # coalesce the 128 thin union blocks (2k rows each) before the
+    # sort-based groupby: the shuffle's task count scales with input
+    # blocks, and at this size launch overhead IS the sort (stats:
+    # 5.7 s of a 5.8 s wall before; ~2× less after). Narrow op — no
+    # data movement beyond block concatenation.
+    routed = tagged.map_batches(route, batch_format="pyarrow").repartition(16)
 
     def asof_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == "E"][["key", "event_id", "ts"]].sort_values(
