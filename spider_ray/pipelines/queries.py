@@ -33,7 +33,23 @@ _REF_TODAY_SQL = "DATE '2026-01-01'"
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """read_parquet with block sizing matched to the input: Ray's
+    auto-split targets ~2×CPUs blocks regardless of size, so a
+    5k-row table becomes 64 ~80-row blocks and every downstream
+    sort/groupby pays task-launch overhead per block — at test scale
+    that fixed cost IS the query (asof stats: 5.7 s of a 5.8 s wall
+    in shuffle tasks). Small tables get ≥8k-row blocks instead; large
+    inputs keep Ray's default split (at 100 TB the default is right
+    and MORE blocks are wanted, so this never caps a big read)."""
+    path = f"{sf_dir}/{table}.parquet"
+    import pyarrow.parquet as pq
+
+    nrows = pq.read_metadata(path).num_rows
+    if nrows < 64 * 8192:
+        blocks = max(4, nrows // 8192 + 1)
+        return rd.read_parquet(path, columns=columns,
+                               override_num_blocks=blocks)
+    return rd.read_parquet(path, columns=columns)
 
 
 # =============================================================== crawl-op analogues
