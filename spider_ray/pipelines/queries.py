@@ -1322,9 +1322,20 @@ def q_sessionize(sf_dir: str):
     'Streaming-shaped workloads'). Output: per-session event counts."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+    # bounded partitions, not one group per user (the asof/
+    # keyed_self_pairs discipline): hash-route users into 32
+    # partitions and sessionize the whole partition in ONE vectorized
+    # pass — a user boundary forces a session boundary, so sessions
+    # can't cross users and the result is identical to per-user groups.
+    def route(b: pa.Table) -> pa.Table:
+        k = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (dedup_text.splitmix64(k) % np.uint64(32)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
         session_id = gap.cumsum().astype("int64")
         out = (
             g.assign(session_id=session_id)
@@ -1335,7 +1346,9 @@ def q_sessionize(sf_dir: str):
         )
         return out
 
-    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = (ev.map_batches(route, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(sessions_part, batch_format="pandas"))
     return out.map_batches(
         lambda b: pa.table(
             {
