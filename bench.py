@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     "substring_dedup",
     "embedding_dup_pairs",
     "geocode_enrich",
+    # late-r4 kernel work: bounded-partition as-of join and the
+    # vectorized partition sessionizer
+    "asof_join",
+    "sessionize",
 ]
 
 
