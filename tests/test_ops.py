@@ -643,3 +643,48 @@ def test_jaccard_cell_dense_equals_sparse():
         assert len(got) == len(exp) and len(got) > 0
         for c in ("a", "b", "n_inter", "n_union"):
             assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_jaccard_cell_dense_equals_sparse_property():
+    """Hypothesis-style sweep without fixtures: many random set
+    families (varying universe size → term hotness, set sizes, empty
+    frames) through both kernel paths."""
+    import numpy as np
+
+    from spider_ray.ops.pairs import set_jaccard_pair_cell
+
+    dense = set_jaccard_pair_cell(id_col="doc_id", set_col="words")
+    sparse = set_jaccard_pair_cell(id_col="doc_id", set_col="words",
+                                   dense_cell_max=0)
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        universe = int(rng.choice([3, 10, 100, 5000]))
+        n_l, n_r = int(rng.randint(1, 50)), int(rng.randint(0, 50))
+        def mk(n, base):
+            return pd.DataFrame({
+                "doc_id": [base + i for i in range(n)],
+                "words": [
+                    np.unique(rng.randint(1, universe + 1,
+                                          size=rng.randint(0, 25))
+                              .astype(np.uint64)).tolist()
+                    for _ in range(n)
+                ],
+            })
+        L, R = mk(n_l, 0), mk(n_r, 10_000)
+        for args in ((L, None), (L, R)):
+            got, exp = dense(*args), sparse(*args)
+            assert len(got) == len(exp), (trial, universe)
+            for c in ("a", "b", "n_inter", "n_union"):
+                assert np.array_equal(got[c].to_numpy(),
+                                      exp[c].to_numpy()), (trial, c)
+
+
+def test_read_blocks_sized_to_input(ray_session):
+    """Regression guard for the small-input block sizing: a 5k-row
+    table must not come back as 64 ~80-row blocks (every downstream
+    sort/groupby pays task launch per block)."""
+    from spider_ray.pipelines.queries import _read
+
+    ds = _read("/root/testdata/sf0.001", "documents", ["doc_id"]).materialize()
+    nb = ds.num_blocks()
+    assert nb <= max(4, ds.count() // 8192 + 1), nb
