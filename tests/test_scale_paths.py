@@ -267,3 +267,39 @@ def test_groupby_shuffle_path_with_new_knobs(ray_session):
     for r, _u, fp in ora.fetch_log:
         rounds.setdefault(r, Counter())[fp] += 1
     assert sh_ms == [rounds.get(i, Counter()) for i in range(len(sh_ms))]
+
+
+def test_ann_hot_bucket_bounded_tasks(ray_session):
+    """VERDICT r4 next-round #1: a single LSH bucket (or IVF cell)
+    holding ~80% of the corpus must NOT ship whole to one task. With
+    ``max_task_rows`` armed, every partial batch and every merge group
+    asserts its row count in-worker — the old whole-bucket map_groups
+    shape would trip it immediately (one task = 4000 rows here)."""
+    from spider_ray.ops import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    n = 5_000
+    mat = np.empty((n, 16))
+    # 80% of vectors are tiny perturbations of one direction -> one
+    # hyperplane sign-pattern bucket; the rest are random
+    hot = int(n * 0.8)
+    mat[:hot] = base + 0.01 * rng.normal(size=(hot, 16))
+    mat[hot:] = rng.normal(size=(n - hot, 16))
+    eds = rd.from_items(
+        [{"vec_id": i, "embedding": mat[i].astype("float32").tolist()}
+         for i in range(n)], override_num_blocks=16,
+    )
+    qm = mat[:3]  # queries land in the hot bucket
+    bound = 1_024  # >= map_batches default batch size, << hot-bucket size
+
+    lsh = similarity.ann_topk_lsh(eds, [0, 1, 2], qm, k=5, nbits=6,
+                                  max_task_rows=bound)
+    assert set(lsh["query_id"]) == {0, 1, 2}
+    # each query's own vector is its rank-1 hit (cosine 1.0)
+    assert lsh[lsh["rank"] == 1]["vec_id"].tolist() == [0, 1, 2]
+
+    ivf = similarity.ann_topk_ivf(eds, [0, 1, 2], qm, k=5, nlist=8,
+                                  nprobe=2, max_task_rows=bound)
+    assert set(ivf["query_id"]) == {0, 1, 2}
+    assert ivf[ivf["rank"] == 1]["vec_id"].tolist() == [0, 1, 2]
