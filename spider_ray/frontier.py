@@ -654,10 +654,12 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     # every detail-callback request, /go/ aliases included, exactly
     # like the meta flag riding Scrapy's request.
     dr_handled = None
+    dr_mask = None
     if getattr(cfg, "dont_redirect_details", False) and redirect_mask.any():
         cb_np = batch["callback"].to_numpy(zero_copy_only=False)
         dr = redirect_mask & (cb_np == "populate_item")
         redirect_mask &= ~dr
+        dr_mask = dr
         dr_handled = dr & np.isin(
             status,
             np.array(sorted(getattr(cfg, "dont_redirect_handle", (302,))),
@@ -696,6 +698,13 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
     # continues to HttpErrorMiddleware's allowed-status check.
     if cfg.handle_httpstatus_list or getattr(cfg, "httperror_allowed_pct", 0):
         base_mask = ~ok_mask & ~redirect_mask & ~retry_mask
+        if dr_mask is not None:
+            # a dont_redirect detail 3xx NOT in the request's own
+            # handle list must die as a plain fail — Scrapy's meta
+            # handle_httpstatus_list REPLACES the spider-level list,
+            # so the host-level rescue below never sees these rows
+            # (ADVICE r4: latent engine/oracle divergence)
+            base_mask &= ~dr_mask
         if getattr(cfg, "httperror_allowed_pct", 0):
             # HTTPERROR_ALLOWED_CODES custom_setting (12 reference
             # spiders — amsterdamwonen_nl.py:21, wilink_be.py:28, …):
@@ -888,6 +897,12 @@ def _parse_fn(batch: pa.Table, *, cfg: WorldConfig, images_out_dir: str | None,
                 # the callback received the 302 via its per-request
                 # handle_httpstatus_list, recognized the withdrawn
                 # listing and returned — no item, no links, no follow.
+                pass
+            elif kind == "removed":
+                # /removed landing page (status 200): the callback
+                # parses nothing and emits nothing — match the oracle,
+                # which records no lineage row for it (ADVICE r4: the
+                # else-branch 'fail' row was an internal asymmetry)
                 pass
             elif kind == "image":
                 data = z["body"][i]

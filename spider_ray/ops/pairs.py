@@ -212,8 +212,15 @@ def set_jaccard_pair_cell(*, id_col: str, set_col: str,
         alone was 40× the cost of everything else in the cell. The
         matmul is O(na·nb·T) at BLAS speed with O(na·nb + chunk)
         memory, independent of how hot any term is."""
-        if len(sets_a) * max(len(sets_b) if not triangular else len(sets_a),
-                             1) > dense_cell_max:
+        # Guard BOTH the output matrix (na·nb cells) and the per-chunk
+        # incidence buffers (max(na, nb) × CH float32 — a skewed cell
+        # like na=500k, nb=30 passes the product cap yet would allocate
+        # ~32 GB per chunk; ADVICE r4). The per-side cap keeps a chunk
+        # buffer ≤ dense_cell_max/1024 × 16384 × 4 B ≈ 1 GiB at the
+        # default 2^24 cap.
+        nb_guard = len(sets_a) if triangular else len(sets_b)
+        if (len(sets_a) * max(nb_guard, 1) > dense_cell_max
+                or max(len(sets_a), nb_guard) > dense_cell_max >> 10):
             return pair_rows_sparse(ids_a, sets_a, ids_b, sets_b, triangular)
         df_a, sizes_a = incidence(sets_a)
         df_b, sizes_b = (df_a, sizes_a) if triangular else incidence(sets_b)

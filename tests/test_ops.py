@@ -679,6 +679,39 @@ def test_jaccard_cell_dense_equals_sparse_property():
                                       exp[c].to_numpy()), (trial, c)
 
 
+def test_jaccard_cell_skewed_side_routes_sparse():
+    """ADVICE r4: the dense guard must bound the PER-SIDE size, not
+    just na·nb — a skewed cell (na huge, nb tiny) passes the product
+    cap yet would allocate na×16384 float32 chunk buffers. With
+    dense_cell_max=1<<14 the side cap (>>10 → 16) forces the sparse
+    route for na=200 even though na·nb=600 is under the product cap;
+    results must equal the forced-sparse kernel exactly."""
+    import numpy as np
+
+    from spider_ray.ops.pairs import set_jaccard_pair_cell
+
+    rng = np.random.RandomState(3)
+    def mk(n, base):
+        return pd.DataFrame({
+            "doc_id": [base + i for i in range(n)],
+            "words": [
+                np.unique(rng.randint(1, 40, size=rng.randint(1, 12))
+                          .astype(np.uint64)).tolist()
+                for _ in range(n)
+            ],
+        })
+    L, R = mk(200, 0), mk(3, 10_000)
+    capped = set_jaccard_pair_cell(id_col="doc_id", set_col="words",
+                                   dense_cell_max=1 << 14)
+    sparse = set_jaccard_pair_cell(id_col="doc_id", set_col="words",
+                                   dense_cell_max=0)
+    for args in ((L, R), (L, None)):
+        got, exp = capped(*args), sparse(*args)
+        assert len(got) == len(exp) and len(got) > 0
+        for c in ("a", "b", "n_inter", "n_union"):
+            assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
 def test_read_blocks_sized_to_input(ray_session):
     """Regression guard for the small-input block sizing: a 5k-row
     table must not come back as 64 ~80-row blocks (every downstream
