@@ -384,34 +384,77 @@ def string_found(words: list[str], text: str) -> bool:
 
 
 AMENITY_KEYWORDS = {
-    # M19 — helper.py:390-434 (multilingual keyword → flag); flags are
-    # True-or-None, never False.
-    "pets_allowed": ["pets allowed", "pet friendly", "huisdieren"],
-    "furnished": ["furnished", "gemeubileerd", "möbliert", "meublé"],
-    "parking": ["parking", "garage", "parkeerplaats"],
-    "elevator": ["elevator", "lift", "aufzug", "ascenseur"],
-    "balcony": ["balcony", "balkon", "balcon"],
-    "terrace": ["terrace", "terras", "terrasse"],
-    "swimming_pool": ["swimming pool", "zwembad", "piscine"],
-    "washing_machine": ["washing machine", "wasmachine", "lave-linge"],
-    "dishwasher": ["dishwasher", "vaatwasser", "lave-vaisselle"],
+    # M19 — helper.py:390-401 `Amenties`, reproduced EXACTLY, oddities
+    # included: 'furnished' carries 'MÖBLIERTES'.lower(),
+    # 'washing_machine' carries the leading-space ' washer' (so
+    # 'dishwasher' never trips it) and the dead keyword 'Wasch' (the
+    # reference lowercases the text but not this entry, so it can
+    # never match — faithful means keeping it inert). Matching is
+    # SUBSTRING CONTAINMENT over the lowered text ('pet' hits
+    # 'carpet'), exactly helper.py:404-424; flags are True-or-None,
+    # never False.
+    "pets_allowed": ["pet", "haustiere"],
+    "furnished": ["furnish", "MÖBLIERTES".lower()],
+    "parking": ["parking", "garage", "parcheggio", "stellplatz"],
+    "elevator": ["elevator", "aufzug", "ascenseur", "lift", "aufzüg",
+                 "fahrstuhl"],
+    "balcony": ["balcon", "balkon"],
+    "terrace": ["terrace", "terrazz", "terras", "terrass"],
+    "swimming_pool": ["pool", "piscine", "schwimmbad"],
+    "washing_machine": [" washer", "laundry", "washing_machine",
+                        "waschmaschine", "laveuse", "Wasch"],
+    "dishwasher": ["dishwasher", "geschirrspüler", "lave-vaiselle",
+                   "lave vaiselle"],
 }
+# case-sensitive alternations applied to the LOWERED text — exactly
+# `any(x in description.lower() ...)`; 'Wasch' stays inert because the
+# pattern is case-sensitive and the text is lowered
 _AMENITY_RES = {
+    col: re.compile("|".join(re.escape(w) for w in words))
+    for col, words in AMENITY_KEYWORDS.items()
+}
+# word-boundary variant (kept as an option for pipelines that want
+# 'pool' to NOT hit 'poolside' — string_found/M18 semantics)
+_AMENITY_RES_WORD = {
     col: re.compile(
-        "|".join(r"\b" + re.escape(w) + r"\b" for w in words), re.IGNORECASE
+        "|".join(r"\b" + re.escape(w.strip()) + r"\b" for w in words),
+        re.IGNORECASE,
     )
     for col, words in AMENITY_KEYWORDS.items()
 }
 
 
-def amenity_flags(texts: pd.Series) -> dict[str, pd.Series]:
-    """M19 vectorized: one bool-or-None column per amenity."""
+def amenity_flags(texts: pd.Series, *, mode: str = "substring"
+                  ) -> dict[str, pd.Series]:
+    """M19 vectorized: one bool-or-None column per amenity.
+
+    ``mode='substring'`` (default) is helper.py:404-424 verbatim:
+    containment over the lowered text. ``mode='word'`` keeps the
+    stricter word-boundary matching as an opt-in."""
     out = {}
-    t = texts.fillna("")
-    for col, rx in _AMENITY_RES.items():
+    if mode == "substring":
+        t = texts.fillna("").str.lower()
+        res = _AMENITY_RES
+    else:
+        t = texts.fillna("")
+        res = _AMENITY_RES_WORD
+    for col, rx in res.items():
         hit = t.str.contains(rx)
         out[col] = hit.map(lambda b: True if b else None)
     return out
+
+
+def get_amenities(description: str, amenities_text: str) -> tuple:
+    """M19 scalar form — helper.py:404-424 ``get_amenities`` parity:
+    the two inputs are lowered and space-joined, each flag is
+    True-or-None by substring containment. Returns the same 9-tuple
+    (pets_allowed, furnished, parking, elevator, balcony, terrace,
+    swimming_pool, washing_machine, dishwasher) order."""
+    text = (description or "").lower() + " " + (amenities_text or "").lower()
+    return tuple(
+        True if _AMENITY_RES[col].search(text) else None
+        for col in AMENITY_KEYWORDS
+    )
 
 
 # ------------------------------------------------------------------ M20–M22

@@ -374,11 +374,36 @@ FROM part
 
 
 def q_amenities(sf_dir: str):
-    """M19/J5 — keyword containment flags, True-or-None semantics."""
+    """M19/J5 — helper.py:390-424 `Amenties` table verbatim: one
+    True-or-None flag per amenity by SUBSTRING containment over the
+    lowered text (reference-exact keywords incl. the leading-space
+    ' washer' and the inert 'Wasch'; see extract.AMENITY_KEYWORDS).
+    Plus the word-boundary trio kept from earlier rounds so both
+    matching modes stay oracled."""
+    from ..extract import AMENITY_KEYWORDS
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         cols = {"doc_id": b["doc_id"].cast(pa.int64())}
+        lowered = pc.utf8_lower(b["text"])
+        for col, words in AMENITY_KEYWORDS.items():
+            hit = None
+            for w in words:
+                h = pc.match_substring(lowered, w)
+                hit = h if hit is None else pc.or_(hit, h)
+            cols[col] = pc.if_else(hit, pa.scalar(True),
+                                   pa.scalar(None, pa.bool_()))
+        # containment probes over words the synthetic corpus DOES
+        # contain (the real-estate keywords above are vacuous on it):
+        # 'art' hits 'part', 'can' hits 'scan', 'able' hits 'table' —
+        # only under the reference's substring semantics, which keeps
+        # the containment kernel non-vacuously oracled by the driver
+        for word, col in (("art", "sub_art"), ("can", "sub_can"),
+                          ("able", "sub_able")):
+            hit = pc.match_substring(lowered, word)
+            cols[col] = pc.if_else(hit, pa.scalar(True),
+                                   pa.scalar(None, pa.bool_()))
         for word, col in (("spark", "has_spark"), ("vector", "has_vector"),
                           ("stream", "has_stream")):
             hit = pc.match_substring_regex(b["text"], rf"\b{word}\b")
@@ -388,8 +413,27 @@ def q_amenities(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-SQL_AMENITIES = """
+def _sql_amenity_cases() -> str:
+    from ..extract import AMENITY_KEYWORDS
+
+    def esc(w: str) -> str:
+        return w.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+
+    lines = []
+    for col, words in AMENITY_KEYWORDS.items():
+        conds = " OR ".join(
+            f"lower(text) LIKE '%{esc(w)}%' ESCAPE '\\'" for w in words
+        )
+        lines.append(f"CASE WHEN {conds} THEN TRUE END AS {col}")
+    return ",\n       ".join(lines)
+
+
+SQL_AMENITIES = f"""
 SELECT doc_id,
+       {_sql_amenity_cases()},
+       CASE WHEN lower(text) LIKE '%art%' THEN TRUE END AS sub_art,
+       CASE WHEN lower(text) LIKE '%can%' THEN TRUE END AS sub_can,
+       CASE WHEN lower(text) LIKE '%able%' THEN TRUE END AS sub_able,
        CASE WHEN REGEXP_MATCHES(text, '\\bspark\\b') THEN TRUE END AS has_spark,
        CASE WHEN REGEXP_MATCHES(text, '\\bvector\\b') THEN TRUE END AS has_vector,
        CASE WHEN REGEXP_MATCHES(text, '\\bstream\\b') THEN TRUE END AS has_stream

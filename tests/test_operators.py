@@ -211,6 +211,50 @@ def test_string_found_and_amenities():
     assert flags["elevator"].tolist() == [True, None]
     # True-or-None, never False (helper.py:390-434)
     assert flags["parking"].tolist() == [None, None]
+    # default mode is helper.py containment: 'pet' hits 'carpet',
+    # 'pool' hits 'poolside'; word mode keeps the stricter boundary
+    sub = extract.amenity_flags(pd.Series(["new carpet, poolside view"]))
+    assert sub["pets_allowed"].tolist() == [True]
+    assert sub["swimming_pool"].tolist() == [True]
+    word = extract.amenity_flags(pd.Series(["new carpet, poolside view"]),
+                                 mode="word")
+    assert word["pets_allowed"].tolist() == [None]
+    assert word["swimming_pool"].tolist() == [None]
+
+
+def test_amenity_table_pins_reference_exactly():
+    """helper.py:390-401 `Amenties`, byte-for-byte — incl. the
+    'MÖBLIERTES'.lower() entry, the leading-space ' washer' (so
+    'dishwasher' text never trips washing_machine) and the inert
+    capital-W 'Wasch' (the reference lowercases the text but not the
+    keyword, so it can never match)."""
+    assert extract.AMENITY_KEYWORDS == {
+        "pets_allowed": ["pet", "haustiere"],
+        "furnished": ["furnish", "möbliertes"],
+        "parking": ["parking", "garage", "parcheggio", "stellplatz"],
+        "elevator": ["elevator", "aufzug", "ascenseur", "lift", "aufzüg",
+                     "fahrstuhl"],
+        "balcony": ["balcon", "balkon"],
+        "terrace": ["terrace", "terrazz", "terras", "terrass"],
+        "swimming_pool": ["pool", "piscine", "schwimmbad"],
+        "washing_machine": [" washer", "laundry", "washing_machine",
+                            "waschmaschine", "laveuse", "Wasch"],
+        "dishwasher": ["dishwasher", "geschirrspüler", "lave-vaiselle",
+                       "lave vaiselle"],
+    }
+    # scalar get_amenities parity: helper.py:404-424 return order
+    got = extract.get_amenities(
+        "MÖBLIERTES Apartment mit Fahrstuhl und Terrazza", "piscine privée"
+    )
+    assert got == (None, True, None, True, None, True, True, None, None)
+    # ' washer' needs its leading space: 'dishwasher' must flag only
+    # dishwasher; a real ' washer' mention flags washing_machine
+    assert extract.get_amenities("has a dishwasher", "")[7:] == (None, True)
+    assert extract.get_amenities("has a washer", "")[7:] == (True, None)
+    # the inert 'Wasch': capital-W keyword vs lowered text never hits,
+    # so 'Waschküche' flags nothing (exactly like the reference)
+    assert extract.get_amenities("Waschküche im Keller", "") == (
+        None, None, None, None, None, None, None, None, None)
 
 
 # ---------------------------------------------------------------- M20-M24
