@@ -385,7 +385,14 @@ def run_scaling() -> dict:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True, check=True,
-                    timeout=1200,
+                    # the 2-CPU leg is warmup + 2 measured crawls at
+                    # ~300 s each plus session overhead — ~1000 s when
+                    # healthy, so the old 1200 s cap had almost no
+                    # ambient-noise margin and tripped on a ~10% slow
+                    # pass (r5). 2400 s still catches a true wedge
+                    # (the r5 public-from_refs trial idled at load
+                    # 0.04) without killing healthy legs.
+                    timeout=2400,
                 ).stdout
                 return json.loads(out.strip().splitlines()[-1])
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:

@@ -268,8 +268,13 @@ def test_sitemap_hosts_match_oracle(ray_session):
 
 def test_dataset_from_refs_public_fallback(ray_session, monkeypatch):
     """from_local_tables' zero-task fast path uses ray.data._internal;
-    the public from_arrow_refs fallback (forced via env) must produce an
-    identical dataset (ADVICE r3 / VERDICT r3 Next-round #7)."""
+    the public from_arrow_refs fallback (forced via env) must produce
+    an identical dataset (ADVICE r3 / VERDICT r3 Next-round #7). The
+    mirror stays the DEFAULT: r5 trialled the public path as default
+    per VERDICT r4 #5 and it deadlocked both 2-CPU scaling legs (the
+    per-block metadata ray.get starving behind blocked fetch workers)
+    while winning only ~1% at 32 CPUs — see dataset_from_refs'
+    docstring for the recorded measurements."""
     import pandas as pd
     import pyarrow as pa
 
