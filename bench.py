@@ -443,10 +443,17 @@ def run_scaling() -> dict:
 def run_httpcache() -> dict:
     """HTTPCACHE_ENABLED A/B in one session: uncached crawl → cold
     cached crawl (pays the response-store writes) → two warm recrawls
-    (zero downloads, politeness bypassed). Cold output differs from
-    uncached EXACTLY per DummyPolicy (first-attempt 503s are cached,
-    their retries re-see the stored failure); warm output must equal
-    cold output bit-for-bit — asserted here."""
+    (zero downloads, politeness bypassed) → a MUTATED-WORLD warm pass
+    (r5, VERDICT r4 #7): the world grows 256 → 384 hosts (+50% new
+    URL fingerprints) and recrawls over the same cache while the
+    per-round compactions churn its now multi-epoch buckets. Cold
+    output differs from uncached EXACTLY per DummyPolicy
+    (first-attempt 503s are cached, their retries re-see the stored
+    failure); warm output must equal cold output bit-for-bit; the
+    mutated pass must download ONLY the new hosts' fingerprints
+    (asserted by compaction-proof HttpCache.fingerprints snapshots
+    against a cold crawl of the grown world in a fresh cache) and
+    reproduce that cold grown crawl's items/images."""
     import shutil
     import tempfile
 
@@ -466,11 +473,12 @@ def run_httpcache() -> dict:
     wc.close()
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    def one(tag, **kw):
+    def one(tag, world=None, **kw):
         d = tempfile.mkdtemp()
         load = _loadavg()
         t0 = time.perf_counter()
-        c, stats = run_crawl(SF_DIR, images_out_dir=d, **BENCH_WORLD, **kw)
+        c, stats = run_crawl(SF_DIR, images_out_dir=d,
+                             **(world or BENCH_WORLD), **kw)
         dt = time.perf_counter() - t0
         c.close()
         shutil.rmtree(d, ignore_errors=True)
@@ -494,6 +502,39 @@ def run_httpcache() -> dict:
     res["warm_speedup_vs_cold"] = round(
         res["cold"]["sec"] / min(w["sec"] for w in res["warm"]), 2
     )
+
+    # --- mutated-world warm pass: +50% hosts over the SAME cache.
+    # Host trees are independent, so a cold crawl of the grown world in
+    # a FRESH cache gives the exact expected download set; the mutated
+    # pass over the old cache must add exactly (grown − old) and keep
+    # every old entry (compaction restamps epochs, so accounting is by
+    # fingerprint-set snapshots, not file names).
+    from spider_ray.httpcache import HttpCache
+
+    grown = dict(BENCH_WORLD, num_hosts=BENCH_WORLD["num_hosts"] * 3 // 2)
+    s_old = HttpCache.fingerprints(cache_dir)
+    grown_cache = tempfile.mkdtemp(prefix="spider_bench_httpcache_grown_")
+    res["cold_grown"] = one("cold_grown", world=grown,
+                            http_cache_dir=grown_cache)
+    s_grown = HttpCache.fingerprints(grown_cache)
+    shutil.rmtree(grown_cache, ignore_errors=True)
+    res["mutated_warm"] = one("mutated_warm", world=grown,
+                              http_cache_dir=cache_dir)
+    s_mut = HttpCache.fingerprints(cache_dir)
+    assert s_old < s_grown
+    assert s_mut - s_old == s_grown - s_old, "non-mutated fp downloaded"
+    assert s_old <= s_mut, "old cache entries lost"
+    assert (res["mutated_warm"]["fetched"], res["mutated_warm"]["images"],
+            res["mutated_warm"]["items"]) == (
+        res["cold_grown"]["fetched"], res["cold_grown"]["images"],
+        res["cold_grown"]["items"])
+    res["mutation"] = {
+        "hosts_old": BENCH_WORLD["num_hosts"],
+        "hosts_grown": grown["num_hosts"],
+        "fp_old": len(s_old),
+        "fp_new_downloaded": len(s_mut - s_old),
+        "only_mutated_fps_downloaded": True,
+    }
     shutil.rmtree(cache_dir, ignore_errors=True)
     ray.shutdown()
     return res

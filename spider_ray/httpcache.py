@@ -124,6 +124,30 @@ class HttpCache:
         except (IndexError, ValueError):
             return None
 
+    @staticmethod
+    def fingerprints(cache_dir: str) -> set[int]:
+        """Every stored fingerprint in ``cache_dir`` regardless of
+        epoch/round stamps — the compaction-proof accounting primitive
+        for partial-hit assertions (compaction restamps merged files
+        with the bucket-minimum epoch, so filename epochs cannot
+        attribute entries to runs; set difference over snapshots can).
+        One store happens per download, so |set| = downloads ever."""
+        out: set[int] = set()
+        if not os.path.isdir(cache_dir):
+            return out
+        for b in sorted(os.listdir(cache_dir)):
+            d = os.path.join(cache_dir, b)
+            if not (b.startswith("bucket=") and os.path.isdir(d)):
+                continue
+            for name in sorted(os.listdir(d)):
+                if HttpCache._parse_name(name) is None:
+                    continue
+                col = pq.read_table(
+                    os.path.join(d, name), columns=["url_hash"]
+                )["url_hash"].to_numpy(zero_copy_only=False)
+                out.update(int(x) for x in col)
+        return out
+
     # ---------------- read side
     def _bucket_files(self, bucket: int, before_round: int) -> list[str]:
         d = os.path.join(self.cache_dir, f"bucket={bucket:03d}")

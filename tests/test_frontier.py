@@ -695,6 +695,53 @@ def test_cookies_disabled_matches_oracle(ray_session):
     assert eng.images_table().num_rows < on.images_table().num_rows
 
 
+def test_http_cache_partial_hit_on_world_growth(ray_session, tmp_path):
+    """VERDICT r4 #7 — partial-hit contract under world mutation: grow
+    the world (3 → 6 hosts = 100% new URL fingerprints on the new
+    hosts, zero change on the old) and re-crawl over the old cache.
+    ONLY the mutated (new-host) fingerprints may download: the newly
+    stored set must equal exactly the set a cold crawl of the grown
+    world stores MINUS what the old world stored (host trees are
+    independent), the old entries must all survive, and the mutated
+    crawl's items/images must equal the cold grown crawl's (old hosts
+    parse identically from stored bodies). Compaction-proof accounting
+    via HttpCache.fingerprints snapshots (compaction restamps epochs)."""
+    from spider_ray.httpcache import HttpCache
+
+    base = dict(max_pages_per_host=2, details_per_page=4,
+                fail_pct=10, notfound_pct=5, private_pct=15)
+    cfg_old = _cfg(num_hosts=3, **base)
+    cfg_new = _cfg(num_hosts=6, **base)
+
+    def run(cfg, cache_dir):
+        c = Crawler(cfg, CAPTIONS, num_dedup_shards=4, obey_robots=True,
+                    round_window_ms=60_000, http_cache_dir=cache_dir)
+        res = c.crawl(cfg.seeds())
+        c.close()
+        return res
+
+    c1 = str(tmp_path / "hc_old")
+    res_old = run(cfg_old, c1)
+    s_old = HttpCache.fingerprints(c1)
+    assert s_old
+
+    c2 = str(tmp_path / "hc_cold_new")
+    res_cold_new = run(cfg_new, c2)
+    s_cold_new = HttpCache.fingerprints(c2)
+    assert s_old < s_cold_new  # old hosts' downloads are a strict subset
+
+    res_mut = run(cfg_new, c1)  # warm over the OLD cache
+    s_mut = HttpCache.fingerprints(c1)
+    # only mutated fingerprints downloaded, all of them, nothing lost
+    assert s_mut - s_old == s_cold_new - s_old
+    assert s_old <= s_mut
+    # outputs equal the cold grown crawl (old hosts served from store)
+    assert (res_mut["items"], res_mut["images"], res_mut["seen"]) == (
+        res_cold_new["items"], res_cold_new["images"], res_cold_new["seen"])
+    assert res_mut["fetched"] == res_cold_new["fetched"]
+    assert res_old["items"] < res_mut["items"]
+
+
 def test_http_cache_compaction(tmp_path):
     """compact() merges a bucket's files into one without changing any
     lookup result for later rounds/runs (probe cost stays O(1) files
