@@ -440,7 +440,7 @@ def amenity_flags(texts: pd.Series, *, mode: str = "substring"
         res = _AMENITY_RES_WORD
     for col, rx in res.items():
         hit = t.str.contains(rx)
-        out[col] = hit.map(lambda b: True if b else None)
+        out[col] = hit.where(hit, None).astype(object)
     return out
 
 
