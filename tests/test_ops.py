@@ -721,3 +721,81 @@ def test_read_blocks_sized_to_input(ray_session):
     ds = _read("/root/testdata/sf0.001", "documents", ["doc_id"]).materialize()
     nb = ds.num_blocks()
     assert nb <= max(4, ds.count() // 8192 + 1), nb
+
+
+def test_grouped_agg_matches_pandas_and_partition_invariant(ray_session):
+    """grouped_agg (hash-routed bounded-group aggregate) must equal a
+    plain pandas groupby for mixed int+string keys, independent of
+    num_partitions (routing collisions never merge distinct keys)."""
+    from spider_ray.ops.pairs import grouped_agg
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 500, 3000),
+            "k2": rng.choice(list("abcde"), 3000),
+            "v": rng.normal(size=3000),
+        }
+    )
+    exp = (
+        df.groupby(["k1", "k2"], sort=False)
+        .agg(n=("v", "size"), v_sum=("v", "sum"), v_min=("v", "min"))
+        .reset_index()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    spec = {"n": ("v", "size"), "v_sum": ("v", "sum"), "v_min": ("v", "min")}
+    for nparts in (1, 7, 64):
+        got = (
+            grouped_agg(
+                rd.from_pandas(df).repartition(5),
+                key_cols=["k1", "k2"],
+                agg=spec,
+                num_partitions=nparts,
+            )
+            .to_pandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_tree_agg_matches_pandas_and_rejects_bad_specs(ray_session):
+    """tree_agg (shuffle-free small-group combine) must equal pandas
+    across multiple blocks/levels, and refuse non-associative or
+    renaming specs that would silently mis-combine at upper levels."""
+    from spider_ray.ops.pairs import tree_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 4000),
+            "v_sum": rng.normal(size=4000),
+            "v_max": rng.integers(0, 10**6, 4000).astype(float),
+        }
+    )
+    exp = (
+        df.groupby("g", sort=False)
+        .agg(v_sum=("v_sum", "sum"), v_max=("v_max", "max"))
+        .reset_index()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    got = (
+        tree_agg(
+            rd.from_pandas(df).repartition(13),
+            key_cols=["g"],
+            agg={"v_sum": ("v_sum", "sum"), "v_max": ("v_max", "max")},
+            fanin=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    np.testing.assert_allclose(got["v_sum"].to_numpy(), exp["v_sum"].to_numpy())
+
+    with pytest.raises(ValueError):
+        tree_agg(rd.from_pandas(df), key_cols=["g"], agg={"out": ("v_sum", "sum")})
+    with pytest.raises(ValueError):
+        tree_agg(rd.from_pandas(df), key_cols=["g"], agg={"v_sum": ("v_sum", "size")})
