@@ -992,9 +992,18 @@ FROM l JOIN nation n ON n.n_nationkey = l.skew_key
 def q_topk_hosts(sf_dir: str):
     """O1/A6 analog — top-10 keys by row count (groupby → sort → limit)."""
     ds = _read(sf_dir, "orders", ["o_custkey"])
-    from ray.data.aggregate import Count
+    from ..ops.pairs import grouped_agg
 
-    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    # ~10k distinct keys: per-batch partial counts shrink the rows,
+    # then the hash-routed bounded-group combine replaces the per-key
+    # sort Aggregate; only the small (key, n) result enters the sort.
+    partials = ds.map_batches(
+        lambda df: df.groupby("o_custkey", sort=False)
+        .size().rename("n").reset_index(),
+        batch_format="pandas",
+    )
+    agg = grouped_agg(partials, key_cols=["o_custkey"],
+                      agg={"n": ("n", "sum")}, num_partitions=32)
     out = agg.sort(["n", "o_custkey"], descending=[True, False]).limit(10)
     return out.map_batches(
         lambda b: pa.table(
@@ -1207,20 +1216,22 @@ FROM events
 """
 
 
-def q_join_native(sf_dir: str):
-    """Large-large join via native Dataset.join (hash-partitioned
-    shuffle): lineitem ⋈ orders on orderkey → per-priority totals."""
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(
-        orders, join_type="inner", num_partitions=16,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-    from ray.data.aggregate import Count, Sum
+def _priority_totals(joined):
+    """Shared 5-group tail of the big-join queries: per-batch partial
+    combine (the joined rows never cross a second shuffle), then the
+    shuffle-free tree combine — Ray's sort Aggregate paid ~1.5 s of
+    fixed per-block cost here for a 5-row result."""
+    from ..ops.pairs import tree_agg
 
-    agg = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
+    partials = joined.map_batches(
+        lambda df: df.groupby("o_orderpriority", sort=False)
+        .agg(n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+        .reset_index(),
+        batch_format="pandas",
     )
+    agg = tree_agg(partials, key_cols=["o_orderpriority"],
+                   agg={"n_lines": ("n_lines", "sum"),
+                        "sum_qty": ("sum_qty", "sum")}, fanin=8)
     return agg.map_batches(
         lambda b: pa.table(
             {
@@ -1231,6 +1242,27 @@ def q_join_native(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_join_native(sf_dir: str):
+    """Large-large join via native Dataset.join (hash-partitioned
+    shuffle): lineitem ⋈ orders on orderkey → per-priority totals."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # Partition count sized to the input like _read's blocks: the
+    # native join pays a fixed per-partition shuffle cost, so 16
+    # partitions over a 60k-row sf0.01 input is pure overhead; at
+    # scale the cap rises with the row count (parquet metadata read,
+    # no data scan).
+    import pyarrow.parquet as pq
+
+    nrows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nparts = int(min(64, max(2, nrows // 150_000 + 1)))
+    joined = li.join(
+        orders, join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    return _priority_totals(joined)
 
 
 SQL_JOIN_BIG = """
@@ -1250,21 +1282,7 @@ def q_join_bucketed(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = bucketed_hash_join(li, orders, on="l_orderkey",
                                 right_on="o_orderkey", num_buckets=16)
-    from ray.data.aggregate import Count, Sum
-
-    agg = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
-    )
-    return agg.map_batches(
-        lambda b: pa.table(
-            {
-                "o_orderpriority": b["o_orderpriority"],
-                "n_lines": b["n_lines"].cast(pa.int64()),
-                "sum_qty": pc.cast(pc.round(b["sum_qty"], 0), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _priority_totals(joined)
 
 
 def q_asof_join(sf_dir: str):
