@@ -1047,11 +1047,19 @@ def q_join_enrich(sf_dir: str):
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     joined = ds.map_batches(f, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
+    from ..ops.pairs import tree_agg
 
-    agg = joined.groupby("r_name").aggregate(
-        Count(alias_name="customers"), Sum("c_acctbal", alias_name="acct_sum")
+    # 5 regions → per-batch partial + the shuffle-free tree combine
+    # (no sort Aggregate for a 5-row result)
+    partials = joined.map_batches(
+        lambda df: df.groupby("r_name", sort=False)
+        .agg(customers=("c_acctbal", "size"), acct_sum=("c_acctbal", "sum"))
+        .reset_index(),
+        batch_format="pandas",
     )
+    agg = tree_agg(partials, key_cols=["r_name"],
+                   agg={"customers": ("customers", "sum"),
+                        "acct_sum": ("acct_sum", "sum")}, fanin=8)
 
     def final(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1736,10 +1744,17 @@ JOIN pii_out po USING (doc_id)
 
 
 def q_lang_distribution(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ..ops.pairs import tree_agg
 
     ds = _read(sf_dir, "documents", ["lang"])
-    agg = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    # handful of languages → partial counts + shuffle-free combine
+    partials = ds.map_batches(
+        lambda df: df.groupby("lang", sort=False)
+        .size().rename("n").reset_index(),
+        batch_format="pandas",
+    )
+    agg = tree_agg(partials, key_cols=["lang"],
+                   agg={"n": ("n", "sum")}, fanin=4)
     return agg.map_batches(
         lambda b: pa.table({"lang": b["lang"], "n": b["n"].cast(pa.int64())}),
         batch_format="pyarrow",
