@@ -240,17 +240,15 @@ def q_currency_map(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey"])
 
     def f(b: pa.Table) -> pa.Table:
-        keys = b["o_orderkey"].to_pylist()
-        cur = [
-            extract.currency_parser(
-                f"{_CURRENCY_CYCLE[k % 5]} 1200",
-                "rentals-australia.test" if k % 2 == 0 else "rentals-us.test",
-            )
-            for k in keys
-        ]
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(np.array(_CURRENCY_CYCLE, dtype=object)[k % 5]) + " 1200"
+        host = pd.Series(
+            np.where(k % 2 == 0, "rentals-australia.test", "rentals-us.test")
+        )
+        cur = extract.currency_parser_batch(s, host)
         return pa.table(
             {
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_orderkey": pa.array(k, pa.int64()),
                 "currency": pa.array(cur, pa.string()),
             }
         )
@@ -297,12 +295,18 @@ def q_date_year_bump(sf_dir: str):
     def f(b: pa.Table) -> pa.Table:
         keep = pc.less_equal(pc.day(b["ts"]), 28)
         t = b.filter(keep)
-        raw = pc.strftime(t["ts"], format="%d/%m/%Y").to_pylist()
-        bumped = [extract.parse_date_with_year_bump(s) for s in raw]
+        # kernel once per DISTINCT date string (factorize + take): the
+        # event log repeats days heavily, so the Python kernel runs
+        # O(distinct) times, not O(rows)
+        raw = pd.Series(pc.strftime(t["ts"], format="%d/%m/%Y").to_pandas())
+        codes, uniques = pd.factorize(raw)
+        lut = np.array(
+            [extract.parse_date_with_year_bump(s) for s in uniques], dtype=object
+        )
         return pa.table(
             {
                 "event_id": t["event_id"].cast(pa.int64()),
-                "available_date": pa.array(bumped, pa.string()),
+                "available_date": pa.array(lut[codes], pa.string()),
             }
         )
 
@@ -467,16 +471,23 @@ def q_image_set_dedup(sf_dir: str):
     """A1/D2 — per-item image-URL set dedup + count (pipelines.py:127-131)."""
     ds = _read(sf_dir, "orders", ["o_orderkey"])
 
+    # k % 35 determines (k % 7, k % 5): run the set-dedup kernel once
+    # per distinct residue, broadcast via vectorized take
+    _lut = np.array(
+        [
+            len(extract.dedup_list_keep_order(
+                [f"img_{r % 7}", f"img_{r % 5}", f"img_{r % 7}"]))
+            for r in range(35)
+        ],
+        dtype=np.int64,
+    )
+
     def f(b: pa.Table) -> pa.Table:
-        keys = b["o_orderkey"].to_pylist()
-        counts = []
-        for k in keys:
-            urls = [f"img_{k % 7}", f"img_{k % 5}", f"img_{k % 7}"]
-            counts.append(len(extract.dedup_list_keep_order(urls)))
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
-                "external_images_count": pa.array(counts, pa.int64()),
+                "o_orderkey": pa.array(k, pa.int64()),
+                "external_images_count": pa.array(_lut[k % 35], pa.int64()),
             }
         )
 
@@ -500,13 +511,19 @@ def q_property_type(sf_dir: str):
     """M23/J1 — multilingual property-type dictionary lookup."""
     ds = _read(sf_dir, "orders", ["o_orderkey"])
 
+    # the kernel runs once per DISTINCT input (the 6-value cycle),
+    # then a vectorized take broadcasts it — the per-unique-then-take
+    # shape, not a Python call per row
+    _lut = np.array(
+        [extract.property_type_lookup(p) for p in _PTYPE_CYCLE], dtype=object
+    )
+
     def f(b: pa.Table) -> pa.Table:
-        keys = b["o_orderkey"].to_pylist()
-        mapped = [extract.property_type_lookup(_PTYPE_CYCLE[k % 6]) for k in keys]
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
-                "property_type": pa.array(mapped, pa.string()),
+                "o_orderkey": pa.array(k, pa.int64()),
+                "property_type": pa.array(_lut[k % 6], pa.string()),
             }
         )
 
@@ -532,13 +549,17 @@ def q_word2num(sf_dir: str):
     compound parsing ('twenty two', scales, 'and' skipped)."""
     ds = _read(sf_dir, "orders", ["o_orderkey"])
 
+    # kernel once per distinct input, vectorized take per batch
+    _lut = np.array(
+        [extract.word_to_num(w) for w in _WORDNUM_CYCLE], dtype=object
+    )
+
     def f(b: pa.Table) -> pa.Table:
-        keys = b["o_orderkey"].to_pylist()
-        nums = [extract.word_to_num(_WORDNUM_CYCLE[k % 5]) for k in keys]
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
-                "n": pa.array(nums, pa.int64()),
+                "o_orderkey": pa.array(k, pa.int64()),
+                "n": pa.array(_lut[k % 5], pa.int64()),
             }
         )
 
@@ -1036,8 +1057,8 @@ def q_join_enrich(sf_dir: str):
 
     def f(b: pa.Table) -> pa.Table:
         n2r_, r2name_ = ray.get(lookup_ref)
-        nk = b["c_nationkey"].to_pylist()
-        names = [r2name_[n2r_[k]] for k in nk]
+        nk = pd.Series(b["c_nationkey"].to_numpy(zero_copy_only=False))
+        names = nk.map(n2r_).map(r2name_)
         return pa.table(
             {
                 "r_name": pa.array(names, pa.string()),
@@ -1897,18 +1918,26 @@ def q_fx_convert(sf_dir: str):
     rates_ref = ray.put(_FX_RATES_MILLI)
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
+    # k % 10 determines (symbol, host): the parser kernel runs once
+    # per distinct combo, broadcast via take; the rate math is numpy
+    _cur_lut = np.array(
+        [
+            extract.currency_parser(
+                f"{_CURRENCY_CYCLE[r % 5]} x",
+                "rentals-australia.test" if r % 2 == 0 else "rentals-us.test",
+            )
+            for r in range(10)
+        ],
+        dtype=object,
+    )
+
     def f(b: pa.Table) -> pa.Table:
         rates = ray.get(rates_ref)
-        keys = b["o_orderkey"].to_pylist()
-        rents = [int(v) for v in b["o_totalprice"].to_pylist()]
-        curs = [
-            extract.currency_parser(
-                f"{_CURRENCY_CYCLE[k % 5]} x",
-                "rentals-australia.test" if k % 2 == 0 else "rentals-us.test",
-            )
-            for k in keys
-        ]
-        cents = [(r * rates[c]) // 10 for r, c in zip(rents, curs)]
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rents = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.int64)
+        curs = _cur_lut[k % 10]
+        rate_lut = np.array([rates[c] for c in _cur_lut], dtype=np.int64)
+        cents = (rents * rate_lut[k % 10]) // 10
         return pa.table(
             {
                 "o_orderkey": b["o_orderkey"].cast(pa.int64()),
