@@ -1799,15 +1799,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def word_sets(b: pa.Table) -> pa.Table:
-        sets = [
-            np.unique(
-                np.fromiter(
-                    (dedup_text.xxh64(w) for w in set((t or "").split())),
-                    dtype=np.uint64,
-                )
-            )
-            for t in b["text"].to_pylist()
-        ]
+        # tokens hash once per DISTINCT string across the whole batch
+        # (factorize + ONE xxh64_many call), not one Python xxh64 call
+        # per token per doc — same shape as the minhash signature pass
+        tok_lists = [sorted(set((t or "").split())) for t in b["text"].to_pylist()]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = [w for toks in tok_lists for w in toks]
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            lut = dedup_text.xxh64_many(list(uniques))
+            hashes = lut[codes]
+        else:
+            hashes = np.empty(0, np.uint64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        sets = [np.unique(hashes[offs[i]:offs[i + 1]])
+                for i in range(len(tok_lists))]
         return pa.table(
             {
                 "doc_id": b["doc_id"].cast(pa.int64()),
