@@ -400,6 +400,10 @@ def grouped_agg(
 
     ``agg`` is the pandas named-agg spec ``{out_col: (in_col, fn)}``
     with ``fn`` a pandas reduction name ("sum", "size", "min", …).
+
+    An EMPTY input dataset yields an empty, schemaless result (Ray
+    elides empty blocks before the per-partition fn can stamp a
+    schema) — same contract as ``groupby().aggregate`` on empty.
     """
 
     def _col_hash(df: pd.DataFrame, c: str) -> np.ndarray:
@@ -453,6 +457,9 @@ def tree_agg(
     across levels (sum/min/max — NOT size/mean; pre-reduce those to
     sums in a leaf ``map_batches`` first), and each spec must have
     ``out_col == in_col`` so upper levels re-apply verbatim.
+
+    An EMPTY input dataset yields an empty, schemaless result (Ray
+    elides empty blocks before any combine level can stamp a schema).
     """
     for k, (c, f) in agg.items():
         if k != c:

@@ -799,3 +799,23 @@ def test_tree_agg_matches_pandas_and_rejects_bad_specs(ray_session):
         tree_agg(rd.from_pandas(df), key_cols=["g"], agg={"out": ("v_sum", "sum")})
     with pytest.raises(ValueError):
         tree_agg(rd.from_pandas(df), key_cols=["g"], agg={"v_sum": ("v_sum", "size")})
+
+
+def test_agg_primitives_empty_input_no_crash(ray_session):
+    """Empty input must not wedge or raise — it yields an empty
+    (schemaless) result, the documented contract shared with Ray's
+    own groupby().aggregate on empty datasets."""
+    from spider_ray.ops.pairs import grouped_agg, tree_agg
+
+    empty = pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="float64")}
+    )
+    out = grouped_agg(
+        rd.from_pandas(empty), key_cols=["k"], agg={"n": ("v", "size")}
+    ).to_pandas()
+    assert len(out) == 0
+    out = tree_agg(
+        rd.from_pandas(empty.rename(columns={"v": "v_sum"})),
+        key_cols=["k"], agg={"v_sum": ("v_sum", "sum")},
+    ).to_pandas()
+    assert len(out) == 0
